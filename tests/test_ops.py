@@ -1,0 +1,109 @@
+"""Unit tests for the L1 operator library."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from v3_polars_spark.ops import (
+    asof_join,
+    asof_lookup_scalar,
+    cumsum,
+    cumsum_scalable,
+    dedup_last,
+    duration_to_interval,
+    ffill,
+    first_covering,
+    lead_col,
+    outer_join_coalesced,
+    recode_map,
+    resample,
+    segment_bounds,
+)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (5, "b"), (10, "c"), (0, "z")], ["t", "lv"]
+    )
+    right = spark.createDataFrame([(1, 100), (4, 400), (9, 900)], ["t", "rv"])
+    out = {r["t"]: r["rv"] for r in asof_join(left, right, on="t").collect()}
+    assert out == {0: None, 1: 100, 5: 400, 10: 900}
+
+
+def test_asof_join_by_keys(spark):
+    left = spark.createDataFrame([("p", 5), ("q", 5)], ["k", "t"])
+    right = spark.createDataFrame([("p", 1, 10), ("q", 2, 20), ("q", 5, 21)], ["k", "t", "rv"])
+    out = {(r["k"], r["t"]): r["rv"] for r in asof_join(left, right, on="t", by=["k"]).collect()}
+    assert out == {("p", 5): 10, ("q", 5): 21}
+
+
+def test_asof_lookup_strict(spark):
+    df = spark.createDataFrame([(1.0, "a"), (2.0, "b"), (3.0, "c")], ["as_of", "v"])
+    assert asof_lookup_scalar(df, "as_of", 2.0, "v") == "a"  # strict <
+    assert asof_lookup_scalar(df, "as_of", 0.5, "v") is None
+
+
+def test_dedup_last_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 0, "first"), ("k", 1, 1, "second"), ("k", 2, 0, "third")],
+        ["key", "bn", "li", "v"],
+    )
+    out = dedup_last(df, keys=["key"], order=["bn", "li"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "third"
+
+
+def test_cumsum_and_lead_and_ffill(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["t", "v"])
+    c = {r["t"]: r["cum"] for r in cumsum(df, "v", order=["t"], out="cum").collect()}
+    assert c == {1: 10.0, 2: 30.0, 3: 60.0}
+    l = {r["t"]: r["nxt"] for r in lead_col(df, "v", order=["t"], out="nxt", default=-1.0).collect()}
+    assert l == {1: 20.0, 2: 30.0, 3: -1.0}
+    df2 = spark.createDataFrame([(1, None), (2, 5.0), (3, None), (4, None)], "t int, v double")
+    f = {r["t"]: r["v"] for r in ffill(df2, ["v"], order=["t"]).collect()}
+    assert f == {1: None, 2: 5.0, 3: 5.0, 4: 5.0}
+
+
+def test_cumsum_scalable_matches_window(spark):
+    data = [(i, float((i * 7) % 13)) for i in range(1000)]
+    df = spark.createDataFrame(data, ["t", "v"])
+    a = {r["t"]: r["cum"] for r in cumsum(df, "v", order=["t"], out="cum").collect()}
+    b = {r["t"]: r["cum"] for r in cumsum_scalable(df, "v", "t", out="cum", num_partitions=7).collect()}
+    assert a == b
+
+
+def test_first_covering(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 30.0), (3, 60.0)], ["t", "cum"])
+    row = first_covering(df, "cum", 25.0, order=["t"]).collect()
+    assert len(row) == 1 and row[0]["t"] == 2
+
+
+def test_outer_join_coalesced(spark):
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["tick", "lo"])
+    b = spark.createDataFrame([(2, 200.0), (3, 300.0)], ["tick", "hi"])
+    out = {r["tick"]: (r["lo"], r["hi"]) for r in outer_join_coalesced(a, b, "tick", fill=0).collect()}
+    assert out == {1: (10.0, 0.0), 2: (20.0, 200.0), 3: (0.0, 300.0)}
+
+
+def test_recode_map(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    out = {r["k"]: r["m"] for r in recode_map(df, "k", {"a": "A", "b": "B"}, out="m").collect()}
+    assert out == {"a": "A", "b": "B", "c": None}
+
+
+def test_resample_buckets(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=m), float(m)) for m in (0, 10, 20, 70)]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {
+        r["bucket_ts"]: r["s"]
+        for r in resample(df, "ts", "1h", [F.sum("v").alias("s")]).collect()
+    }
+    assert out == {base: 30.0, base + dt.timedelta(hours=1): 70.0}
+    assert duration_to_interval("15m") == "15 minutes"
+    assert duration_to_interval("6h") == "6 hours"
+
+
+def test_segment_bounds(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["bn"])
+    assert segment_bounds(df, "bn", 10) == 9

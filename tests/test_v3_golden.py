@@ -1,0 +1,89 @@
+"""Golden-data parity tests against the reference's own example parquet
+(/root/reference/v3/data/examples, read-only) using the independently
+cross-checked anchor values from SURVEY.md §8.3."""
+
+import pytest
+
+POOL = "0x1d42064fc4beb5f8aaf85f4617ae8b3b5b8bd801"  # UNI/WETH 30bps, ethereum
+AS_OF = 12376626
+
+
+@pytest.fixture(scope="module")
+def pool(spark, ref_examples):
+    from v3_polars_spark.v3 import Pool
+
+    return Pool(spark, POOL, "ethereum", ref_examples)
+
+
+def test_factory_init(pool):
+    assert pool.ts == 60
+    assert pool.fee == 3000
+    # UNI < WETH lexicographically; token0 is UNI
+    assert pool.token0.startswith("0x1f9840a85d5af5bf1d1762f925bdaddc4201f984")
+
+
+def test_create_liq_golden(pool):
+    rows = pool.create_liq(AS_OF).orderBy("tick").collect()
+    assert len(rows) == 123
+    assert rows[0]["tick"] == -127620
+    assert rows[0]["liquidity"] == pytest.approx(2.1615743339306317e20, rel=1e-9)
+    assert rows[-1]["tick"] == 82920
+    # telescopes to ~0 at the top tick (SURVEY.md §8.2)
+    assert abs(rows[-1]["liquidity"]) < 1e7
+
+
+def test_price_and_tick_at(pool):
+    price = pool.get_price_at(AS_OF)
+    assert price == pytest.approx(8.781412307951676e27, rel=1e-12)
+    from v3_polars_spark.v3 import swap_math as sm
+
+    assert sm.price_x96_to_tick_floor(price, pool.ts) == -44040
+
+
+def test_in_range_values(pool):
+    _, irv = pool.calc_swap_df(AS_OF)
+    assert irv.tick == -44040
+    assert irv.liquidity == pytest.approx(5.653338537120413e22, rel=1e-9)
+    assert irv.in_range0 == pytest.approx(1.1209794725495329e21, rel=1e-9)
+    assert irv.in_range_to_swap0 == pytest.approx(1.3740856632652128e19, rel=1e-9)
+    assert irv.in_range1 == pytest.approx(5.043116974048383e18, rel=1e-9)
+    assert irv.in_range_to_swap1 == pytest.approx(4.101852834902314e20, rel=1e-9)
+
+
+def test_swap_in_branch_a(pool):
+    amt_out, (sqrt_last, _, _) = pool.swap_in(
+        {"as_of": AS_OF, "tokenIn": pool.token0, "swapIn": 1000 * 1e18}
+    )
+    assert amt_out == pytest.approx(1.2224093177787754e19, rel=1e-9)
+    assert sqrt_last == pytest.approx(0.11062077793366244, rel=1e-9)
+
+
+def test_swap_in_branch_b(pool):
+    amt_out, (sqrt_last, _, fee_dict) = pool.swap_in(
+        {"as_of": AS_OF, "tokenIn": pool.token0, "swapIn": 100_000 * 1e18, "fees": True}
+    )
+    assert amt_out == pytest.approx(4.8870532436015913e20, rel=1e-9)
+    # crosses 48 full ticks + in-range + final covering tick => 50 fee entries
+    assert len(fee_dict) == 50
+    assert min(fee_dict) == -127620
+
+
+def test_price_series_shapes(pool):
+    import datetime as dt
+
+    px = pool.get_price_series(dt.datetime(2021, 5, 4), frequency="6h").orderBy(
+        "block_timestamp"
+    )
+    rows = px.collect()
+    assert rows, "price series empty"
+    assert set(px.columns) == {"block_timestamp", "block_number", "tick"}
+    # block numbers nondecreasing across buckets
+    bns = [r["block_number"] for r in rows]
+    assert bns == sorted(bns)
+
+
+def test_bn_at_date(pool):
+    import datetime as dt
+
+    bn = pool.get_bn_at_date(dt.datetime(2021, 5, 4))
+    assert bn is not None and bn <= 12376625

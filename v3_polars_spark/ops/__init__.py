@@ -1,0 +1,34 @@
+"""L1 operator library — one documented op per SURVEY.md §2 row where Spark
+lacks a literal primitive; stock DataFrame API everywhere else."""
+
+from .asof import asof_join, asof_lookup, asof_lookup_scalar
+from .dedup import dedup_first, dedup_last
+from .misc import (
+    is_empty,
+    outer_join_coalesced,
+    recode_join,
+    recode_map,
+    segment_bounds,
+)
+from .resample import duration_to_interval, resample
+from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
+
+__all__ = [
+    "asof_join",
+    "asof_lookup",
+    "asof_lookup_scalar",
+    "cumsum",
+    "cumsum_scalable",
+    "dedup_first",
+    "dedup_last",
+    "duration_to_interval",
+    "ffill",
+    "first_covering",
+    "is_empty",
+    "lead_col",
+    "outer_join_coalesced",
+    "recode_join",
+    "recode_map",
+    "resample",
+    "segment_bounds",
+]

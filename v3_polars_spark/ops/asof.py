@@ -1,0 +1,112 @@
+"""As-of (time-travel) joins and lookups — L1 ops J2/J3 from SURVEY.md §2.3.
+
+PySpark has no native as-of join; ``asof_join`` implements the backward
+strategy (for each left row, the last right row with ``right.on <= left.on``,
+matching Polars ``join_asof`` defaults, reference
+v3/helpers/pool_helpers.py:202) as a pure DataFrame composition:
+
+    union both sides with a side marker
+    -> window last(right_cols, ignorenulls=True) ordered by (on, marker)
+    -> keep left rows
+
+This is shuffle-optimal: ONE shuffle (the window sort), no join explosion,
+no range-join quadratic blowup. With ``by`` keys the window is
+``partitionBy(by)`` and parallelizes across keys; without ``by`` it is a
+single total order — callers at scale should pass ``by`` (e.g. chain/pool)
+or accept the documented single-task sort, which AQE cannot split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    strategy: str = "backward",
+) -> DataFrame:
+    """Backward/forward as-of join (J2).
+
+    Columns of ``right`` other than ``on``/``by`` are appended to ``left``
+    rows with the value in force at the left row's ``on`` (backward: last
+    right value with ``on_r <= on_l``; forward: next with ``on_r >= on_l``).
+
+    Determinism: ties between multiple right rows at the same ``on`` take
+    the one latest in (on, side) order — callers needing a finer tiebreak
+    should pre-dedup the right side with ``dedup_last`` (the reference's
+    pipelines do exactly that: group_by(ts).last() before join_asof,
+    reference v3/helpers/pool_helpers.py:144-146).
+    """
+    if strategy not in ("backward", "forward"):
+        raise ValueError(f"unsupported asof strategy: {strategy}")
+    by = by or []
+    value_cols = [c for c in right.columns if c != on and c not in by]
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"right value columns clash with left: {clash}")
+
+    # Side marker orders right rows BEFORE left rows at equal `on`, so an
+    # exactly-equal right timestamp is visible to the left row (<= semantics).
+    left_tagged = left.withColumn(_SIDE, F.lit(1))
+    for c in value_cols:
+        left_tagged = left_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    right_tagged = right.withColumn(_SIDE, F.lit(0))
+    for c in left.columns:
+        if c not in right_tagged.columns:
+            right_tagged = right_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = left.columns + value_cols + [_SIDE]
+    unioned = left_tagged.select(*cols).unionByName(right_tagged.select(*cols))
+
+    if strategy == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).desc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+
+    keep = [c for c in left.columns]
+    out = unioned.select(*keep, F.col(_SIDE), *fill).filter(F.col(_SIDE) == 1).drop(_SIDE)
+    return out
+
+
+def asof_lookup(
+    df: DataFrame,
+    order_col: str,
+    at,
+    columns: list[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Point as-of lookup (J3): the row in force just before ``at``.
+
+    Reference: ``filter(as_of < X).tail(1)`` (v3/state.py:204-209). Spark
+    shape: filter + orderBy desc + limit 1 — the filter is pushed into the
+    parquet scan (row-group min/max pruning) and sort+limit-1 is a TakeOrdered,
+    no full sort. Strict ``<`` preserves the reference's "value BEFORE the
+    transaction at that index" contract (SURVEY.md §8.2).
+    """
+    cmp = F.col(order_col) < F.lit(at) if strict else F.col(order_col) <= F.lit(at)
+    out = df.filter(cmp).orderBy(F.col(order_col).desc()).limit(1)
+    if columns:
+        out = out.select(*columns)
+    return out
+
+
+def asof_lookup_scalar(df: DataFrame, order_col: str, at, column: str):
+    """Driver-scalar variant of ``asof_lookup`` — returns the Python value
+    or None if the history is empty (reference v3/state.py:210-214)."""
+    rows = asof_lookup(df, order_col, at, columns=[column]).collect()
+    return rows[0][0] if rows else None

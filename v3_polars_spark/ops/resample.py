@@ -1,0 +1,49 @@
+"""Time-bucket (tumbling window) aggregation — L1 op A3 (SURVEY.md §2.4).
+
+The reference resamples with ``group_by_dynamic(ts, every=frequency)``
+(v3/helpers/pool_helpers.py:148-149,168-175) using duration strings like
+"15m"/"6h". Spark's ``F.window`` is the same tumbling bucket semantics —
+epoch-aligned closed-left buckets — and the identical expression streams
+under a watermark (SURVEY.md §2.8), so the batch and streaming paths share
+this op. A plain hash aggregation: one shuffle on the bucket key.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_UNITS = {
+    "s": "seconds",
+    "m": "minutes",
+    "h": "hours",
+    "d": "days",
+    "w": "weeks",
+}
+
+
+def duration_to_interval(every: str) -> str:
+    """Translate a Polars-style duration string ("15m", "6h", "1d") into a
+    Spark interval string ("15 minutes", ...)."""
+    m = re.fullmatch(r"(\d+)\s*([smhdw])", every.strip())
+    if not m:
+        # already a Spark interval string ("15 minutes")
+        return every
+    n, unit = m.groups()
+    return f"{n} {_UNITS[unit]}"
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    aggs: list[Column],
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """Tumbling-window aggregate: ``bucket_alias`` is the bucket START
+    timestamp (matches Polars group_by_dynamic's bucket label)."""
+    interval = duration_to_interval(every)
+    out = df.groupBy(F.window(F.col(ts_col), interval).alias("__w")).agg(*aggs)
+    return out.withColumn(bucket_alias, F.col("__w.start")).drop("__w")

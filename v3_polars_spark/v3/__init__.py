@@ -1,0 +1,20 @@
+from . import swap_math
+from .liquidity import liquidity_distribution, liquidity_distribution_multi
+from .pool import Pool
+from .series import bn_at_date, bn_series, price_series, tick_series
+from .swap import InRangeValues, in_range_values, swap_frame, swap_in
+
+__all__ = [
+    "InRangeValues",
+    "Pool",
+    "bn_at_date",
+    "bn_series",
+    "in_range_values",
+    "liquidity_distribution",
+    "liquidity_distribution_multi",
+    "price_series",
+    "swap_frame",
+    "swap_in",
+    "swap_math",
+    "tick_series",
+]

@@ -1,0 +1,154 @@
+"""Pool facade — the engine's analog of the reference's ``v3Pool``
+(reference v3/state.py:8-331).
+
+Differences by design (Spark-first):
+- table materialization uses ``df.cache()`` (executor-memory columnar
+  cache) instead of driver RAM;
+- every ordered op has explicit (block_number, transaction_index, log_index)
+  determinism keys;
+- the swap precompute keeps the reference's single-slot memo keyed by exact
+  ``as_of`` (v3/state.py:176-195): repeat swaps at one time are O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables as T
+from ..ops import asof_lookup_scalar
+from . import swap_math as sm
+from .liquidity import liquidity_distribution
+from .series import bn_at_date as _bn_at_date
+from .series import price_series as _price_series
+from .swap import InRangeValues, in_range_values, swap_frame, swap_in
+
+
+class Pool:
+    MAX_TICK = sm.MAX_TICK
+    Q96 = sm.Q96
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pool: str,
+        chain: str,
+        data_path: str,
+        pull: bool = True,
+    ):
+        self.spark = spark
+        self.chain = chain
+        self.pool = pool.lower()  # normalize checksummed addresses (state.py:45)
+        self.data_path = data_path
+        self._cache: dict = {"as_of": None}
+
+        # initializePoolFromFactory (reference pool_helpers.py:10-34)
+        factory = T.tenant_filter(
+            T.read_table(spark, data_path, "factory_pool_created"), chain
+        ).filter(F.col("pool") == self.pool)
+        rows = factory.select("tickSpacing", "fee", "token0", "token1").collect()
+        assert len(rows) != 0, "Pool missing from factory"
+        assert len(rows) == 1, "Multiple pools at that address"
+        self.ts = int(rows[0]["tickSpacing"])
+        self.fee = int(rows[0]["fee"])
+        self.token0 = rows[0]["token0"]
+        self.token1 = rows[0]["token1"]
+
+        self._swaps: DataFrame | None = None
+        self._mb: DataFrame | None = None
+        self.max_supported = -1
+        if pull:
+            s, m = self.swaps, self.mb
+            self.max_supported = min(
+                s.agg(F.max("block_number")).first()[0],
+                m.agg(F.max("block_number")).first()[0],
+            )
+
+    # readFromMemoryOrDisk analogs (reference state.py:114-174) ------------
+    @property
+    def swaps(self) -> DataFrame:
+        if self._swaps is None:
+            df = T.tenant_filter(
+                T.read_table(self.spark, self.data_path, "pool_swap_events"),
+                self.chain,
+                self.pool,
+            )
+            self._swaps = T.with_as_of(df).cache()
+        return self._swaps
+
+    @property
+    def mb(self) -> DataFrame:
+        if self._mb is None:
+            df = T.tenant_filter(
+                T.read_table(self.spark, self.data_path, "pool_mint_burn_events"),
+                self.chain,
+                self.pool,
+            ).withColumns(
+                {
+                    "amount": F.col("amount").cast("double"),
+                    "tick_lower": F.col("tick_lower").cast("long"),
+                    "tick_upper": F.col("tick_upper").cast("long"),
+                    "type_of_event": F.col("type_of_event").cast("double"),
+                }
+            )
+            self._mb = T.with_as_of(df).cache()
+        return self._mb
+
+    # point-in-time getters (reference state.py:197-244) ------------------
+    def get_property_at(self, as_of: float, column: str):
+        return asof_lookup_scalar(self.swaps, "as_of", float(as_of), column)
+
+    def get_tick_at(self, as_of: float) -> int | None:
+        v = self.get_property_at(as_of, "tick")
+        return int(v) if v is not None else None
+
+    def get_price_at(self, as_of: float) -> int | None:
+        v = self.get_property_at(as_of, "sqrtPriceX96")
+        return int(v) if v is not None else None
+
+    # liquidity + swap precompute ------------------------------------------
+    def create_liq(self, as_of: float) -> DataFrame:
+        return liquidity_distribution(self.mb, as_of)
+
+    def calc_swap_df(self, as_of: float):
+        """createSwapDF with the single-slot memo (reference state.py:176-195)."""
+        if self._cache.get("as_of") == as_of:
+            return self._cache["swap_rows"], self._cache["irv"]
+        price = self.get_price_at(as_of)
+        assert price is not None, "Pool not initialized"
+        sdf = swap_frame(self.create_liq(as_of), self.ts)
+        rows = [r.asDict() for r in sdf.collect()]  # O(#ticks) — driver idiom
+        irv = in_range_values(rows, float(price), self.ts)
+        self._cache.update({"as_of": as_of, "swap_rows": rows, "irv": irv})
+        return rows, irv
+
+    def swap_in(self, calldata: dict):
+        """reference swap.py:41-212 / state.py:278-299. calldata keys:
+        as_of, tokenIn, swapIn, fees (findMax is a documented no-op)."""
+        as_of = calldata["as_of"]
+        token_in = calldata["tokenIn"]
+        amount_in = calldata["swapIn"]
+        if isinstance(amount_in, str):
+            amount_in = float(amount_in)
+        fees = bool(calldata.get("fees", False))
+        if self.max_supported != -1 and self.max_supported < as_of:
+            print("Mint/burn and swap data are not updated at this date")
+        rows, irv = self.calc_swap_df(as_of)
+        return swap_in(
+            rows,
+            irv,
+            token_in_is_token1=(token_in.lower() == self.token1),
+            amount_in=float(amount_in),
+            fee_ppm=self.fee,
+            fees=fees,
+        )
+
+    # series ----------------------------------------------------------------
+    def get_price_series(self, start_time, frequency: str = "6h", gas: bool = False) -> DataFrame:
+        chain_swaps = T.tenant_filter(
+            T.read_table(self.spark, self.data_path, "pool_swap_events"), self.chain
+        )
+        return _price_series(chain_swaps, self.swaps, start_time, frequency, gas)
+
+    def get_bn_at_date(self, dt) -> int | None:
+        return _bn_at_date(self.swaps, dt)

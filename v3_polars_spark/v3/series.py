@@ -1,0 +1,101 @@
+"""Price series and datetime→block helpers.
+
+Reference: v3/helpers/pool_helpers.py:134-204 (getPriceSeries),
+v3/helpers/pool_helpers.py:44-60 (dtToBN). Composite pipeline:
+distinct (A7) -> deterministic dedup-last (A2) -> tumbling-bucket agg (A3,
+with median gas A6) -> forward fill (W3) -> as-of join (J2).
+
+Parity notes:
+- `bn_series` is CHAIN-wide (not pool-filtered) while `tick_series` is
+  pool-filtered — intentional reference asymmetry (SURVEY.md §8.1 Q4): block
+  numbers advance chain-wide even in buckets where the pool didn't trade;
+  the as-of join backfills the tick.
+- the reference's group_by(ts).last() tie-break is file order
+  (nondeterministic); we pin (block_number, transaction_index, log_index)
+  (SURVEY.md §8.1 Q3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ops import asof_join, dedup_last, ffill, resample
+
+_TIEBREAK = ["block_number", "transaction_index", "log_index"]
+
+
+def bn_series(swaps: DataFrame, start_time, every: str) -> DataFrame:
+    """Latest block number per time bucket (reference pool_helpers.py:136-151).
+    Input: chain-filtered swaps (NOT pool-filtered — Q4)."""
+    df = (
+        swaps.filter(F.col("block_timestamp") >= F.lit(start_time))
+        .select("block_timestamp", "block_number")
+        .distinct()
+    )
+    df = dedup_last(df, keys=["block_timestamp"], order=["block_number"])
+    return resample(
+        df,
+        "block_timestamp",
+        every,
+        [F.max("block_number").alias("block_number")],
+    )
+
+
+def tick_series(swaps: DataFrame, start_time, every: str, gas: bool = False) -> DataFrame:
+    """Last tick (and median gas) per time bucket for ONE pool
+    (reference pool_helpers.py:153-201). Caller pre-filters chain+address."""
+    cols = ["block_timestamp", "tick"] + (["gas_price", "gas_used"] if gas else [])
+    df = (
+        swaps.filter(F.col("block_timestamp") >= F.lit(start_time))
+        .select(*cols, *_TIEBREAK)
+        .withColumn("tick", F.col("tick").cast("long"))
+    )
+    if gas:
+        df = df.withColumn("gas_price", F.col("gas_price").cast("double")).withColumn(
+            "gas_used", F.col("gas_used").cast("double")
+        )
+    df = dedup_last(df, keys=["block_timestamp"], order=_TIEBREAK)
+
+    # "last tick in bucket" needs an order — max_by over the tiebreak
+    ord_struct = F.struct(*[F.col(c) for c in _TIEBREAK])
+    aggs = [F.max_by(F.col("tick"), ord_struct).alias("tick")]
+    if gas:
+        aggs += [
+            F.percentile(F.col("gas_price"), F.lit(0.5)).alias("gas_price"),
+            F.percentile(F.col("gas_used"), F.lit(0.5)).alias("gas_used"),
+        ]
+    out = resample(df, "block_timestamp", every, aggs)
+    if gas:
+        out = ffill(out, ["gas_price", "gas_used", "tick"], order=["bucket_ts"])
+    return out
+
+
+def price_series(
+    chain_swaps: DataFrame,
+    pool_swaps: DataFrame,
+    start_time,
+    every: str = "6h",
+    gas: bool = False,
+) -> DataFrame:
+    """bn_series ⟕asof tick_series on the bucket timestamp
+    (reference pool_helpers.py:202-204). Output columns:
+    (block_timestamp, block_number, tick[, gas_price, gas_used])."""
+    bn = bn_series(chain_swaps, start_time, every).withColumnRenamed(
+        "bucket_ts", "block_timestamp"
+    )
+    tk = tick_series(pool_swaps, start_time, every, gas=gas).withColumnRenamed(
+        "bucket_ts", "block_timestamp"
+    )
+    return asof_join(bn, tk, on="block_timestamp")
+
+
+def bn_at_date(swaps: DataFrame, dt) -> int | None:
+    """Max block number at/after a datetime (reference pool_helpers.py:44-60
+    — filter ts >= dt, max(block_number))."""
+    row = (
+        swaps.filter(F.col("block_timestamp") >= F.lit(dt))
+        .agg(F.max("block_number").alias("bn"))
+        .first()
+    )
+    return row["bn"] if row else None
