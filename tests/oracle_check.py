@@ -1,0 +1,118 @@
+"""Standalone harness mimicking the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at sf=0.01,
+compare row count + column names + values (order-insensitive, exact).
+
+Usage: python tests/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for stable row sort; keep raw for value compare
+    return df.sort_values(by=list(df.columns), key=lambda s: s.astype(str)).reset_index(
+        drop=True
+    )
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(spark_df) != len(duck_df):
+        errs.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        errs.append(f"columns spark={sc} duck={dc}")
+    if errs:
+        return errs
+    s, d = _normalize(spark_df), _normalize(duck_df)
+    n_bad = 0
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if not _values_equal(a, b):
+                n_bad += 1
+                if n_bad <= 3:
+                    errs.append(f"value mismatch col={col} row={i}: spark={a!r} duck={b!r}")
+    if n_bad > 3:
+        errs.append(f"... {n_bad} total mismatched cells")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from v3_polars_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  {name::<24} ROWS-ONLY ({n} rows)")
+            except Exception as e:
+                print(f"✗ {name:<24} ROWS-ONLY FAILED: {e}")
+                failed.append(name)
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            ddf = con.execute(oracles[name]).df()
+            errs = compare(name, sdf, ddf)
+        except Exception as e:
+            errs = [f"exception: {type(e).__name__}: {str(e)[:300]}"]
+        if errs:
+            failed.append(name)
+            print(f"✗ {name}")
+            for e in errs[:5]:
+                print(f"    {e}")
+        else:
+            print(f"✓ {name:<24} ({len(sdf)} rows)")
+
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok" if not only else "")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
