@@ -1,0 +1,83 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop write (full computation, no driver
+collect overhead). The session is warmed with a trivial job first so JVM
+startup doesn't pollute query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the flagship v3 pipeline + the operator families that
+# dominate cost at scale (joins, window math, dedup, resample)
+HEADLINE = [
+    "groupby_having",
+    "theta_join",
+    "asof_join",
+    "dedup_last",
+    "resample_6h",
+    "cumsum",
+    "topk",
+    "derived_math",
+    "liquidity_dist",
+    "series_pipeline",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from v3_polars_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm up JVM: exercise agg/join/window codegen paths once
+    warm = spark.range(1_000_000).selectExpr("id", "id % 7 AS k", "id * 1.5 AS v")
+    agg = warm.groupBy("k").sum("v")
+    warm.join(agg, "k", "left").selectExpr(
+        "sum(v) OVER (PARTITION BY k ORDER BY id) AS w"
+    ).write.format("noop").mode("overwrite").save()
+
+    qs = entrymod.queries()
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):  # min of 2: steady-state, not first-run codegen
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
