@@ -451,6 +451,117 @@ def q_liquidity_dist(spark, sf):
     return liq.select("tick", F.round(F.col("liquidity") / 1e9, 0).alias("liquidity_1e9"))
 
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline queries (documents / embeddings tables)
+# --------------------------------------------------------------------------
+
+
+def dp_dedup_exact(spark, sf):
+    """Exact dedup: one survivor (min doc_id) per normalized text."""
+    from v3_polars_spark.datapipe import dedup_exact
+
+    d = _t(spark, sf, "documents")
+    return dedup_exact(d).select("doc_id", "lang", "source", "n_chars")
+
+
+def dp_fingerprint(spark, sf):
+    """md5 content fingerprint over normalized text."""
+    from v3_polars_spark.datapipe import fingerprint_md5
+
+    d = _t(spark, sf, "documents")
+    return fingerprint_md5(d).select("doc_id", "fp")
+
+
+def dp_text_stats(spark, sf):
+    """Token counting + quality scoring signals."""
+    from v3_polars_spark.datapipe import quality_score, token_counts
+
+    d = _t(spark, sf, "documents")
+    out = token_counts(d)
+    out = quality_score(out)
+    return out.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe_est",
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+def dp_lang_id(spark, sf):
+    """Marker-word language-ID heuristic (content-based; the synthetic docs
+    share one vocabulary, so this checks the FUNCTION cross-engine — real
+    multilingual behavior is pinned in tests/test_datapipe.py)."""
+    from v3_polars_spark.datapipe import language_id
+
+    d = _t(spark, sf, "documents")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+def dp_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard similarity for pairs sharing a shingle."""
+    from v3_polars_spark.datapipe import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard_r"))
+
+
+def dp_minhash_lsh(spark, sf):
+    """MinHash(16)+LSH(4 bands) candidate pairs with exact-Jaccard verify.
+    md5-based permutations make the whole index reproducible in any SQL
+    engine — the oracle replays signature, banding, and verify exactly."""
+    from v3_polars_spark.datapipe import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    out = minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4, verify_threshold=0.05)
+    return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard_r"))
+
+
+def dp_simhash(spark, sf):
+    """64-bit SimHash signatures (xxhash64 token hashes — Spark-native; no
+    portable SQL analog, driver records rows-only)."""
+    from v3_polars_spark.datapipe import simhash
+
+    d = _t(spark, sf, "documents")
+    return simhash(d)
+
+
+def dp_embed_topk(spark, sf):
+    """Brute-force exact cosine top-k over the embeddings table."""
+    from v3_polars_spark.datapipe import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, q, k=10)
+
+
+def dp_embed_topk_lsh(spark, sf):
+    """Hyperplane-LSH approximate top-k (rows-only: the plane literals are
+    plan-time constants; correctness pinned by tests + exact-path oracle)."""
+    from v3_polars_spark.datapipe import cosine_topk_lsh
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(e, q, dim=64, k=10, bits=4)
+
+
+def mm_decode_features(spark, sf):
+    """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
+    over binary payloads (deterministic fake decoder; rows-only)."""
+    from v3_polars_spark.datapipe import decode_image_features, make_fake_media
+
+    media = make_fake_media(spark, n=96)
+    out = decode_image_features(media, dim=8, fake=True)
+    return out.select("media_id", "sha256", "n_bytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project": q_scan_project,
@@ -478,12 +589,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "series_pipeline": q_series_pipeline,
         "liquidity_dist": q_liquidity_dist,
+        "dp_dedup_exact": dp_dedup_exact,
+        "dp_fingerprint": dp_fingerprint,
+        "dp_text_stats": dp_text_stats,
+        "dp_lang_id": dp_lang_id,
+        "dp_ngram_jaccard": dp_ngram_jaccard,
+        "dp_minhash_lsh": dp_minhash_lsh,
+        "dp_simhash": dp_simhash,
+        "dp_embed_topk": dp_embed_topk,
+        "dp_embed_topk_lsh": dp_embed_topk_lsh,
+        "mm_decode_features": mm_decode_features,
     }
 
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # --------------------------------------------------------------------------
+
+# mirrors datapipe.text.normalize_text
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SHINGLES_CTE = f"""
+    norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM norm, unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+"""
+
+
+def _marker_sql(words: list[str]) -> str:
+    """SQL mirror of datapipe.text._marker_score (padded whole-word hits)."""
+    pad = "(' ' || lower(text) || ' ')"
+    terms = " + ".join(
+        f"CASE WHEN contains({pad}, ' {w} ') THEN 1 ELSE 0 END" for w in words
+    )
+    return f"({terms})"
+
+
+def _lang_id_sql() -> str:
+    from v3_polars_spark.datapipe.text import LANG_MARKERS
+
+    scores = {lang: _marker_sql(ws) for lang, ws in LANG_MARKERS.items()}
+    best = f"greatest({scores['en']}, {scores['de']}, {scores['fr']}, {scores['es']})"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                    WHEN {best} = 0 THEN 'und'
+                    WHEN {scores['en']} = {best} THEN 'en'
+                    WHEN {scores['de']} = {best} THEN 'de'
+                    WHEN {scores['fr']} = {best} THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM documents
+    """
+
+
+def _text_stats_sql() -> str:
+    from v3_polars_spark.datapipe.text import STOPWORDS_EN
+
+    sw = _marker_sql(STOPWORDS_EN)
+    n_sw = len(STOPWORDS_EN)
+    punct_class = """[.,;:!?''"()\\[\\]{}-]"""  # '' = escaped quote in SQL literal
+    return f"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+               CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens_bpe_est,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+               (CAST(length(text) AS DOUBLE)
+                  - (CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) - 1))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                 AS mean_word_len,
+               (CAST(length(text) AS DOUBLE)
+                  - length(regexp_replace(text, '{punct_class}', '', 'g')))
+                 / CAST(length(text) AS DOUBLE) AS punct_ratio,
+               CAST({sw} AS DOUBLE) / {float(n_sw)} AS stopword_ratio
+        FROM documents
+    """
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) -> str:
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        buckets AS ({buckets}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT id_a, id_b, count(*) AS n_inter
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter / (sa.sz + sb.sz - n_inter), 9) AS jaccard_r
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -683,5 +903,46 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(delta) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) / 1e9, 0)
                      AS liquidity_1e9
             FROM j
+        """,
+        "dp_dedup_exact": f"""
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY md5({_NORM})) AS keeper
+                FROM documents
+            ) WHERE doc_id = keeper
+        """,
+        "dp_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "dp_text_stats": _text_stats_sql(),
+        "dp_lang_id": _lang_id_sql(),
+        "dp_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 9) AS jaccard_r
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.05
+        """,
+        "dp_minhash_lsh": _minhash_sql(),
+        "dp_embed_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+                SELECT query_id, vec_id,
+                       list_dot_product(qv, v)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+                         AS cosine
+                FROM q, e
+            )
+            SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 10
         """,
     }

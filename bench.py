@@ -33,6 +33,10 @@ HEADLINE = [
     "derived_math",
     "liquidity_dist",
     "series_pipeline",
+    "dp_dedup_exact",
+    "dp_minhash_lsh",
+    "dp_embed_topk",
+    "dp_text_stats",
 ]
 
 

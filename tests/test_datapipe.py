@@ -1,0 +1,186 @@
+"""Tests for the LLM-data-pipeline operators: planted duplicates for the
+dedup family, real multilingual strings for language ID, fake media for the
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from v3_polars_spark.datapipe import (
+    cosine_topk,
+    cosine_topk_lsh,
+    decode_image_features,
+    dedup_exact,
+    fingerprint_md5,
+    fingerprint_rolling,
+    frame_sample_plan,
+    language_id,
+    make_fake_media,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+    token_counts,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the tall green trees outside"
+)
+NEAR_DUP = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+UNRELATED = (
+    "distributed query engines shuffle partitioned data across executor "
+    "nodes using hash exchanges and sort merge join strategies for scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR_DUP),  # near dup of 0
+        (3, UNRELATED),
+        (4, "  THE   quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing in the tall "
+            "green trees outside "),  # dup of 0 modulo case/whitespace
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs).select("doc_id").orderBy("doc_id").collect()
+    # 0,1,4 normalize identically -> keep 0; 2 and 3 survive
+    assert [r["doc_id"] for r in out] == [0, 2, 3]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert pairs[(0, 4)] == 1.0  # normalized dup
+    assert 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs  # unrelated
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (0, 4) in pairs and (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_pairs(docs, spark):
+    sig = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert vals[0] == vals[1]  # identical text -> identical signature
+    pairs = simhash_near_pairs(sig, max_hamming=16).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in keys
+    assert (0, 3) not in keys  # unrelated text far in hamming space
+
+
+def test_language_id_real_strings(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was happy with the sun"),
+        (1, "der Hund ist nicht mit der Katze auf dem Sofa und das ist gut"),
+        (2, "le chat est dans la maison et les oiseaux sont dans le jardin"),
+        (3, "el perro es grande y los gatos son pequeños para el parque del barrio"),
+        (4, "今天天气很好我们去公园散步"),
+        (5, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh", 5: "und"}
+
+
+def test_token_counts_and_quality(docs):
+    tc = token_counts(docs).filter(F.col("doc_id") == 0).first()
+    assert tc["n_tokens_ws"] == len(BASE.split())
+    assert tc["n_tokens_bpe_est"] >= tc["n_tokens_ws"]
+    q = quality_score(docs).filter(F.col("doc_id") == 0).first()
+    assert q["n_words"] == len(BASE.split())
+    assert 0.0 <= q["quality"] <= 1.0
+    assert q["quality"] > 0.5  # clean english text scores well
+
+
+def test_fingerprints(docs):
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint_md5(docs).collect()}
+    assert fps[0] == fps[1] == fps[4]
+    assert fps[0] != fps[3]
+    rolled = {r["doc_id"]: r["fp64"] for r in fingerprint_rolling(docs).collect()}
+    assert rolled[0] == rolled[1] == rolled[4]
+    assert rolled[0] != rolled[3]
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    out = shingles(df, n=3).collect()
+    assert {r["shingle"] for r in out} == {"a b c", "b c d"}
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["vec_id"] == qid  # self is the nearest neighbor
+        assert rs[0]["cosine"] == pytest.approx(1.0, rel=1e-6)
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_cosine_topk_lsh_self_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_lsh(emb, queries, dim=64, k=5, bits=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["vec_id"] == qid  # identical vector shares every bucket
+
+
+def test_multimodal_fake_decode(spark):
+    media = make_fake_media(spark, n=12)
+    feats = decode_image_features(media, dim=8, fake=True).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x < 1.0 for x in r["feature"])
+        assert r["n_bytes"] == 128
+    # determinism: same payload -> same feature
+    again = decode_image_features(media, dim=8, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_real_decode_stubbed(spark):
+    media = make_fake_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_image_features(media, dim=8, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = make_fake_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    # videos have duration 5000ms -> 5 frames each
+    vids = {r["media_id"] for r in rows}
+    assert all(r["frame_ts_ms"] in (0, 1000, 2000, 3000, 4000) for r in rows)
+    assert len(rows) == len(vids) * 5

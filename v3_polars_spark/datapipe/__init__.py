@@ -1,0 +1,56 @@
+"""LLM-training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal columns — all designed for 100 TB inputs (no driver
+collects, bounded shuffles, pure column expressions where possible)."""
+
+from .dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from .multimodal import (
+    IMAGE_FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_image_features,
+    frame_sample_plan,
+    make_fake_media,
+)
+from .similarity import cosine_topk, cosine_topk_lsh, lsh_bucket, with_cosine
+from .text import (
+    LANG_MARKERS,
+    fingerprint_md5,
+    fingerprint_rolling,
+    language_id,
+    normalize_text,
+    quality_score,
+    token_counts,
+)
+
+__all__ = [
+    "IMAGE_FEATURES_SCHEMA",
+    "LANG_MARKERS",
+    "MEDIA_SCHEMA",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "decode_image_features",
+    "dedup_exact",
+    "fingerprint_md5",
+    "fingerprint_rolling",
+    "frame_sample_plan",
+    "language_id",
+    "lsh_bucket",
+    "make_fake_media",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "normalize_text",
+    "quality_score",
+    "shingles",
+    "simhash",
+    "simhash_near_pairs",
+    "token_counts",
+    "with_cosine",
+]

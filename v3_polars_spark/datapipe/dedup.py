@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (the point of each implementation):
+
+- exact dedup: hash aggregate on the fingerprint — one shuffle, map-side
+  combine; never a window over the full corpus.
+- MinHash+LSH: the candidate generation is shingle-explode → per-doc
+  signature (groupBy doc) → band buckets → self-join on bucket. All joins
+  key on short hashes; no O(n²) pair enumeration ever materializes. The
+  signature hash h_i(s) = md5(i || ':' || s) is engine-portable (pure
+  deterministic SQL), so oracles can replicate it exactly.
+- SimHash: per-token 64-bit hashes reduced by weighted bit-majority into
+  one signature per doc; near-dups = signatures within Hamming distance k
+  (banded equality prefilter for scale).
+- n-gram Jaccard: exact verify step for candidate pairs (used after LSH,
+  or standalone at small scale).
+- embedding cosine: see similarity.py; near-dup = cos >= threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, normalize_text
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text.
+    Plan: fingerprint (no shuffle) → groupBy(fp).min(id) → semi join back.
+    The join is on the fingerprint — AQE turns it into a broadcast when the
+    survivor set is small."""
+    fp = fingerprint_md5(df, text_col)
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fp.join(keep, ["fp", id_col], "left_semi")
+        .drop("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+    Uses a sliding window over the token array via transform+slice —
+    pure column expressions."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_sh = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(0, -1) would generate a DESCENDING sequence
+    idx = F.when(n_sh > 0, F.sequence(F.lit(0), n_sh - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets for all pairs
+    sharing at least one shingle. Output: (id_a, id_b, jaccard), id_a<id_b.
+
+    The shared-shingle equi-join bounds the pair space to actually-similar
+    candidates; |A∪B| = |A|+|B|-|A∩B| avoids a second pass over sets."""
+    sh = shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig array<string>): sig[i] = min over shingles of
+    md5(i || ':' || shingle). md5-as-permutation is engine-portable and
+    seed-stable; min is an ordinary agg (map-side combinable)."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → K minhashes → B bands of R=K/B
+    rows → bucket join → exact-Jaccard verify of candidates.
+
+    Output: (id_a, id_b, jaccard) for candidates with exact Jaccard >=
+    verify_threshold. At scale only the band-bucket join shuffles full
+    data, keyed on (band, bucket-hash) — short uniform keys, skew-free."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    sh = shingles(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+
+    band_rows = []
+    for b in range(bands):
+        bucket = F.md5(
+            F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|")
+        )
+        band_rows.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b2 = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verify: jaccard over the shingle sets, restricted to candidates
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, bit-majority vote
+    weighted by token frequency. Exploding tokens + conditional-sum per bit
+    keeps everything in codegen'd aggregates (one shuffle on doc id)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = toks.withColumn("th", F.xxhash64(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``prefix_bands`` 16-bit chunks (pigeonhole: hamming<=3 pairs share at
+    least one exact chunk when bands=4), join on chunk equality, verify
+    Hamming distance with bit_count(xor)."""
+    chunk_bits = 64 // prefix_bands
+    rows = []
+    for c in range(prefix_bands):
+        chunk = F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+        rows.append(
+            sig.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("band"), chunk.alias("chunk"))
+        )
+    banded = rows[0]
+    for r in rows[1:]:
+        banded = banded.unionByName(r)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

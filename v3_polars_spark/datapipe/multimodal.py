@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
+
+The decode kernels themselves are STUBBED (this container has no
+image/audio libraries): ``decode_image``/``extract_audio_features`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decoder so the Spark-side plumbing — schema, batch
+iteration, partition sizing — is real and testable.
+
+Scale design: payloads stay in executor memory one Arrow batch at a time
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory per
+task); metadata-only transformations never touch the binary column thanks
+to parquet column pruning; and ``repartition`` before the UDF controls
+decode parallelism independently of file layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sha256", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'decoder': derive `dim` floats in [0,1) from the
+    sha256 of the payload. Stands in for a real image/audio model so the
+    distributed plumbing is exercised end-to-end."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 for b in h)
+        counter += 1
+    return out[:dim]
+
+
+def decode_image_features(
+    df: DataFrame,
+    dim: int = 16,
+    fake: bool = False,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """payload → feature vector via mapInPandas (Arrow-batched).
+
+    With ``fake=False`` this is the integration point for a real vision
+    encoder (PIL/torch are not in this container): the UDF body raises
+    NotImplementedError. With ``fake=True`` the deterministic sha-based
+    decoder runs instead — identical schema, batching, and shuffle
+    behavior."""
+    if batch_size_hint:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/torch; pass fake=True for "
+                    "the deterministic stub decoder"
+                )
+            feats = [
+                _fake_decode(bytes(p) if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": [
+                        hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(process, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per (media_id, frame_ts).
+    The timestamps come from metadata only (duration_ms) — no payload reads
+    — so this stage prunes the binary column entirely; the downstream
+    decode joins payloads back for just the sampled rows."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("duration_ms") / every_ms).cast("long") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind == "image" else None,
+                48 if kind == "image" else None,
+                5000 if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is pure column expressions (JVM-side, whole-stage codegen)
+— no Python UDFs anywhere. Each operator is embarrassingly parallel per
+row: at 100 TB these pipelines are a single scan with zero shuffles, so
+throughput is bounded by parquet decode, not by Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-language marker (stop)words for the n-gram/stopword heuristic.
+# Deliberately tiny and high-precision: function words that rarely occur
+# cross-language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "und", "ist", "das", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "los", "las", "es", "una", "que", "para", "con", "por", "del"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "on", "or", "be"]
+
+
+def _padded(col: Column) -> Column:
+    """' text '-padded lowercase body so ' word ' containment = whole-word hit."""
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def _marker_score(col: Column, words: list[str]) -> Column:
+    """Number of marker words present (0/1 per word, summed) — expressible
+    identically in any SQL dialect, unlike tokenizer-dependent counts."""
+    padded = _padded(col)
+    score = F.lit(0)
+    for w in words:
+        score = score + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    return score
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: CJK char presence → zh; else the language with
+    the most marker-word hits (ties broken by fixed precedence en>de>fr>es);
+    no hits → 'und'."""
+    scores = {lang: _marker_score(F.col(text_col), ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(F.col(text_col).rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.withColumn(out, pred)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (alnum runs and
+    punctuation both count; long words count ~len/4 pieces, the usual
+    chars-per-token rule of thumb)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), "\\s+"))
+    n_chars = F.length(t)
+    bpe_est = F.ceil(n_chars / F.lit(4)).cast("long")
+    return df.withColumn("n_tokens_ws", ws.cast("long")).withColumn(
+        "n_tokens_bpe_est", bpe_est
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality signals (the standard
+    pre-training quality filters):
+      - n_chars, n_words
+      - mean_word_len
+      - punct_ratio: punctuation chars / chars
+      - stopword_ratio: fraction of the EN stopword list present
+      - quality: a [0,1] composite (monotone in signals; cheap filter)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_words = F.size(F.split(F.trim(t), "\\s+")).cast("double")
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(t, "[.,;:!?'\"()\\[\\]{}-]", ""))
+    ).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    sw_hits = _marker_score(t, STOPWORDS_EN).cast("double")
+    stopword_ratio = sw_hits / F.lit(float(len(STOPWORDS_EN)))
+    quality = (
+        F.when((n_words >= 5) & (n_words <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.1).otherwise(0.0)
+        + stopword_ratio * 0.2
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stopword_ratio)
+        .withColumn("quality", quality)
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Content fingerprint: md5 of the normalized text. Stable across
+    engines and runs — the exact-dedup key."""
+    return df.withColumn(out, F.md5(normalize_text(F.col(text_col))))
+
+
+def fingerprint_rolling(
+    df: DataFrame, text_col: str = "text", out: str = "fp64", mod: int = 9007199254740881
+) -> DataFrame:
+    """Rolling (polynomial) hash over normalized-text characters:
+    h = sum(c_i * B^(n-1-i)) mod M, B=131, M = largest prime < 2^53 (so
+    acc*B never overflows int64 under ANSI mode). Computed with F.aggregate
+    over the char array — pure column expressions, still no UDF. Used where
+    an integer fingerprint is needed (e.g. partition-range assignment)
+    instead of a hex digest."""
+    chars = F.split(normalize_text(F.col(text_col)), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(131) + F.ascii(c)) % F.lit(mod),
+    )
+    return df.withColumn(out, h)
