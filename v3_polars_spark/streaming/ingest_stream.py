@@ -1,0 +1,83 @@
+"""Structured Streaming re-expression of the ingest/consume loop.
+
+The reference has no streaming runtime — its incremental pull loop
+(data_update.py:191-292) is hand-rolled micro-batching with
+resume-from-max-landed-block, i.e. exactly what Structured Streaming's
+file source + checkpoint + Trigger.AvailableNow provides natively
+(SURVEY.md §2.8). This module provides:
+
+- ``stream_table``: a streaming reader over a landed event-table directory
+  (new segment files become micro-batches automatically);
+- ``streaming_resample``: the A3 tumbling-window aggregation under a
+  watermark — the identical F.window expression as ops.resample, which is
+  the point: batch and streaming share the operator;
+- ``run_available_now``: drain all currently-available segments into a
+  sink table and stop (the batch-incremental equivalent).
+
+The completeness watermark the reference computes manually across two
+inputs (max_supported = min(max swaps bn, max mb bn), v3/state.py:103-106)
+maps to per-stream event-time watermarks here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables as T
+from ..ops.resample import duration_to_interval
+
+
+def stream_table(
+    spark: SparkSession, data_path: str, table: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of an event-table parquet directory: every appended
+    segment (ingest loop output) becomes part of the next micro-batch."""
+    reader = spark.readStream.schema(T.SCHEMAS[table])
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(os.path.join(data_path, table))
+
+
+def streaming_resample(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    aggs: list,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """A3 as a streaming query: tumbling window + late-data watermark."""
+    interval = duration_to_interval(every)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval).alias("__w"))
+        .agg(*aggs)
+        .withColumn("bucket_ts", F.col("__w.start"))
+        .drop("__w")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> None:
+    """Drain everything currently available (Trigger.AvailableNow) into a
+    parquet sink, then stop. Checkpointed: re-running skips already-
+    processed segments — the streaming twin of the ingest loop's
+    resume-from-max-landed-block."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

@@ -45,74 +45,49 @@ _L = LongType()
 _T = TimestampType()
 
 
-def _common(with_tx_index: bool = True) -> list[StructField]:
-    fields = [
-        StructField("chain_name", _S),
-        StructField("block_timestamp", _T),
-        StructField("block_number", _L),
-        StructField("transaction_hash", _S),
-        StructField("log_index", _L),
-    ]
-    if with_tx_index:
-        fields.append(StructField("transaction_index", _L))
-    fields += [
-        StructField("gas_price", _S),
-        StructField("gas_used", _S),
-        StructField("l1_fee", _S),
-    ]
-    return fields
+def _fields(spec: str) -> list[StructField]:
+    types = {"s": _S, "l": _L, "t": _T}
+    out = []
+    for part in spec.split():
+        name, code = part.rsplit(":", 1)
+        out.append(StructField(name, types[code]))
+    return out
 
 
-# Physical schemas of the four landed tables (SURVEY.md §1.2; the reference
-# documents them via v3/data/examples/{table} per connectors/template.py:95-101).
+# Physical schemas of the four landed tables, matching the reference's
+# example parquet column-for-column (v3/data/examples/{table}, the
+# documented schema source per connectors/template.py:95-101). Note the
+# asymmetries: factory has no gas/transaction_index columns; initialize has
+# no l1_fee.
 SCHEMAS: dict[str, StructType] = {
     "factory_pool_created": StructType(
-        _common(with_tx_index=False)
-        + [
-            StructField("token0", _S),
-            StructField("token1", _S),
-            StructField("fee", _S),
-            StructField("tickSpacing", _S),
-            StructField("pool", _S),
-        ]
+        _fields(
+            "chain_name:s block_timestamp:t block_number:l transaction_hash:s "
+            "log_index:l token0:s token1:s fee:s tickSpacing:s pool:s"
+        )
     ),
     "pool_initialize_events": StructType(
-        _common()
-        + [
-            StructField("address", _S),
-            StructField("sqrtPriceX96", _S),
-            StructField("tick", _S),
-            StructField("to_address", _S),
-            StructField("from_address", _S),
-        ]
+        _fields(
+            "chain_name:s address:s block_timestamp:t block_number:l "
+            "transaction_hash:s log_index:l sqrtPriceX96:s tick:s to_address:s "
+            "from_address:s transaction_index:l gas_price:s gas_used:s"
+        )
     ),
     "pool_swap_events": StructType(
-        _common()
-        + [
-            StructField("address", _S),
-            StructField("sender", _S),
-            StructField("recipient", _S),
-            StructField("amount0", _S),
-            StructField("amount1", _S),
-            StructField("sqrtPriceX96", _S),
-            StructField("liquidity", _S),
-            StructField("tick", _S),
-            StructField("from_address", _S),
-            StructField("to_address", _S),
-        ]
+        _fields(
+            "chain_name:s address:s block_timestamp:t block_number:l "
+            "transaction_hash:s log_index:l sender:s recipient:s amount0:s "
+            "amount1:s sqrtPriceX96:s liquidity:s tick:s from_address:s "
+            "to_address:s transaction_index:l gas_price:s gas_used:s l1_fee:s"
+        )
     ),
     "pool_mint_burn_events": StructType(
-        _common()
-        + [
-            StructField("address", _S),
-            StructField("amount", _S),
-            StructField("amount0", _S),
-            StructField("amount1", _S),
-            StructField("owner", _S),
-            StructField("tick_lower", _S),
-            StructField("tick_upper", _S),
-            StructField("type_of_event", _L),
-        ]
+        _fields(
+            "chain_name:s address:s block_timestamp:t block_number:l "
+            "transaction_hash:s log_index:l amount:s amount0:s amount1:s "
+            "owner:s tick_lower:s tick_upper:s type_of_event:l to_address:s "
+            "from_address:s transaction_index:l gas_price:s gas_used:s l1_fee:s"
+        )
     ),
 }
 
