@@ -562,6 +562,30 @@ def mm_decode_features(spark, sf):
     return out.select("media_id", "sha256", "n_bytes")
 
 
+def q_liquidity_multi(spark, sf):
+    """The SCALE path of the flagship pipeline: liquidity distributions for
+    MANY pools in one distributed plan (liquidity_distribution_multi —
+    per-pool partitioned group-sums, coalescing outer join, partitioned
+    prefix sum; no single-task stage). Driven by a lineitem-derived
+    synthetic mint/burn frame with integral amounts so sums are exact."""
+    from v3_polars_spark.v3 import liquidity_distribution_multi
+
+    li = _t(spark, sf, "lineitem")
+    mb = li.select(
+        (F.col("l_suppkey") % 8).alias("pool"),
+        ((F.col("l_partkey") % 100) * 10).alias("tick_lower"),
+        ((F.col("l_partkey") % 100) * 10 + 10 * (1 + F.col("l_linenumber") % 5)).alias(
+            "tick_upper"
+        ),
+        F.col("l_quantity").alias("amount"),
+        F.when(F.col("l_returnflag") == "R", F.lit(-1.0)).otherwise(F.lit(1.0)).alias(
+            "type_of_event"
+        ),
+    )
+    out = liquidity_distribution_multi(mb, as_of=None, by=["pool"])
+    return out.select("pool", "tick", "liquidity")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project": q_scan_project,
@@ -589,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "series_pipeline": q_series_pipeline,
         "liquidity_dist": q_liquidity_dist,
+        "liquidity_multi": q_liquidity_multi,
         "dp_dedup_exact": dp_dedup_exact,
         "dp_fingerprint": dp_fingerprint,
         "dp_text_stats": dp_text_stats,
@@ -902,6 +927,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT tick,
                    round(SUM(delta) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) / 1e9, 0)
                      AS liquidity_1e9
+            FROM j
+        """,
+        "liquidity_multi": """
+            WITH mb AS (
+                SELECT l_suppkey % 8 AS pool,
+                       (l_partkey % 100) * 10 AS tick_lower,
+                       (l_partkey % 100) * 10 + 10 * (1 + l_linenumber % 5) AS tick_upper,
+                       l_quantity AS amount,
+                       CASE WHEN l_returnflag = 'R' THEN -1.0 ELSE 1.0 END AS type_of_event
+                FROM lineitem
+            ),
+            tl AS (
+                SELECT pool, tick_lower AS tick,
+                       SUM(amount * type_of_event) AS liquidity_lower
+                FROM mb GROUP BY 1, 2 HAVING SUM(amount * type_of_event) != 0
+            ),
+            tu AS (
+                SELECT pool, tick_upper AS tick,
+                       SUM(-(amount * type_of_event)) AS liquidity_upper
+                FROM mb GROUP BY 1, 2 HAVING SUM(-(amount * type_of_event)) != 0
+            ),
+            j AS (
+                SELECT COALESCE(tl.pool, tu.pool) AS pool,
+                       COALESCE(tl.tick, tu.tick) AS tick,
+                       COALESCE(liquidity_lower, 0) + COALESCE(liquidity_upper, 0) AS delta
+                FROM tl FULL OUTER JOIN tu
+                  ON tl.pool = tu.pool AND tl.tick = tu.tick
+            )
+            SELECT pool, tick,
+                   SUM(delta) OVER (PARTITION BY pool ORDER BY tick
+                                    ROWS UNBOUNDED PRECEDING) AS liquidity
             FROM j
         """,
         "dp_dedup_exact": f"""
