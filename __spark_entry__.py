@@ -562,6 +562,86 @@ def mm_decode_features(spark, sf):
     return out.select("media_id", "sha256", "n_bytes")
 
 
+def q_series_asof_full(spark, sf):
+    """The FULL getPriceSeries composite (pool_helpers.py:134-204): two
+    resample pipelines (chain-wide bn analog; entity-filtered value analog)
+    joined with a backward as-of join — A7→A2→A3→J2 end-to-end."""
+    from v3_polars_spark.ops import asof_join, dedup_last, resample
+
+    e = _t(spark, sf, "events")
+    # 'chain-wide block numbers' analog: latest event_id per 6h bucket
+    bn = e.select("ts", "event_id").distinct()
+    bn = dedup_last(bn, keys=["ts"], order=["event_id"])
+    bn = resample(bn, "ts", "6h", [F.max("event_id").alias("max_eid")]).withColumnRenamed(
+        "bucket_ts", "bts"
+    )
+    # 'pool tick' analog: last value per bucket for a sparse entity subset
+    tk = e.filter(F.col("user_id") % 10 == 0).select("ts", "event_id", "value")
+    tk = dedup_last(tk, keys=["ts"], order=["event_id"])
+    tk = resample(
+        tk,
+        "ts",
+        "6h",
+        [F.max_by(F.col("value"), F.struct("ts", "event_id")).alias("last_value")],
+    ).withColumnRenamed("bucket_ts", "bts")
+    out = asof_join(bn, tk, on="bts")
+    return out.select(_ts_str("bts", "bucket_str"), "max_eid", "last_value")
+
+
+def q_swap_frame(spark, sf):
+    """The swap-frame precompute (createSwapDF, pool_helpers.py:80-94):
+    liquidity distribution → lead(tick) capped at (MAX_TICK//ts)*ts →
+    per-range sqrt prices and tradable amounts. Emitted log-scaled and
+    rounded: pow() is not bit-identical across engines, but ln of the
+    result agrees to ~1e-15, so round(·,8) is stable."""
+    from v3_polars_spark.v3 import liquidity_distribution
+    from v3_polars_spark.v3.swap import swap_frame
+
+    _prep(spark)
+    mb = (
+        spark.read.parquet(REF_MB)
+        .filter((F.col("chain_name") == "ethereum") & (F.col("address") == REF_POOL))
+        .withColumns(
+            {
+                "amount": F.col("amount").cast("double"),
+                "tick_lower": F.col("tick_lower").cast("long"),
+                "tick_upper": F.col("tick_upper").cast("long"),
+                "type_of_event": F.col("type_of_event").cast("double"),
+            }
+        )
+        .withColumn("as_of", F.col("block_number") + F.col("transaction_index") / F.lit(1e4))
+    )
+    liq = liquidity_distribution(mb, as_of=12376626.0)
+    sf_df = swap_frame(liq, tick_spacing=60, min_liquidity=1e9)
+    return sf_df.select(
+        "tick_a",
+        "tick_b",
+        F.round(F.log(F.col("p_a")), 8).alias("ln_pa"),
+        F.round(F.log(F.col("p_b")), 8).alias("ln_pb"),
+        F.round(F.log(F.col("xInTick")), 8).alias("ln_x"),
+        F.round(F.log(F.col("yInTick")), 8).alias("ln_y"),
+    )
+
+
+def q_normalize(spark, sf):
+    """Notebook-parity normalization (Crosschain_Liquidity_GIF.ipynb cell 12):
+    (x - min) / (max - min) per group — global aggs joined back."""
+    li = _t(spark, sf, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            ((F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+                "price_norm"
+            ),
+        )
+    )
+
+
 def q_liquidity_multi(spark, sf):
     """The SCALE path of the flagship pipeline: liquidity distributions for
     MANY pools in one distributed plan (liquidity_distribution_multi —
@@ -614,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_pipeline": q_series_pipeline,
         "liquidity_dist": q_liquidity_dist,
         "liquidity_multi": q_liquidity_multi,
+        "series_asof_full": q_series_asof_full,
+        "swap_frame": q_swap_frame,
+        "normalize": q_normalize,
         "dp_dedup_exact": dp_dedup_exact,
         "dp_fingerprint": dp_fingerprint,
         "dp_text_stats": dp_text_stats,
@@ -928,6 +1011,87 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(delta) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) / 1e9, 0)
                      AS liquidity_1e9
             FROM j
+        """,
+        "series_asof_full": f"""
+            WITH d AS (SELECT DISTINCT ts, event_id FROM events),
+            bn_last AS (SELECT ts, MAX(event_id) AS event_id FROM d GROUP BY ts),
+            bn AS (
+                SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bts,
+                       MAX(event_id) AS max_eid
+                FROM bn_last GROUP BY 1
+            ),
+            tk_last AS (
+                SELECT ts, value FROM (
+                    SELECT ts, value, event_id,
+                           row_number() OVER (PARTITION BY ts ORDER BY event_id DESC) AS rn
+                    FROM events WHERE user_id % 10 = 0
+                ) WHERE rn = 1
+            ),
+            tk AS (
+                SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS bts,
+                       MAX_BY(value, ts) AS last_value
+                FROM tk_last GROUP BY 1
+            )
+            SELECT strftime(bn.bts, '{TS_FMT_DUCK}') AS bucket_str,
+                   bn.max_eid, tk.last_value
+            FROM bn ASOF LEFT JOIN tk ON bn.bts >= tk.bts
+        """,
+        "swap_frame": f"""
+            WITH mb AS (
+                SELECT CAST(amount AS DOUBLE) AS amount,
+                       CAST(tick_lower AS BIGINT) AS tick_lower,
+                       CAST(tick_upper AS BIGINT) AS tick_upper,
+                       CAST(type_of_event AS DOUBLE) AS type_of_event,
+                       block_number + transaction_index / 1e4 AS as_of
+                FROM read_parquet('{REF_MB}')
+                WHERE chain_name = 'ethereum' AND address = '{REF_POOL}'
+            ),
+            f AS (SELECT * FROM mb WHERE as_of < 12376626.0),
+            tl AS (
+                SELECT tick_lower AS tick, SUM(amount * type_of_event) AS liquidity_lower
+                FROM f GROUP BY 1 HAVING SUM(amount * type_of_event) != 0
+            ),
+            tu AS (
+                SELECT tick_upper AS tick, SUM(-(amount * type_of_event)) AS liquidity_upper
+                FROM f GROUP BY 1 HAVING SUM(-(amount * type_of_event)) != 0
+            ),
+            j AS (
+                SELECT COALESCE(tl.tick, tu.tick) AS tick,
+                       COALESCE(liquidity_lower, 0) + COALESCE(liquidity_upper, 0) AS delta
+                FROM tl FULL OUTER JOIN tu ON tl.tick = tu.tick
+            ),
+            liq AS (
+                SELECT tick,
+                       SUM(delta) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) AS liquidity
+                FROM j
+            ),
+            sfr AS (
+                SELECT tick AS tick_a,
+                       COALESCE(LEAD(tick) OVER (ORDER BY tick), 887220) AS tick_b,
+                       liquidity
+                FROM liq WHERE liquidity > 1e9
+            ),
+            px AS (
+                SELECT tick_a, tick_b, liquidity,
+                       pow(1.0001, tick_a / 2.0) AS pa,
+                       pow(1.0001, tick_b / 2.0) AS pb
+                FROM sfr
+            )
+            SELECT tick_a, tick_b,
+                   round(ln(pa), 8) AS ln_pa,
+                   round(ln(pb), 8) AS ln_pb,
+                   round(ln(liquidity * ((pb - pa) / (pb * pa))), 8) AS ln_x,
+                   round(ln(liquidity * (pb - pa)), 8) AS ln_y
+            FROM px
+        """,
+        "normalize": """
+            WITH b AS (
+                SELECT l_returnflag, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_orderkey, l_linenumber,
+                   (l_extendedprice - mn) / (mx - mn) AS price_norm
+            FROM lineitem JOIN b USING (l_returnflag)
         """,
         "liquidity_multi": """
             WITH mb AS (

@@ -1,0 +1,75 @@
+"""Plan-shape regression tests: the scale contracts (pushdown, pruning,
+broadcast, shuffle counts) are pinned so refactors can't silently lose them."""
+
+from pyspark.sql import functions as F
+
+from v3_polars_spark.plans import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_tenant_filter_pushes_down(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10))
+        .select("l_orderkey")
+    )
+    pf = pushed_filters(df)
+    assert any("l_returnflag" in p and "EqualTo" in p for p in pf)
+    assert any("l_quantity" in p and "LessThan" in p for p in pf)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    schemas = read_schema_columns(df)
+    assert schemas and sorted(schemas[0]) == ["l_orderkey", "l_quantity"]
+
+
+def test_asof_join_single_window_shuffle(spark):
+    """asof_join must cost exactly: right-side dedup is caller's business;
+    the join itself = union + ONE window exchange."""
+    from v3_polars_spark.ops import asof_join
+
+    left = spark.createDataFrame([(1, "a")], ["t", "lv"])
+    right = spark.createDataFrame([(1, 10)], ["t", "rv"])
+    out = asof_join(left, right, on="t", by=[])
+    assert count_exchanges(out) == 1
+
+
+def test_dedup_last_is_hash_agg_not_window(spark):
+    """dedup_last must not contain a Window (row_number formulation) — it's
+    an aggregate with exactly one shuffle."""
+    from v3_polars_spark.ops import dedup_last
+    from v3_polars_spark.plans import explain_str
+
+    df = spark.createDataFrame([(1, 2, 3)], ["k", "o", "v"])
+    out = dedup_last(df, keys=["k"], order=["o"])
+    plan = explain_str(out)
+    assert "Window" not in plan
+    assert count_exchanges(out) == 1
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert has_broadcast_hash_join(j)
+    assert count_exchanges(j) == 0
+
+
+def test_liquidity_multi_no_single_task_stage(spark, sf_dir):
+    """The multi-pool liquidity plan must partition every window by pool —
+    no unpartitioned Window.orderBy anywhere."""
+    import __spark_entry__ as e
+    from v3_polars_spark.plans import explain_str
+
+    out = e.q_liquidity_multi(spark, sf_dir)
+    plan = explain_str(out)
+    assert "Window" in plan
+    # unpartitioned windows plan as 'Window [..], [sort..]' with SinglePartition exchange
+    assert "SinglePartition" not in plan

@@ -35,19 +35,26 @@ class InRangeValues:
     tick: int
 
 
-def swap_frame(liq: DataFrame, tick_spacing: int, max_tick: int = sm.MAX_TICK) -> DataFrame:
+def swap_frame(
+    liq: DataFrame,
+    tick_spacing: int,
+    max_tick: int = sm.MAX_TICK,
+    min_liquidity: float = 0.0,
+) -> DataFrame:
     """Per-tick-range tradable amounts from a liquidity distribution
     (reference v3/helpers/pool_helpers.py:80-94).
 
-    filter liquidity>0 (numerical-error guard) -> lead(tick) with the last
-    range capped at (MAX_TICK//ts)*ts -> p = 1.0001^(t/2) -> x/y tradable
-    in each range. All whole-stage-codegen column math; the only window is
-    the lead.
+    filter liquidity > min_liquidity (numerical-error guard; the reference
+    uses 0 — the telescoped top tick is ±epsilon, so cross-engine
+    comparisons pass a positive threshold instead) -> lead(tick) with the
+    last range capped at (MAX_TICK//ts)*ts -> p = 1.0001^(t/2) -> x/y
+    tradable in each range. All whole-stage-codegen column math; the only
+    window is the lead.
     """
     cap = (max_tick // tick_spacing) * tick_spacing
     w = Window.orderBy(F.col("tick").asc())
     df = (
-        liq.filter(F.col("liquidity") > 0)
+        liq.filter(F.col("liquidity") > min_liquidity)
         .withColumn("tick_a", F.col("tick"))
         .withColumn("tick_b", F.coalesce(F.lead("tick", 1).over(w), F.lit(cap)))
         .select("liquidity", "tick_a", "tick_b")
