@@ -153,17 +153,20 @@ def minhash_lsh_pairs(
     sh = shingles(df, text_col, id_col, n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
 
-    band_rows = []
-    for b in range(bands):
-        bucket = F.md5(
-            F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|")
-        )
-        band_rows.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket"))
-        )
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+    # One posexplode pass instead of a bands-way union: a union of N selects
+    # over `sig` re-executes the 16-min-agg subtree N times; exploding an
+    # array of band hashes evaluates it once per doc.
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
 
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b2 = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -233,17 +236,19 @@ def simhash_near_pairs(
     least one exact chunk when bands=4), join on chunk equality, verify
     Hamming distance with bit_count(xor)."""
     chunk_bits = 64 // prefix_bands
-    rows = []
-    for c in range(prefix_bands):
-        chunk = F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(
-            F.lit((1 << chunk_bits) - 1)
-        )
-        rows.append(
-            sig.select(F.col(id_col), F.col("simhash"), F.lit(c).alias("band"), chunk.alias("chunk"))
-        )
-    banded = rows[0]
-    for r in rows[1:]:
-        banded = banded.unionByName(r)
+    # posexplode (see minhash_lsh_pairs): one pass over sig, not a
+    # prefix_bands-way union re-executing the signature subtree.
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
+            for c in range(prefix_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunk_arr).alias("band", "chunk")
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
     )
