@@ -552,6 +552,39 @@ def dp_embed_topk_lsh(spark, sf):
     return cosine_topk_lsh(e, q, dim=64, k=10, bits=4)
 
 
+def dp_embed_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs, exact: all (id_a < id_b)
+    with cosine >= 0.4 — the O(n^2) dedup-family correctness baseline
+    (scale path: dp_embed_neardup_lsh)."""
+    from v3_polars_spark.datapipe import embedding_near_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4)
+
+
+def dp_embed_neardup_lsh(spark, sf):
+    """Multi-table hyperplane-LSH near-dup pairs (rows-only: plane
+    literals are plan-time constants; precision pinned to 1.0 by the
+    exact cosine filter, recall checked in tests vs the exact path)."""
+    from v3_polars_spark.datapipe import embedding_near_dup_lsh
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_lsh(e, dim=64, threshold=0.4, bits=4, tables=8)
+
+
+def dp_embed_topk_ivf(spark, sf):
+    """IVF approximate top-k: deterministic coarse quantizer (xxhash64
+    seed pick + one Lloyd step, all column ops), probe 3 of 8 inverted
+    lists (rows-only; recall vs exact pinned in tests)."""
+    from v3_polars_spark.datapipe import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, dim=64, k=10, n_centroids=8, n_probe=3)
+
+
 def mm_decode_features(spark, sf):
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake decoder; rows-only)."""
@@ -706,6 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_simhash": dp_simhash,
         "dp_embed_topk": dp_embed_topk,
         "dp_embed_topk_lsh": dp_embed_topk_lsh,
+        "dp_embed_topk_ivf": dp_embed_topk_ivf,
+        "dp_embed_neardup": dp_embed_neardup,
+        "dp_embed_neardup_lsh": dp_embed_neardup_lsh,
         "mm_decode_features": mm_decode_features,
     }
 
@@ -1149,6 +1185,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.05
         """,
         "dp_minhash_lsh": _minhash_sql(),
+        "dp_embed_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.4
+        """,
         "dp_embed_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

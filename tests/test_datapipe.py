@@ -10,7 +10,10 @@ from v3_polars_spark.datapipe import (
     cosine_topk_lsh,
     decode_image_features,
     dedup_exact,
+    embedding_near_dup_lsh,
+    embedding_near_dup_pairs,
     fingerprint_md5,
+    ivf_topk,
     fingerprint_rolling,
     frame_sample_plan,
     language_id,
@@ -155,6 +158,50 @@ def test_cosine_topk_lsh_self_recall(spark, sf_dir):
     for qid, rs in by_q.items():
         rs.sort(key=lambda r: r["rank"])
         assert rs[0]["vec_id"] == qid  # identical vector shares every bucket
+
+
+def test_embedding_near_dup_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.4
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    approx = embedding_near_dup_lsh(
+        emb, dim=64, threshold=0.4, bits=4, tables=8
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_approx = approx.count()
+    n_hit = approx.intersect(exact).count()
+    assert n_hit == n_approx  # precision 1.0: exact filter removes all FPs
+    assert n_hit / n_exact >= 0.5  # recall floor at these LSH params
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, n_probe=3)
+    rows = approx.collect()
+    assert len(rows) == 30  # k results per query even when probing 3/8 lists
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["vec_id"] == qid  # self always lands in the probed list
+    hits = (
+        approx.select("query_id", "vec_id").intersect(exact).count()
+    )
+    assert hits / 30 >= 0.4  # loose recall floor: random data clusters poorly
 
 
 def test_multimodal_fake_decode(spark):

@@ -18,7 +18,16 @@ from .multimodal import (
     frame_sample_plan,
     make_fake_media,
 )
-from .similarity import cosine_topk, cosine_topk_lsh, lsh_bucket, with_cosine
+from .similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_lsh,
+    embedding_near_dup_pairs,
+    ivf_build,
+    ivf_topk,
+    lsh_bucket,
+    with_cosine,
+)
 from .text import (
     LANG_MARKERS,
     fingerprint_md5,
@@ -37,7 +46,11 @@ __all__ = [
     "cosine_topk_lsh",
     "decode_image_features",
     "dedup_exact",
+    "embedding_near_dup_lsh",
+    "embedding_near_dup_pairs",
     "fingerprint_md5",
+    "ivf_build",
+    "ivf_topk",
     "fingerprint_rolling",
     "frame_sample_plan",
     "language_id",

@@ -118,6 +118,201 @@ def lsh_bucket(vec_col: Column, dim: int, bits: int = 16, seed: int = 42) -> Col
     return sig
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine(vec_a, vec_b) >= threshold. Output (id_a, id_b, cosine).
+
+    This is the dedup-family analog of ``cosine_topk``: the O(n^2)
+    correctness baseline an oracle can replicate. At scale use
+    ``embedding_near_dup_lsh`` — same output contract, candidates pruned
+    by hyperplane buckets instead of the full pair join."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup pairs — the scale path.
+
+    ``tables`` independent hyperplane signatures (different seeds) are
+    emitted per vector in ONE posexplode pass; candidate pairs share any
+    (table, bucket); the exact cosine filter then removes false positives,
+    so precision is 1.0 and only recall is approximate. Recall for a pair
+    at angle theta: 1-(1-p^bits)^tables with p = 1-theta/pi. The pair join
+    shuffles on (table, bucket) — no O(n^2) cross product."""
+    v = F.col(vec_col).cast("array<double>")
+    buckets = F.array(
+        *[lsh_bucket(v, dim, bits, seed + 1000003 * t) for t in range(tables)]
+    )
+    banded = df.select(
+        F.col(id_col), v.alias("__v"), F.posexplode(buckets).alias("table", "bucket")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "table", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        cand.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train an IVF coarse quantizer: (cluster_id, centroid array<double>).
+
+    Seeds are the n_centroids corpus vectors with smallest xxhash64(id) —
+    a deterministic distributed sample (TakeOrdered, never a full sort).
+    ``iters`` Lloyd steps refine them: assign every vector to its nearest
+    centroid (broadcast join + max_by — one scan, no shuffle of vectors),
+    then recompute centroids as element-wise means via posexplode →
+    groupBy(cluster, pos) avg → re-assemble. All built-in column ops."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    seeds = (
+        c.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col("__v").alias("centroid"))
+    )
+    w = Window.orderBy(F.col("centroid"))
+    centroids = seeds.withColumn(
+        "cluster_id", (F.row_number().over(w) - 1).cast("long")
+    ).select("cluster_id", "centroid")
+    for _ in range(iters):
+        assigned = _ivf_assign(c, centroids)
+        centroids = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col("__v")).alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s["x"],
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def _ivf_assign(c: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine: broadcast the (small)
+    centroid table against the corpus, keep the argmax via max_by.
+    Input ``c`` is (id, __v); output (id, __v, cluster_id). Ties prefer
+    the lower cluster_id so assignment is deterministic."""
+    id_col = c.columns[0]
+    cos = _dot(F.col("__v"), F.col("centroid")) / (
+        _norm(F.col("__v")) * _norm(F.col("centroid"))
+    )
+    return (
+        c.crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col), F.col("__v"), F.col("cluster_id"), cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(
+            F.first("__v").alias("__v"),
+            F.max_by(
+                "cluster_id",
+                F.struct(F.col("__cos"), (-F.col("cluster_id")).alias("tb")),
+            ).alias("cluster_id"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: search only the inverted lists of the
+    ``n_probe`` centroids nearest each query. Same output contract as
+    ``cosine_topk`` (query_id, vec_id, cosine, rank).
+
+    Scale shape: centroid table is tiny (broadcast both ways); the corpus
+    is scanned once to build assignments (cacheable across queries); the
+    candidate join shuffles on cluster_id — cost ~ n_probe/n_centroids of
+    the exact scan."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    centroids = ivf_build(corpus, n_centroids, iters, id_col, vec_col)
+    assigned = _ivf_assign(c, centroids)
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    qcos = _dot(F.col("__qv"), F.col("centroid")) / (
+        _norm(F.col("__qv")) * _norm(F.col("centroid"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qcos").desc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(query_id_col, "__qv", "cluster_id", qcos.alias("__qcos"))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__qv", "cluster_id")
+    )
+    cand = F.broadcast(probes).join(assigned, "cluster_id")
+    cos = _dot(F.col("__qv"), F.col("__v")) / (_norm(F.col("__qv")) * _norm(F.col("__v")))
+    scored = cand.select(query_id_col, F.col(id_col), cos.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
