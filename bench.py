@@ -70,6 +70,12 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # DuckDB yardstick (BASELINE.md: "within 2x of baseline at same SF",
+    # baseline = duckdb executing the equivalent SQL on the same machine).
+    duck_timings = _duckdb_yardstick(entrymod.oracle_sql())
+    duck_total = round(sum(duck_timings.values()), 4) if duck_timings else None
+
     print(
         json.dumps(
             {
@@ -78,9 +84,42 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "duckdb_baseline_total": duck_total,
+                "duckdb_baseline": duck_timings,
+                "vs_duckdb": round(total / duck_total, 3) if duck_total else None,
             }
         )
     )
+
+
+def _duckdb_yardstick(oracles: dict[str, str]) -> dict[str, float]:
+    """Time the oracle SQL for each headline query in DuckDB 1.x over the
+    same parquet at the same SF (threads left at DuckDB's default = all
+    cores, matching local[N] Spark). min-of-2, results drained."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if not sql:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
 
 
 if __name__ == "__main__":
