@@ -43,8 +43,19 @@ def _prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+_TABLE_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table, memoizing the (cached) DataFrame per
+    (session, dir, table). Mirrors the reference's working-set model —
+    v3Pool materializes its event tables in RAM once and serves every
+    query from that cache (reference v3/state.py:97-106,114-174); here
+    `.cache()` is the Spark analog, populated lazily on first action."""
     _prep(spark)
+    key = (id(spark), sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 nanos and floor to micros —
@@ -53,8 +64,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = df.cache()
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def _ts_str(col: str, alias: str):

@@ -7,6 +7,7 @@ from .dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_sets,
     shingles,
     simhash,
     simhash_near_pairs,
@@ -61,6 +62,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "normalize_text",
     "quality_score",
+    "shingle_sets",
     "shingles",
     "simhash",
     "simhash_near_pairs",

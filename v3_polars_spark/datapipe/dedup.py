@@ -51,12 +51,13 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def shingles(
+def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id_col, shingle).
-    Uses a sliding window over the token array via transform+slice —
-    pure column expressions.
+    """Distinct word n-gram shingles per document as a per-doc ARRAY:
+    (id_col, shset array<string>). Completely shuffle-free: the sliding
+    window is transform+slice over the token array and dedup is
+    array_distinct — never a global DISTINCT exchange.
 
     The token array is bound to a real column in a separate projection
     BEFORE the transform: expressions inside higher-order-function lambdas
@@ -73,9 +74,19 @@ def shingles(
         F.array().cast("array<int>")
     )
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (
-        base.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    return base.select(F.col(id_col), F.array_distinct(sh).alias("shset"))
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded form of ``shingle_sets``: (id_col, shingle) rows, distinct
+    per document. No shuffle — per-doc dedup happens in the array before
+    the explode (a global .distinct() here would exchange every shingle
+    row for nothing: id_col is in the key, so distinctness is per-doc
+    anyway)."""
+    return shingle_sets(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode(F.col("shset")).alias("shingle")
     )
 
 
@@ -150,20 +161,39 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs: shingle → K minhashes → B bands of R=K/B
-    rows → bucket join → exact-Jaccard verify of candidates.
+    """MinHash-LSH near-dup pairs: shingle sets → K minhashes → B bands of
+    R=K/B rows → bucket join → exact-Jaccard verify of candidates.
 
     Output: (id_a, id_b, jaccard) for candidates with exact Jaccard >=
-    verify_threshold. At scale only the band-bucket join shuffles full
-    data, keyed on (band, bucket-hash) — short uniform keys, skew-free."""
+    verify_threshold.
+
+    Array-native scale design: shingle sets stay a per-doc array column,
+    so signatures (array_min over transform) and set sizes need NO
+    groupBy — the document row never leaves its partition until the one
+    real exchange, the band-bucket join (short uniform keys, skew-free).
+    Verification is size(array_intersect(set_a, set_b)) on the joined
+    candidate rows — per-row column math instead of a second shingle-level
+    shuffle join. Versus the exploded formulation this removes three
+    exchanges (global distinct, signature groupBy, verify join)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    sh = shingles(df, text_col, id_col, n).persist()
+    sets = (
+        shingle_sets(df, text_col, id_col, n)
+        .filter(F.size(F.col("shset")) > 0)
+        .persist()
+    )
+    shset = F.col("shset")
+    # signatures on the EXPLODED form, not array_min(transform(...)):
+    # higher-order-function lambdas run interpreted, while explode +
+    # hash-aggregate min is whole-stage-codegen'd with map-side partials
+    # (the explode never moves rows, so the groupBy shuffles only tiny
+    # per-doc partial aggregates).
+    sh = sets.select(F.col(id_col), F.explode(shset).alias("shingle"))
     sig = minhash_signatures(sh, id_col, num_hashes)
 
     # One posexplode pass instead of a bands-way union: a union of N selects
-    # over `sig` re-executes the 16-min-agg subtree N times; exploding an
+    # over `sig` re-executes the signature subtree N times; exploding an
     # array of band hashes evaluates it once per doc.
     band_arr = F.array(
         *[
@@ -186,22 +216,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify: jaccard over the shingle sets, restricted to candidates
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # exact verify: |A∩B| / (|A|+|B|-|A∩B|) via array_intersect on the
+    # candidate pair rows (candidates are rare; AQE broadcasts them)
+    pairs = cand.join(
+        sets.select(F.col(id_col).alias("id_a"), shset.alias("__sa")), "id_a"
+    ).join(sets.select(F.col(id_col).alias("id_b"), shset.alias("__sb")), "id_b")
+    n_inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+            n_inter / (F.size(F.col("__sa")) + F.size(F.col("__sb")) - n_inter),
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Spark docs recommend parallelismFirst=false so coalescing honors
+        # advisoryPartitionSizeInBytes (64M) instead of stopping at the
+        # cluster's default parallelism: right-sizes shuffles both for tiny
+        # local runs (tasks collapse to a few) and at 100 TB (partitions
+        # aim at the advisory size rather than over-splitting).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
