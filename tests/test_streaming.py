@@ -91,3 +91,71 @@ def test_streaming_resample_matches_batch(spark, landed, tmp_path):
     assert got, "streaming emitted no windows"
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stateful_liquidity_deltas_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state folds across micro-batches — the final
+    running value per (pool, tick) equals the one-shot batch group-sum."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    from v3_polars_spark.streaming import streaming_liquidity_deltas
+
+    schema = StructType([
+        StructField("chain_name", StringType()),
+        StructField("address", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("type_of_event", DoubleType()),
+        StructField("tick_lower", LongType()),
+        StructField("tick_upper", LongType()),
+    ])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: mints on two pools; batch 2: partial burn of pool A's
+    # position (same tick range — exercises merging into existing state)
+    b1 = [
+        ("ethereum", "0xa", 100.0, 1.0, -60, 60),
+        ("ethereum", "0xa", 50.0, 1.0, 0, 120),
+        ("ethereum", "0xb", 7.0, 1.0, -120, -60),
+    ]
+    b2 = [
+        ("ethereum", "0xa", 40.0, -1.0, -60, 60),
+        ("ethereum", "0xb", 7.0, -1.0, -120, -60),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/seg1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/seg2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/seg*")
+    )
+    out = streaming_liquidity_deltas(stream)
+
+    batches = {}
+
+    def collect(df, batch_id):
+        batches[batch_id] = df.toPandas()
+
+    q = (
+        out.writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(batches) >= 2  # one micro-batch per segment file
+
+    # last emission per (address, tick) = final running state
+    final = {}
+    for bid in sorted(batches):
+        for r in batches[bid].itertuples():
+            final[(r.address, r.tick)] = r.liquidity_delta
+
+    # one-shot batch equivalent over all events
+    expected = {}
+    for chain, addr, amt, toe, tl, tu in b1 + b2:
+        expected[(addr, tl)] = expected.get((addr, tl), 0.0) + amt * toe
+        expected[(addr, tu)] = expected.get((addr, tu), 0.0) - amt * toe
+    assert final == pytest.approx(expected)

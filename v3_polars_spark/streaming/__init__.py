@@ -1,3 +1,9 @@
 from .ingest_stream import run_available_now, stream_table, streaming_resample
+from .stateful import streaming_liquidity_deltas
 
-__all__ = ["run_available_now", "stream_table", "streaming_resample"]
+__all__ = [
+    "run_available_now",
+    "stream_table",
+    "streaming_resample",
+    "streaming_liquidity_deltas",
+]
