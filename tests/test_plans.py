@@ -73,3 +73,41 @@ def test_liquidity_multi_no_single_task_stage(spark, sf_dir):
     assert "Window" in plan
     # unpartitioned windows plan as 'Window [..], [sort..]' with SinglePartition exchange
     assert "SinglePartition" not in plan
+
+
+def test_near_dup_lsh_no_cartesian(spark, sf_dir):
+    """The LSH near-dup pair join must be a hash join on (table, bucket) —
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    from v3_polars_spark.datapipe import embedding_near_dup_lsh
+    from v3_polars_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup_lsh(emb, dim=64, threshold=0.4, bits=4, tables=8)
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_centroids_broadcast(spark, sf_dir):
+    """IVF assignment and probing must broadcast the (tiny) centroid table —
+    the corpus never shuffles for the cross-score."""
+    from v3_polars_spark.datapipe import ivf_topk
+    from v3_polars_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, dim=64, k=5, n_centroids=4, n_probe=2)
+    plan = explain_str(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_shingles_no_exchange_before_bucket_join(spark):
+    """shingle_sets + explode must be exchange-free: per-doc array_distinct
+    replaces the global DISTINCT shuffle."""
+    from v3_polars_spark.datapipe import shingles
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "b c d e f")], ["doc_id", "text"]
+    )
+    assert count_exchanges(shingles(df)) == 0
