@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the L1 operator library: each op
+is checked against a brute-force pure-Python reference on randomized
+inputs — the per-operator rigor the reference repo lacks (SURVEY.md §5).
+
+Example counts are kept small: every example is a full Spark job."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from v3_polars_spark.ops import asof_join, cumsum_scalable, dedup_last
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# unique small ints for order keys; bounded values
+keys_st = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=20, unique=True
+)
+vals_st = st.integers(min_value=-1000, max_value=1000)
+
+
+@settings(**SETTINGS)
+@given(
+    left_ts=keys_st,
+    right=st.lists(
+        st.tuples(st.integers(-50, 50), vals_st),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_join_backward_matches_bruteforce(spark, left_ts, right):
+    left = spark.createDataFrame([(t,) for t in left_ts], ["t"])
+    rdf = spark.createDataFrame(right, ["t", "v"])
+    got = {r["t"]: r["v"] for r in asof_join(left, rdf, on="t", by=[]).collect()}
+    for t in left_ts:
+        eligible = [v for (tr, v) in right if tr <= t]
+        want = None
+        if eligible:
+            want = max((tr, v) for (tr, v) in right if tr <= t)[1]
+        assert got[t] == want, (t, got[t], want)
+
+
+@settings(**SETTINGS)
+@given(
+    left_ts=keys_st,
+    right=st.lists(
+        st.tuples(st.integers(-50, 50), vals_st),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_join_forward_matches_bruteforce(spark, left_ts, right):
+    left = spark.createDataFrame([(t,) for t in left_ts], ["t"])
+    rdf = spark.createDataFrame(right, ["t", "v"])
+    got = {
+        r["t"]: r["v"]
+        for r in asof_join(left, rdf, on="t", by=[], strategy="forward").collect()
+    }
+    for t in left_ts:
+        cands = [(tr, v) for (tr, v) in right if tr >= t]
+        want = min(cands)[1] if cands else None
+        assert got[t] == want, (t, got[t], want)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.integers(-50, 50),   # order
+            vals_st,                # value
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_dedup_last_picks_max_order_row(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "o", "v"]).repartition(4)
+    got = {r["k"]: (r["o"], r["v"]) for r in dedup_last(df, ["k"], ["o"]).collect()}
+    want = {}
+    for k, o, v in rows:
+        if k not in want or o > want[k][0]:
+            want[k] = (o, v)
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), vals_st),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_cumsum_scalable_matches_sorted_prefix_sum(spark, rows):
+    df = spark.createDataFrame(rows, ["o", "v"]).repartition(4)
+    out = cumsum_scalable(df, "v", "o", out="cum", num_partitions=4)
+    got = {r["o"]: r["cum"] for r in out.collect()}
+    run = 0
+    for o, v in sorted(rows):
+        run += v
+        assert got[o] == run, (o, got[o], run)
