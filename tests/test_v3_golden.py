@@ -87,3 +87,31 @@ def test_bn_at_date(pool):
 
     bn = pool.get_bn_at_date(dt.datetime(2021, 5, 4))
     assert bn is not None and bn <= 12376625
+
+
+def test_quote_ladder_matches_scalar_swap_in(pool, spark):
+    """Batched quotes must be bit-identical to looping swap_in — both
+    branches, both directions, including an insufficient-depth amount."""
+    as_of = 12376626
+    amounts = [1e18, 1e21, 1e22, 1e23, 5e23]  # branch A -> deep branch B
+    adf = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(amounts)], ["quote_id", "amount_in"]
+    )
+    for token_in in (pool.token0, pool.token1):
+        got = {
+            r["quote_id"]: r
+            for r in pool.quote_ladder(as_of, token_in, adf).collect()
+        }
+        for i, a in enumerate(amounts):
+            r = got[i]
+            try:
+                want_out, (want_spl, _, _) = pool.swap_in(
+                    {"as_of": as_of, "tokenIn": token_in, "swapIn": a}
+                )
+            except AssertionError:
+                assert not r["sufficient"], (token_in, a)
+                assert r["amt_out"] is None
+                continue
+            assert r["sufficient"], (token_in, a)
+            assert r["amt_out"] == want_out, (token_in, a, r["amt_out"], want_out)
+            assert r["sqrt_price_last"] == want_spl

@@ -2,7 +2,7 @@ from . import swap_math
 from .liquidity import liquidity_distribution, liquidity_distribution_multi
 from .pool import Pool
 from .series import bn_at_date, bn_series, price_series, tick_series
-from .swap import InRangeValues, in_range_values, swap_frame, swap_in
+from .swap import InRangeValues, in_range_values, quote_ladder, swap_frame, swap_in
 
 __all__ = [
     "InRangeValues",
@@ -13,6 +13,7 @@ __all__ = [
     "liquidity_distribution",
     "liquidity_distribution_multi",
     "price_series",
+    "quote_ladder",
     "swap_frame",
     "swap_in",
     "swap_math",

@@ -21,7 +21,7 @@ from . import swap_math as sm
 from .liquidity import liquidity_distribution
 from .series import bn_at_date as _bn_at_date
 from .series import price_series as _price_series
-from .swap import InRangeValues, in_range_values, swap_frame, swap_in
+from .swap import InRangeValues, in_range_values, quote_ladder, swap_frame, swap_in
 
 
 class Pool:
@@ -141,6 +141,23 @@ class Pool:
             amount_in=float(amount_in),
             fee_ppm=self.fee,
             fees=fees,
+        )
+
+    def quote_ladder(
+        self, as_of: float, token_in: str, amounts: DataFrame, amount_col: str = "amount_in"
+    ) -> DataFrame:
+        """Batched swapIn: quote every amount in ``amounts`` at one as_of in
+        a single distributed plan (forward as-of join on cumulative depth).
+        Bit-identical to looping swap_in; see swap.quote_ladder."""
+        _, irv = self.calc_swap_df(as_of)
+        sdf = swap_frame(self.create_liq(as_of), self.ts)
+        return quote_ladder(
+            sdf,
+            irv,
+            token_in_is_token1=(token_in.lower() == self.token1),
+            amounts=amounts,
+            fee_ppm=self.fee,
+            amount_col=amount_col,
         )
 
     # series ----------------------------------------------------------------

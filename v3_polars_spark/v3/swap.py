@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import swap_math as sm
+from ..ops.asof import asof_join
 from .liquidity import liquidity_distribution
 
 
@@ -189,3 +190,128 @@ def swap_in(
         liquidity,
     )
     return amt_out_last_tick + amt_out_prev_ticks, (sqrt_price_last, irv.sqrt_p, fee_dict)
+
+
+def quote_ladder(
+    swap_df: DataFrame,
+    irv: InRangeValues,
+    token_in_is_token1: bool,
+    amounts: DataFrame,
+    fee_ppm: int,
+    amount_col: str = "amount_in",
+) -> DataFrame:
+    """Batched swapIn: quote MANY input amounts against one swap frame in a
+    single distributed plan — the batch-of-swaps generalization SURVEY.md
+    §2.9 calls for, with zero driver loops.
+
+    The scalar path's bisect over the cumulative-depth array (reference
+    v3/helpers/swap.py:144-168) becomes a FORWARD AS-OF JOIN on the
+    cumulative axis: each amount row finds the first out-of-range tick
+    whose cumulative in-asset depth covers it (bisect_left == "first right
+    >= left" == asof forward). All swap math runs as column expressions
+    with the same operation order as the scalar kernels, so results are
+    bit-identical to looping ``swap_in`` (pinned in tests).
+
+    Scale shape: amounts can be arbitrarily large (shuffles once inside
+    the as-of join); the tick side is O(#initialized ticks). The only
+    depth-side window is the per-frame cumsum (single pool — for many
+    pools, partition the window by pool keys as liquidity_distribution_multi
+    does). Insufficient-depth quotes get sufficient=false and NULL outputs
+    instead of the scalar path's assert.
+
+    Output: all ``amounts`` columns + amt_out, sqrt_price_last, branch
+    ('A'|'B'), sufficient.
+    """
+    zero_for_one = not token_in_is_token1
+    fee_frac = fee_ppm / 1e6
+    in_range_test, in_range_to_swap = (
+        (irv.in_range0, irv.in_range_to_swap0)
+        if zero_for_one
+        else (irv.in_range1, irv.in_range_to_swap1)
+    )
+
+    # --- depth side: direction-ordered cumulative tradable amounts -------
+    in_key, out_key = ("xInTick", "yInTick") if zero_for_one else ("yInTick", "xInTick")
+    if zero_for_one:
+        oor = swap_df.filter(F.col("tick_a") < F.lit(irv.tick))
+        order = F.col("tick_a").desc()
+    else:
+        oor = swap_df.filter(F.col("tick_a") > F.lit(irv.tick))
+        order = F.col("tick_a").asc()
+    w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    # prev_* use the PRECEDING-rows window (not cum - current): identical
+    # left-to-right float accumulation as the scalar path's running sums
+    depth = oor.select(
+        F.col("tick_a").alias("__tick"),
+        F.col("liquidity").alias("__liq"),
+        F.col("p_a").alias("__p_a"),
+        F.col("p_b").alias("__p_b"),
+        F.sum(in_key).over(w_cum).alias("__cum_axis"),
+        F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
+        F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
+    )
+    # reference Q5 asymmetry kept: depth assert uses max cum > left_to_swap
+    # (pre-fee) while the covering search uses >= left_minus_fee
+    max_row = depth.agg(F.max("__cum_axis").alias("m")).first()
+    max_cum = max_row["m"] if max_row and max_row["m"] is not None else 0.0
+
+    # --- amount side -----------------------------------------------------
+    a_in = F.col(amount_col)
+    amt = amounts.withColumn(
+        "__swap_in_minus_fee", a_in * F.lit(1 - fee_frac)
+    ).withColumn("__left", a_in - F.lit(in_range_test)).withColumn(
+        "__cum_axis", (a_in - F.lit(in_range_test)) * F.lit(1 - fee_frac)
+    )
+
+    joined = asof_join(amt, depth, on="__cum_axis", by=[], strategy="forward")
+
+    is_a = F.lit(in_range_test) > F.col("__swap_in_minus_fee")
+    liq, sp = F.lit(irv.liquidity), F.lit(irv.sqrt_p)
+
+    # branch A column math (get_next_price_amount{0,1} + get_amount{1,0}_delta)
+    if zero_for_one:
+        spl_a = (liq * sp) / (liq + F.col("__swap_in_minus_fee") * sp)
+        lo_a, hi_a = F.least(spl_a, sp), F.greatest(spl_a, sp)
+        out_a = liq * (hi_a - lo_a)                       # amount1 delta
+    else:
+        spl_a = sp + F.col("__swap_in_minus_fee") / liq
+        lo_a, hi_a = F.least(spl_a, sp), F.greatest(spl_a, sp)
+        out_a = liq * ((hi_a - lo_a) / (hi_a * lo_a))     # amount0 delta
+
+    # branch B column math (final_amt_out_from_tick on the covering tick)
+    left_mf = (F.col("__left") - F.col("__prev_in")) * F.lit(1 - fee_frac)
+    bl = F.col("__liq")
+    if zero_for_one:
+        spl_b = (bl * F.col("__p_b")) / (bl + left_mf * F.col("__p_b"))
+        lo_b, hi_b = F.least(spl_b, F.col("__p_b")), F.greatest(spl_b, F.col("__p_b"))
+        out_last = bl * (hi_b - lo_b)
+    else:
+        spl_b = F.col("__p_a") + left_mf / bl
+        lo_b, hi_b = F.least(spl_b, F.col("__p_a")), F.greatest(spl_b, F.col("__p_a"))
+        out_last = bl * ((hi_b - lo_b) / (hi_b * lo_b))
+    # same association as the scalar path: last + (in_range_to_swap + prev)
+    out_b = out_last + (F.lit(in_range_to_swap) + F.col("__prev_out"))
+
+    sufficient = is_a | (
+        F.col("__tick").isNotNull() & (F.lit(max_cum) > F.col("__left"))
+    )
+    res = (
+        joined.withColumn("sufficient", sufficient)
+        .withColumn(
+            "amt_out",
+            F.when(~sufficient, F.lit(None).cast("double"))
+            .when(is_a, out_a)
+            .otherwise(out_b),
+        )
+        .withColumn(
+            "sqrt_price_last",
+            F.when(~sufficient, F.lit(None).cast("double"))
+            .when(is_a, spl_a)
+            .otherwise(spl_b),
+        )
+        .withColumn("branch", F.when(is_a, F.lit("A")).otherwise(F.lit("B")))
+    )
+    return res.select(
+        *amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"
+    )
