@@ -496,6 +496,7 @@ def dp_text_stats(spark, sf):
     return out.select(
         "doc_id",
         "n_tokens_ws",
+        "n_tokens_bpe",
         "n_tokens_bpe_est",
         "n_words",
         "mean_word_len",
@@ -807,12 +808,16 @@ def _lang_id_sql() -> str:
 def _text_stats_sql() -> str:
     from v3_polars_spark.datapipe.text import STOPWORDS_EN
 
+    from v3_polars_spark.datapipe.text import BPE_SPLIT_PATTERN
+
     sw = _marker_sql(STOPWORDS_EN)
     n_sw = len(STOPWORDS_EN)
     punct_class = """[.,;:!?''"()\\[\\]{}-]"""  # '' = escaped quote in SQL literal
+    bpe_pat = BPE_SPLIT_PATTERN.replace("'", "''")  # SQL string-literal quoting
     return f"""
         SELECT doc_id,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '{bpe_pat}')) AS BIGINT) AS n_tokens_bpe,
                CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens_bpe_est,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
                (CAST(length(text) AS DOUBLE)

@@ -57,16 +57,27 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     return df.withColumn(out, pred)
 
 
+# GPT-2-style pre-tokenizer regex, lookahead-free so java.util.regex (Spark)
+# and RE2 (DuckDB oracle) count identically: contractions | space+letters |
+# space+digits | space+other | whitespace runs
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate (alnum runs and
-    punctuation both count; long words count ~len/4 pieces, the usual
-    chars-per-token rule of thumb)."""
+    """Token counting three ways:
+    - n_tokens_ws: whitespace split count;
+    - n_tokens_bpe: matches of a BPE-ish pre-tokenizer regex (the GPT-2
+      pre-split classes — the real subword-piece upper-bound structure);
+    - n_tokens_bpe_est: the chars/4 rule of thumb."""
     t = F.col(text_col)
     ws = F.size(F.split(F.trim(t), "\\s+"))
     n_chars = F.length(t)
+    bpe = F.regexp_count(t, F.lit(BPE_SPLIT_PATTERN))
     bpe_est = F.ceil(n_chars / F.lit(4)).cast("long")
-    return df.withColumn("n_tokens_ws", ws.cast("long")).withColumn(
-        "n_tokens_bpe_est", bpe_est
+    return (
+        df.withColumn("n_tokens_ws", ws.cast("long"))
+        .withColumn("n_tokens_bpe", bpe.cast("long"))
+        .withColumn("n_tokens_bpe_est", bpe_est)
     )
 
 
