@@ -600,6 +600,64 @@ def dp_embed_topk_ivf(spark, sf):
     return ivf_topk(e, q, dim=64, k=10, n_centroids=8, n_probe=3)
 
 
+_QL_IRV = dict(
+    sqrt_p=8.781412307951676e27 / (2**96),  # golden getPriceAt (SURVEY §8.3)
+    in_range0=1.1209794725495329e21,
+    in_range_to_swap0=1.3740856632652128e19,
+    in_range1=5.043116974048383e18,
+    in_range_to_swap1=4.101852834902314e20,
+    liquidity=5.653338537120413e22,
+    tick=-44040,
+)
+_QL_AMOUNTS = [1e21, 1e22, 5e22, 1e23, 1e30]  # branch A, three Bs, insufficient
+
+
+def q_quote_ladder(spark, sf):
+    """Batched swapIn (quote_ladder): the W5 first-covering search as a
+    forward as-of join on cumulative depth, swap math as column
+    expressions. In-range values are the golden literals (SURVEY §8.3) so
+    the oracle can replay the identical constants; outputs log-rounded
+    because pow() differs across engines in the last ulp."""
+    from v3_polars_spark.v3 import liquidity_distribution
+    from v3_polars_spark.v3.swap import InRangeValues, quote_ladder, swap_frame
+
+    _prep(spark)
+    mb = (
+        spark.read.parquet(REF_MB)
+        .filter((F.col("chain_name") == "ethereum") & (F.col("address") == REF_POOL))
+        .withColumns(
+            {
+                "amount": F.col("amount").cast("double"),
+                "tick_lower": F.col("tick_lower").cast("long"),
+                "tick_upper": F.col("tick_upper").cast("long"),
+                "type_of_event": F.col("type_of_event").cast("double"),
+            }
+        )
+        .withColumn(
+            "as_of", F.col("block_number") + F.col("transaction_index") / F.lit(1e4)
+        )
+    )
+    liq = liquidity_distribution(mb, as_of=12376626.0)
+    sf_df = swap_frame(liq, tick_spacing=60, min_liquidity=1e9)
+    amounts = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(_QL_AMOUNTS)], ["quote_id", "amount_in"]
+    )
+    out = quote_ladder(
+        sf_df,
+        InRangeValues(**_QL_IRV),
+        token_in_is_token1=False,
+        amounts=amounts,
+        fee_ppm=3000,
+    )
+    return out.select(
+        "quote_id",
+        "branch",
+        "sufficient",
+        F.round(F.log("amt_out"), 6).alias("ln_out"),
+        F.round(F.log("sqrt_price_last"), 6).alias("ln_spl"),
+    )
+
+
 def mm_decode_features(spark, sf):
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake decoder; rows-only)."""
@@ -744,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "liquidity_multi": q_liquidity_multi,
         "series_asof_full": q_series_asof_full,
         "swap_frame": q_swap_frame,
+        "quote_ladder": q_quote_ladder,
         "normalize": q_normalize,
         "dp_dedup_exact": dp_dedup_exact,
         "dp_fingerprint": dp_fingerprint,
@@ -829,6 +888,117 @@ def _text_stats_sql() -> str:
                  / CAST(length(text) AS DOUBLE) AS punct_ratio,
                CAST({sw} AS DOUBLE) / {float(n_sw)} AS stopword_ratio
         FROM documents
+    """
+
+
+def _quote_ladder_sql() -> str:
+    """DuckDB replay of q_quote_ladder: the same swap-frame CTE chain, the
+    covering-tick search as min_by over cum_in >= axis (== the Spark
+    forward as-of join), branch math with the identical golden literals."""
+    sp = repr(_QL_IRV["sqrt_p"])
+    irt = repr(_QL_IRV["in_range0"])
+    irts = repr(_QL_IRV["in_range_to_swap0"])
+    liq0 = repr(_QL_IRV["liquidity"])
+    omf = repr(1 - 3000 / 1e6)
+    tick0 = _QL_IRV["tick"]
+    values = ", ".join(f"({i}, {repr(a)})" for i, a in enumerate(_QL_AMOUNTS))
+    return f"""
+        WITH mb AS (
+            SELECT CAST(amount AS DOUBLE) AS amount,
+                   CAST(tick_lower AS BIGINT) AS tick_lower,
+                   CAST(tick_upper AS BIGINT) AS tick_upper,
+                   CAST(type_of_event AS DOUBLE) AS type_of_event,
+                   block_number + transaction_index / 1e4 AS as_of
+            FROM read_parquet('{REF_MB}')
+            WHERE chain_name = 'ethereum' AND address = '{REF_POOL}'
+        ),
+        f AS (SELECT * FROM mb WHERE as_of < 12376626.0),
+        tl AS (
+            SELECT tick_lower AS tick, SUM(amount * type_of_event) AS liquidity_lower
+            FROM f GROUP BY 1 HAVING SUM(amount * type_of_event) != 0
+        ),
+        tu AS (
+            SELECT tick_upper AS tick, SUM(-(amount * type_of_event)) AS liquidity_upper
+            FROM f GROUP BY 1 HAVING SUM(-(amount * type_of_event)) != 0
+        ),
+        j AS (
+            SELECT COALESCE(tl.tick, tu.tick) AS tick,
+                   COALESCE(liquidity_lower, 0) + COALESCE(liquidity_upper, 0) AS delta
+            FROM tl FULL OUTER JOIN tu ON tl.tick = tu.tick
+        ),
+        liq AS (
+            SELECT tick,
+                   SUM(delta) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) AS liquidity
+            FROM j
+        ),
+        sfr AS (
+            SELECT tick AS tick_a,
+                   COALESCE(LEAD(tick) OVER (ORDER BY tick), 887220) AS tick_b,
+                   liquidity
+            FROM liq WHERE liquidity > 1e9
+        ),
+        px AS (
+            SELECT tick_a, tick_b, liquidity,
+                   pow(1.0001, tick_a / 2.0) AS pa,
+                   pow(1.0001, tick_b / 2.0) AS pb
+            FROM sfr
+        ),
+        depth AS (
+            SELECT tick_a, liquidity, pa, pb,
+                   liquidity * ((pb - pa) / (pb * pa)) AS x_in,
+                   liquidity * (pb - pa) AS y_in
+            FROM px WHERE tick_a < {tick0}
+        ),
+        dcum AS (
+            SELECT tick_a, liquidity, pa, pb,
+                   SUM(x_in) OVER w AS cum_in,
+                   COALESCE(SUM(x_in) OVER wp, 0.0) AS prev_in,
+                   COALESCE(SUM(y_in) OVER wp, 0.0) AS prev_out
+            FROM depth
+            WINDOW w AS (ORDER BY tick_a DESC ROWS UNBOUNDED PRECEDING),
+                   wp AS (ORDER BY tick_a DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        amounts(quote_id, amount_in) AS (VALUES {values}),
+        a2 AS (
+            SELECT quote_id, amount_in,
+                   amount_in * {omf} AS a_mf,
+                   amount_in - {irt} AS left_amt,
+                   (amount_in - {irt}) * {omf} AS axis
+            FROM amounts
+        ),
+        cov AS (
+            SELECT a2.quote_id,
+                   min_by(d.tick_a, d.cum_in) AS c_tick,
+                   min_by(d.liquidity, d.cum_in) AS c_liq,
+                   min_by(d.pb, d.cum_in) AS c_pb,
+                   min_by(d.prev_in, d.cum_in) AS c_prev_in,
+                   min_by(d.prev_out, d.cum_in) AS c_prev_out
+            FROM a2 LEFT JOIN dcum d ON d.cum_in >= a2.axis
+            GROUP BY 1
+        ),
+        mx AS (SELECT MAX(cum_in) AS max_cum FROM dcum),
+        calc AS (
+            SELECT a2.quote_id,
+                   CASE WHEN {irt} > a_mf THEN 'A' ELSE 'B' END AS branch,
+                   ({irt} > a_mf) OR (c_tick IS NOT NULL AND max_cum > left_amt)
+                     AS sufficient,
+                   ({liq0} * {sp}) / ({liq0} + a_mf * {sp}) AS spl_a,
+                   (c_liq * c_pb)
+                     / (c_liq + ((left_amt - c_prev_in) * {omf}) * c_pb) AS spl_b,
+                   c_liq, c_pb, c_prev_out
+            FROM a2 JOIN cov ON cov.quote_id = a2.quote_id CROSS JOIN mx
+        )
+        SELECT quote_id, branch, sufficient,
+               round(ln(CASE WHEN NOT sufficient THEN NULL
+                             WHEN branch = 'A'
+                               THEN {liq0} * (greatest(spl_a, {sp}) - least(spl_a, {sp}))
+                             ELSE c_liq * (greatest(spl_b, c_pb) - least(spl_b, c_pb))
+                                  + ({irts} + c_prev_out)
+                        END), 6) AS ln_out,
+               round(ln(CASE WHEN NOT sufficient THEN NULL
+                             WHEN branch = 'A' THEN spl_a ELSE spl_b END), 6) AS ln_spl
+        FROM calc
     """
 
 
@@ -1203,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.05
         """,
+        "quote_ladder": _quote_ladder_sql(),
         "dp_minhash_lsh": _minhash_sql(),
         "dp_embed_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
