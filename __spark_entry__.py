@@ -465,6 +465,41 @@ def q_liquidity_dist(spark, sf):
     return liq.select("tick", F.round(F.col("liquidity") / 1e9, 0).alias("liquidity_1e9"))
 
 
+_TL_FRAMES = [12372000.0, 12374000.0, 12376626.0]
+
+
+def q_liquidity_timeline(spark, sf):
+    """Multi-frame liquidity distributions in ONE plan (the notebook's
+    slice-iteration workload): each event contributes its tick deltas once
+    tagged with its first covering frame; two stacked prefix sums (frame
+    axis, then tick axis) produce every frame's distribution. No per-frame
+    re-scan of the events."""
+    from v3_polars_spark.v3 import liquidity_timeline
+
+    _prep(spark)
+    mb = (
+        spark.read.parquet(REF_MB)
+        .filter((F.col("chain_name") == "ethereum") & (F.col("address") == REF_POOL))
+        .withColumns(
+            {
+                "amount": F.col("amount").cast("double"),
+                "tick_lower": F.col("tick_lower").cast("long"),
+                "tick_upper": F.col("tick_upper").cast("long"),
+                "type_of_event": F.col("type_of_event").cast("double"),
+            }
+        )
+        .withColumn(
+            "as_of", F.col("block_number") + F.col("transaction_index") / F.lit(1e4)
+        )
+    )
+    tl = liquidity_timeline(mb, _TL_FRAMES)
+    return tl.select(
+        "frame_as_of",
+        "tick",
+        F.round(F.col("liquidity") / 1e9, 0).alias("liquidity_1e9"),
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline queries (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -799,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "series_pipeline": q_series_pipeline,
         "liquidity_dist": q_liquidity_dist,
+        "liquidity_timeline": q_liquidity_timeline,
         "liquidity_multi": q_liquidity_multi,
         "series_asof_full": q_series_asof_full,
         "swap_frame": q_swap_frame,
@@ -1374,6 +1410,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.05
         """,
         "quote_ladder": _quote_ladder_sql(),
+        "liquidity_timeline": f"""
+            WITH mb AS (
+                SELECT CAST(amount AS DOUBLE) AS amount,
+                       CAST(tick_lower AS BIGINT) AS tick_lower,
+                       CAST(tick_upper AS BIGINT) AS tick_upper,
+                       CAST(type_of_event AS DOUBLE) AS type_of_event,
+                       block_number + transaction_index / 1e4 AS as_of
+                FROM read_parquet('{REF_MB}')
+                WHERE chain_name = 'ethereum' AND address = '{REF_POOL}'
+            ),
+            deltas AS (
+                SELECT as_of, tick_lower AS tick, amount * type_of_event AS delta FROM mb
+                UNION ALL
+                SELECT as_of, tick_upper AS tick, -(amount * type_of_event) AS delta FROM mb
+            ),
+            frames(frame_as_of) AS (
+                VALUES {", ".join(f"(CAST({x} AS DOUBLE))" for x in _TL_FRAMES)}
+            ),
+            tagged AS (
+                SELECT (SELECT MIN(frame_as_of) FROM frames
+                        WHERE frame_as_of > d.as_of) AS frame_as_of,
+                       tick, delta
+                FROM deltas d
+            ),
+            per_frame AS (
+                SELECT frame_as_of, tick, SUM(delta) AS delta
+                FROM tagged WHERE frame_as_of IS NOT NULL GROUP BY 1, 2
+            ),
+            ticks AS (SELECT DISTINCT tick FROM deltas),
+            grid AS (SELECT f.frame_as_of, t.tick FROM frames f CROSS JOIN ticks t),
+            dense AS (
+                SELECT g.frame_as_of, g.tick, COALESCE(p.delta, 0) AS delta
+                FROM grid g LEFT JOIN per_frame p
+                  ON p.frame_as_of = g.frame_as_of AND p.tick = g.tick
+            ),
+            net AS (
+                SELECT frame_as_of, tick,
+                       SUM(delta) OVER (PARTITION BY tick ORDER BY frame_as_of
+                                        ROWS UNBOUNDED PRECEDING) AS net
+                FROM dense
+            )
+            SELECT frame_as_of, tick,
+                   round(SUM(net) OVER (PARTITION BY frame_as_of ORDER BY tick
+                                        ROWS UNBOUNDED PRECEDING) / 1e9, 0)
+                     AS liquidity_1e9
+            FROM net
+        """,
         "dp_minhash_lsh": _minhash_sql(),
         "dp_embed_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

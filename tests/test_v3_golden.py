@@ -115,3 +115,24 @@ def test_quote_ladder_matches_scalar_swap_in(pool, spark):
             assert r["sufficient"], (token_in, a)
             assert r["amt_out"] == want_out, (token_in, a, r["amt_out"], want_out)
             assert r["sqrt_price_last"] == want_spl
+
+
+def test_liquidity_timeline_matches_per_frame_distribution(pool, spark):
+    """One-plan multi-frame timeline == looping liquidity_distribution per
+    frame (the notebook's slice-iteration workload, SURVEY §7.4)."""
+    from v3_polars_spark.v3 import liquidity_distribution, liquidity_timeline
+
+    frames = [12372000.0, 12374000.0, 12376626.0]
+    tl = liquidity_timeline(pool.mb, frames)
+    got = {
+        (r["frame_as_of"], r["tick"]): r["liquidity"] for r in tl.collect()
+    }
+    for f in frames:
+        want = {
+            r["tick"]: r["liquidity"]
+            for r in liquidity_distribution(pool.mb, as_of=f).collect()
+        }
+        for tick, liq in want.items():
+            assert got[(f, tick)] == pytest.approx(liq, rel=1e-9, abs=1e-3), (
+                f, tick, got[(f, tick)], liq,
+            )

@@ -1,5 +1,9 @@
 from . import swap_math
-from .liquidity import liquidity_distribution, liquidity_distribution_multi
+from .liquidity import (
+    liquidity_distribution,
+    liquidity_distribution_multi,
+    liquidity_timeline,
+)
 from .pool import Pool
 from .series import bn_at_date, bn_series, price_series, tick_series
 from .swap import InRangeValues, in_range_values, quote_ladder, swap_frame, swap_in
@@ -12,6 +16,7 @@ __all__ = [
     "in_range_values",
     "liquidity_distribution",
     "liquidity_distribution_multi",
+    "liquidity_timeline",
     "price_series",
     "quote_ladder",
     "swap_frame",

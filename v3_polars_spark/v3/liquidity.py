@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def _signed_liq(mb: DataFrame, as_of: float | None) -> DataFrame:
@@ -95,3 +96,83 @@ def liquidity_distribution_multi(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return joined.select(*by, "tick", F.sum("delta").over(w).alias("liquidity"))
+
+
+def liquidity_timeline(
+    mb: DataFrame, frame_as_ofs: list[float], by: list[str] | None = None
+) -> DataFrame:
+    """Liquidity distribution at MANY as-of frames in one distributed plan
+    — the scale re-expression of the crosschain animation notebook, which
+    loops slice(i,1) over a resampled series re-running createLiq per frame
+    (reference Crosschain_Liquidity_GIF.ipynb cell 12).
+
+    Instead of #frames passes over the events, each event row contributes
+    its two signed tick deltas once, tagged with the FIRST frame that
+    includes it (first frame_t > as_of — the strict-< as-of convention,
+    SURVEY §8.2). Two stacked prefix sums finish the job:
+      1. over the frame axis (window by tick): per-frame cumulative net
+         delta = the frame's group-sum in liquidity_distribution;
+      2. over the tick axis (window by frame): the distribution cumsum.
+    A dense (frame x tick) grid (broadcast frames — O(#frames) literals)
+    carries ticks through frames where they had no new events.
+
+    Output: (frame_as_of, tick, liquidity). With ``by`` (e.g. chain+pool),
+    every window/grid additionally partitions by those keys.
+    """
+    by = list(by or [])
+    frames = sorted(float(x) for x in frame_as_ofs)
+    frames_arr = F.array(*[F.lit(x).cast(DoubleType()) for x in frames])
+
+    signed = F.col("amount") * F.col("type_of_event")
+    lower = mb.select(
+        *by,
+        F.col("as_of"),
+        F.col("tick_lower").alias("tick"),
+        signed.alias("delta"),
+    )
+    upper = mb.select(
+        *by,
+        F.col("as_of"),
+        F.col("tick_upper").alias("tick"),
+        (-signed).alias("delta"),
+    )
+    deltas = lower.unionByName(upper)
+
+    # first frame strictly after the event; events after the last frame drop
+    first_frame = F.element_at(
+        F.filter(frames_arr, lambda f: f > F.col("as_of")), 1
+    )
+    per_frame = (
+        deltas.withColumn("frame_as_of", first_frame)
+        .filter(F.col("frame_as_of").isNotNull())
+        .groupBy(*by, "frame_as_of", "tick")
+        .agg(F.sum("delta").alias("delta"))
+    )
+
+    # dense grid: every tick that ever appears x every frame
+    ticks = deltas.select(*by, "tick").distinct()
+    grid = ticks.withColumn("frame_as_of", F.explode(frames_arr))
+    dense = grid.join(per_frame, by + ["frame_as_of", "tick"], "left").na.fill(
+        0, subset=["delta"]
+    )
+
+    w_frames = (
+        Window.partitionBy(*by, "tick")
+        .orderBy(F.col("frame_as_of").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ticks = (
+        Window.partitionBy(*by, "frame_as_of")
+        .orderBy(F.col("tick").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_delta = F.sum("delta").over(w_frames)
+    return (
+        dense.withColumn("net", cum_delta)
+        .select(
+            *by,
+            "frame_as_of",
+            "tick",
+            F.sum("net").over(w_ticks).alias("liquidity"),
+        )
+    )
