@@ -32,6 +32,8 @@ HEADLINE = [
     "topk",
     "derived_math",
     "liquidity_dist",
+    "liquidity_timeline",
+    "quote_ladder",
     "series_pipeline",
     "dp_dedup_exact",
     "dp_minhash_lsh",
