@@ -111,3 +111,22 @@ def test_minhash_shingles_no_exchange_before_bucket_join(spark):
         [(0, "a b c d e"), (1, "b c d e f")], ["doc_id", "text"]
     )
     assert count_exchanges(shingles(df)) == 0
+
+
+def test_quote_ladder_parallel_over_amounts(spark, sf_dir):
+    """The batched-swap covering search must broadcast the depth table and
+    aggregate with min_by — never a single-partition window over the
+    amounts (the depth-side cumsum window over O(#ticks) rows is the only
+    SinglePartition allowed in the plan)."""
+    import __spark_entry__ as e
+    from v3_polars_spark.plans import explain_str
+
+    out = e.q_quote_ladder(spark, sf_dir)
+    plan = explain_str(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # amounts flow: join -> hash aggregate; the Window nodes must all sit
+    # under the (broadcast) depth subtree, i.e. before the join
+    join_pos = plan.find("BroadcastNestedLoopJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastExchange")
+    assert "HashAggregate" in plan

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import swap_math as sm
-from ..ops.asof import asof_join
 from .liquidity import liquidity_distribution
 
 
@@ -205,19 +204,22 @@ def quote_ladder(
     §2.9 calls for, with zero driver loops.
 
     The scalar path's bisect over the cumulative-depth array (reference
-    v3/helpers/swap.py:144-168) becomes a FORWARD AS-OF JOIN on the
-    cumulative axis: each amount row finds the first out-of-range tick
-    whose cumulative in-asset depth covers it (bisect_left == "first right
-    >= left" == asof forward). All swap math runs as column expressions
-    with the same operation order as the scalar kernels, so results are
-    bit-identical to looping ``swap_in`` (pinned in tests).
+    v3/helpers/swap.py:144-168) becomes a broadcast covering join: each
+    amount row joins the (tiny, O(#initialized ticks)) cumulative-depth
+    table on cum_in >= axis and keeps the minimum-cum qualifying row via
+    max-by aggregation — bisect_left == "first right >= left". All swap
+    math runs as column expressions with the same operation order as the
+    scalar kernels, so results are bit-identical to looping ``swap_in``
+    (pinned in tests).
 
-    Scale shape: amounts can be arbitrarily large (shuffles once inside
-    the as-of join); the tick side is O(#initialized ticks). The only
-    depth-side window is the per-frame cumsum (single pool — for many
-    pools, partition the window by pool keys as liquidity_distribution_multi
-    does). Insufficient-depth quotes get sufficient=false and NULL outputs
-    instead of the scalar path's assert.
+    Scale shape: amounts can be arbitrarily large — the broadcast join
+    and the map-side-combinable min_by aggregate both parallelize over
+    amount partitions with NO single-task stage (a union+window as-of
+    formulation here would funnel every quote through one task since
+    there is no partition key). The only depth-side window is the
+    per-frame cumsum (single pool — for many pools, partition it by pool
+    keys as liquidity_distribution_multi does). Insufficient-depth quotes
+    get sufficient=false and NULL outputs instead of the scalar assert.
 
     Output: all ``amounts`` columns + amt_out, sqrt_price_last, branch
     ('A'|'B'), sufficient.
@@ -247,24 +249,35 @@ def quote_ladder(
         F.col("liquidity").alias("__liq"),
         F.col("p_a").alias("__p_a"),
         F.col("p_b").alias("__p_b"),
-        F.sum(in_key).over(w_cum).alias("__cum_axis"),
+        F.sum(in_key).over(w_cum).alias("__cum_in"),
         F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
         F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
     )
     # reference Q5 asymmetry kept: depth assert uses max cum > left_to_swap
     # (pre-fee) while the covering search uses >= left_minus_fee
-    max_row = depth.agg(F.max("__cum_axis").alias("m")).first()
+    max_row = depth.agg(F.max("__cum_in").alias("m")).first()
     max_cum = max_row["m"] if max_row and max_row["m"] is not None else 0.0
 
     # --- amount side -----------------------------------------------------
     a_in = F.col(amount_col)
-    amt = amounts.withColumn(
-        "__swap_in_minus_fee", a_in * F.lit(1 - fee_frac)
-    ).withColumn("__left", a_in - F.lit(in_range_test)).withColumn(
-        "__cum_axis", (a_in - F.lit(in_range_test)) * F.lit(1 - fee_frac)
+    amt = (
+        amounts.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__swap_in_minus_fee", a_in * F.lit(1 - fee_frac))
+        .withColumn("__left", a_in - F.lit(in_range_test))
+        .withColumn("__axis", (a_in - F.lit(in_range_test)) * F.lit(1 - fee_frac))
     )
 
-    joined = asof_join(amt, depth, on="__cum_axis", by=[], strategy="forward")
+    # covering row = min-cum depth row with cum_in >= axis (cum_in is
+    # strictly increasing, so no ties). Broadcast join + min_by: map-side
+    # partial agg, parallel over amount partitions.
+    depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
+    cand = amt.join(
+        F.broadcast(depth), F.col("__axis") <= F.col("__cum_in"), "left"
+    )
+    joined = cand.groupBy("__rid").agg(
+        *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
+        *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
+    )
 
     is_a = F.lit(in_range_test) > F.col("__swap_in_minus_fee")
     liq, sp = F.lit(irv.liquidity), F.lit(irv.sqrt_p)
