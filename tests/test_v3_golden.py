@@ -136,3 +136,37 @@ def test_liquidity_timeline_matches_per_frame_distribution(pool, spark):
             assert got[(f, tick)] == pytest.approx(liq, rel=1e-9, abs=1e-3), (
                 f, tick, got[(f, tick)], liq,
             )
+
+
+def test_price_series_gas_branch(pool):
+    """gas=True adds median gas columns, forward-filled across sparse
+    buckets (reference pool_helpers.py:168-180)."""
+    import datetime
+
+    out = pool.get_price_series(
+        datetime.datetime(2021, 5, 4), "6h", gas=True
+    ).collect()
+    assert {"block_number", "block_timestamp", "tick", "gas_price", "gas_used"} <= set(
+        out[0].asDict().keys()
+    )
+    # after the pool's first trade, ffill keeps gas non-null
+    seen_value = False
+    for r in out:
+        if r["gas_price"] is not None:
+            seen_value = True
+        elif seen_value:
+            raise AssertionError("gas_price went back to NULL after ffill")
+    assert seen_value
+
+
+def test_inline_assert_parity(spark, pool, ref_examples):
+    """The reference's inline runtime checks (SURVEY §5): missing factory
+    row, zero swap, insufficient depth."""
+    from v3_polars_spark.v3 import Pool
+
+    with pytest.raises(AssertionError, match="missing from factory"):
+        Pool(spark, "0x" + "00" * 20, "ethereum", ref_examples)
+    with pytest.raises(AssertionError, match="swaps of 0"):
+        pool.swap_in({"as_of": 12376626, "tokenIn": pool.token0, "swapIn": 0})
+    with pytest.raises(AssertionError, match="Not enough liquidity"):
+        pool.swap_in({"as_of": 12376626, "tokenIn": pool.token0, "swapIn": 1e35})
