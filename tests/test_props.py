@@ -107,3 +107,29 @@ def test_cumsum_scalable_matches_sorted_prefix_sum(spark, rows):
     for o, v in sorted(rows):
         run += v
         assert got[o] == run, (o, got[o], run)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1, max_size=20, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50), vals_st),
+        min_size=1, max_size=20, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_by_keys_independent(spark, left, right):
+    """With `by` keys, each group must as-of join independently — a right
+    row never leaks across keys."""
+    ldf = spark.createDataFrame(left, ["k", "t"])
+    rdf = spark.createDataFrame(right, ["k", "t", "v"])
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(ldf, rdf, on="t", by=["k"]).collect()
+    }
+    for k, t in left:
+        cands = [(tr, v) for (kr, tr, v) in right if kr == k and tr <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(k, t)] == want, (k, t, got[(k, t)], want)
