@@ -130,3 +130,20 @@ def test_quote_ladder_parallel_over_amounts(spark, sf_dir):
     if join_pos == -1:
         join_pos = plan.find("BroadcastExchange")
     assert "HashAggregate" in plan
+
+
+def test_chain_partition_pruning(spark, tmp_path):
+    """On the chain-partitioned sink layout, the tenant filter must reach
+    the scan as a PartitionFilter (directory pruning), not a data filter."""
+    from v3_polars_spark import tables as T
+    from v3_polars_spark.plans import explain_str
+
+    df = spark.createDataFrame(
+        [("ethereum", "0xa", 1, 0), ("optimism", "0xb", 2, 0)],
+        ["chain_name", "address", "block_number", "transaction_index"],
+    )
+    T.write_segment(df, str(tmp_path), "t")
+    rd = spark.read.parquet(str(tmp_path / "t"))
+    plan = explain_str(T.tenant_filter(rd, "ethereum"))
+    assert "PartitionFilters" in plan
+    assert "chain_name" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
