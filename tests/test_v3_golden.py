@@ -170,3 +170,40 @@ def test_inline_assert_parity(spark, pool, ref_examples):
         pool.swap_in({"as_of": 12376626, "tokenIn": pool.token0, "swapIn": 0})
     with pytest.raises(AssertionError, match="Not enough liquidity"):
         pool.swap_in({"as_of": 12376626, "tokenIn": pool.token0, "swapIn": 1e35})
+
+
+def test_sql_surface_matches_dataframe_path(spark, pool, ref_examples):
+    """register_tables exposes the engine through spark.sql: the SQL form
+    of createLiq must equal the DataFrame builder's result."""
+    from v3_polars_spark.sql import register_tables
+
+    names = register_tables(spark, ref_examples, suffix="_sqltest")
+    assert "mint_burns_sqltest" in names
+    got = spark.sql(
+        f"""
+        SELECT tick, SUM(delta) OVER (ORDER BY tick
+                                      ROWS UNBOUNDED PRECEDING) AS liquidity
+        FROM (
+            SELECT COALESCE(tl.tick, tu.tick) AS tick,
+                   COALESCE(l, 0) + COALESCE(u, 0) AS delta
+            FROM (
+                SELECT tick_lower AS tick, SUM(amount * type_of_event) AS l
+                FROM mint_burns_sqltest
+                WHERE chain_name = 'ethereum' AND address = '{pool.pool}'
+                  AND as_of < 12376626.0
+                GROUP BY 1 HAVING SUM(amount * type_of_event) != 0
+            ) tl
+            FULL OUTER JOIN (
+                SELECT tick_upper AS tick, SUM(-(amount * type_of_event)) AS u
+                FROM mint_burns_sqltest
+                WHERE chain_name = 'ethereum' AND address = '{pool.pool}'
+                  AND as_of < 12376626.0
+                GROUP BY 1 HAVING SUM(-(amount * type_of_event)) != 0
+            ) tu USING (tick)
+        )
+        """
+    ).collect()
+    want = {r["tick"]: r["liquidity"] for r in pool.create_liq(12376626).collect()}
+    assert len(got) == len(want) == 123
+    for r in got:
+        assert r["liquidity"] == pytest.approx(want[r["tick"]], rel=1e-12, abs=1e-6)
