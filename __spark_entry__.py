@@ -602,6 +602,18 @@ def dp_embed_topk_lsh(spark, sf):
     return cosine_topk_lsh(e, q, dim=64, k=10, bits=4)
 
 
+def dp_dedup_near(spark, sf):
+    """Near-dup clustering: MinHash-LSH verified pairs -> connected
+    components (min-label propagation; iterative — the oracle replays it
+    with a recursive transitive-closure CTE). Output: every doc with its
+    component representative (self for singletons)."""
+    from v3_polars_spark.datapipe import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4, verify_threshold=0.05)
+    return connected_components(pairs, d.select("doc_id"))
+
+
 def dp_embed_neardup(spark, sf):
     """Embedding-cosine near-duplicate pairs, exact: all (id_a < id_b)
     with cosine >= 0.4 — the O(n^2) dedup-family correctness baseline
@@ -846,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lang_id": dp_lang_id,
         "dp_ngram_jaccard": dp_ngram_jaccard,
         "dp_minhash_lsh": dp_minhash_lsh,
+        "dp_dedup_near": dp_dedup_near,
         "dp_simhash": dp_simhash,
         "dp_embed_topk": dp_embed_topk,
         "dp_embed_topk_lsh": dp_embed_topk_lsh,
@@ -1458,6 +1471,28 @@ def oracle_sql() -> dict[str, str]:
             FROM net
         """,
         "dp_minhash_lsh": _minhash_sql(),
+        "dp_dedup_near": f"""
+            WITH RECURSIVE p AS (
+                SELECT id_a, id_b FROM ({_minhash_sql()})
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM p
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+            ),
+            labels AS (
+                SELECT d.doc_id,
+                       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS rep
+                FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, rep FROM labels
+        """,
         "dp_embed_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -231,3 +231,22 @@ def test_frame_sample_plan(spark):
     vids = {r["media_id"] for r in rows}
     assert all(r["frame_ts_ms"] in (0, 1000, 2000, 3000, 4000) for r in rows)
     assert len(rows) == len(vids) * 5
+
+
+def test_connected_components_transitive(spark):
+    """A~B and B~C must cluster A,B,C even with no direct A~C pair."""
+    from v3_polars_spark.datapipe import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], ["doc_id"])
+    got = {r["doc_id"]: r["rep"] for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_dedup_near_keeps_one_per_cluster(docs):
+    from v3_polars_spark.datapipe import dedup_near
+
+    out = dedup_near(docs, verify_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # docs fixture plants doc 0 (BASE) ~ doc 1 (NEAR_DUP); min id 0 survives
+    assert 0 in ids and 1 not in ids

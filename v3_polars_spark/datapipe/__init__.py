@@ -3,7 +3,9 @@ analysis, multimodal columns — all designed for 100 TB inputs (no driver
 collects, bounded shuffles, pure column expressions where possible)."""
 
 from .dedup import (
+    connected_components,
     dedup_exact,
+    dedup_near,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -46,7 +48,9 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "decode_image_features",
+    "connected_components",
     "dedup_exact",
+    "dedup_near",
     "embedding_near_dup_lsh",
     "embedding_near_dup_pairs",
     "fingerprint_md5",

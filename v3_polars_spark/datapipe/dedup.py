@@ -297,3 +297,82 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components) and keep-one dedup
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, rep): each node labeled with the minimum id reachable through
+    the (undirected) ``pairs`` edges — singletons keep themselves.
+
+    Min-label propagation: every iteration each node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow — duplicates of one
+    source document). Each round is one join + one map-side-combinable
+    min aggregate; results are persisted per round so lineage stays flat.
+    The iterative driver loop is bounded and data-independent per round —
+    the standard Spark shape for label propagation."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("src"), F.col(id_col).alias("rep"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("rep").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias(
+                    "rep"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("rep", "old"), "src")
+            .filter(F.col("rep") != F.col("old"))
+            .isEmpty()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias(id_col), "rep")
+
+
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Keep-one near-duplicate dedup: MinHash-LSH candidate pairs ->
+    exact-Jaccard verify -> connected components -> keep each component's
+    min-id document. Output: the surviving rows of ``df``."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, verify_threshold
+    )
+    comp = connected_components(pairs, df.select(id_col), id_col)
+    keep = comp.filter(F.col(id_col) == F.col("rep")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
