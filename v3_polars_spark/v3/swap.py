@@ -253,10 +253,12 @@ def quote_ladder(
         F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
         F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
     )
+    depth = depth.persist()
     # reference Q5 asymmetry kept: depth assert uses max cum > left_to_swap
-    # (pre-fee) while the covering search uses >= left_minus_fee
-    max_row = depth.agg(F.max("__cum_in").alias("m")).first()
-    max_cum = max_row["m"] if max_row and max_row["m"] is not None else 0.0
+    # (pre-fee) while the covering search uses >= left_minus_fee. The max
+    # stays IN the plan (1-row agg broadcast below) — no driver action, no
+    # second evaluation of the depth pipeline.
+    max_df = depth.agg(F.max("__cum_in").alias("__max_cum"))
 
     # --- amount side -----------------------------------------------------
     a_in = F.col(amount_col)
@@ -277,7 +279,7 @@ def quote_ladder(
     joined = cand.groupBy("__rid").agg(
         *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
         *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
-    )
+    ).crossJoin(F.broadcast(max_df))
 
     is_a = F.lit(in_range_test) > F.col("__swap_in_minus_fee")
     liq, sp = F.lit(irv.liquidity), F.lit(irv.sqrt_p)
@@ -307,7 +309,7 @@ def quote_ladder(
     out_b = out_last + (F.lit(in_range_to_swap) + F.col("__prev_out"))
 
     sufficient = is_a | (
-        F.col("__tick").isNotNull() & (F.lit(max_cum) > F.col("__left"))
+        F.col("__tick").isNotNull() & (F.col("__max_cum") > F.col("__left"))
     )
     res = (
         joined.withColumn("sufficient", sufficient)
