@@ -147,3 +147,15 @@ def test_chain_partition_pruning(spark, tmp_path):
     plan = explain_str(T.tenant_filter(rd, "ethereum"))
     assert "PartitionFilters" in plan
     assert "chain_name" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_shingle_split_evaluated_once(spark):
+    """The normalize+split pipeline must appear exactly once in the
+    optimized shingle plans — CollapseProject re-inlining it into the
+    transform lambda or Generate multiplies the regex work per shingle."""
+    from v3_polars_spark.datapipe import shingle_sets, shingles
+
+    df = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    for builder in (shingles, shingle_sets):
+        plan = builder(df)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, builder.__name__

@@ -51,19 +51,18 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per document as a per-doc ARRAY:
-    (id_col, shset array<string>). Completely shuffle-free: the sliding
-    window is transform+slice over the token array and dedup is
-    array_distinct — never a global DISTINCT exchange.
+def _shingle_base(df: DataFrame, text_col: str, id_col: str, n: int):
+    """(base_df with bound __toks column, distinct-shingle array expr).
 
     The token array is bound to a real column in a separate projection
     BEFORE the transform: expressions inside higher-order-function lambdas
     get no common-subexpression elimination, so inlining
     split(normalize(text)) there re-runs the regex pipeline once per
-    shingle index (~3.4x slower end-to-end at sf0.1)."""
+    shingle index (~3.4x slower end-to-end at sf0.1). Consumers must
+    build their final expression (array_distinct / explode) in ONE select
+    over ``base`` — stacking another select on top lets CollapseProject
+    merge the projections and re-inline the split (split appears 7x in
+    the optimized plan and runtime regresses ~10x)."""
     base = df.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
     )
@@ -74,7 +73,18 @@ def shingle_sets(
         F.array().cast("array<int>")
     )
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return base.select(F.col(id_col), F.array_distinct(sh).alias("shset"))
+    return base, F.array_distinct(sh)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as a per-doc ARRAY:
+    (id_col, shset array<string>). Completely shuffle-free: the sliding
+    window is transform+slice over the token array and dedup is
+    array_distinct — never a global DISTINCT exchange."""
+    base, shset = _shingle_base(df, text_col, id_col, n)
+    return base.select(F.col(id_col), shset.alias("shset"))
 
 
 def shingles(
@@ -82,12 +92,10 @@ def shingles(
 ) -> DataFrame:
     """Exploded form of ``shingle_sets``: (id_col, shingle) rows, distinct
     per document. No shuffle — per-doc dedup happens in the array before
-    the explode (a global .distinct() here would exchange every shingle
-    row for nothing: id_col is in the key, so distinctness is per-doc
-    anyway)."""
-    return shingle_sets(df, text_col, id_col, n).select(
-        F.col(id_col), F.explode(F.col("shset")).alias("shingle")
-    )
+    the explode. Built as ONE select over the token projection (see
+    ``_shingle_base`` for why)."""
+    base, shset = _shingle_base(df, text_col, id_col, n)
+    return base.select(F.col(id_col), F.explode(shset).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -178,11 +186,11 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    sets = (
-        shingle_sets(df, text_col, id_col, n)
-        .filter(F.size(F.col("shset")) > 0)
-        .persist()
-    )
+    # No size(shset)>0 filter: docs with no shingles yield no exploded
+    # rows, hence no signature, no bucket, no candidate — the filter was
+    # redundant AND forced CollapseProject to re-inline the shingle
+    # expression into the filter condition (split x4 in the plan).
+    sets = shingle_sets(df, text_col, id_col, n).persist()
     shset = F.col("shset")
     # signatures on the EXPLODED form, not array_min(transform(...)):
     # higher-order-function lambdas run interpreted, while explode +
