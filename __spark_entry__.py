@@ -1053,12 +1053,14 @@ def _quote_ladder_sql() -> str:
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) -> str:
     r = num_hashes // bands
+    h1 = "(('0x' || substr(md5(shingle), 1, 14))::BIGINT)"
+    h2 = "(('0x' || substr(md5('B:' || shingle), 1, 14))::BIGINT)"
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+        f"min({h1} + {i} * {h2}) AS h{i}" for i in range(num_hashes)
     )
     band_selects = []
     for b in range(bands):
-        parts = " || '|' || ".join(f"h{i}" for i in range(b * r, (b + 1) * r))
+        parts = " || '|' || ".join(f"h{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig"
         )

@@ -8,8 +8,9 @@ Scale design notes (the point of each implementation):
 - MinHash+LSH: the candidate generation is shingle-explode → per-doc
   signature (groupBy doc) → band buckets → self-join on bucket. All joins
   key on short hashes; no O(n²) pair enumeration ever materializes. The
-  signature hash h_i(s) = md5(i || ':' || s) is engine-portable (pure
-  deterministic SQL), so oracles can replicate it exactly.
+  signature permutations use double hashing (h_i = h1 + i*h2 over 56-bit
+  md5-prefix ints — Kirsch-Mitzenmacher), engine-portable pure SQL, so
+  oracles replicate them exactly at 2 md5s per shingle instead of K.
 - SimHash: per-token 64-bit hashes reduced by weighted bit-majority into
   one signature per doc; near-dups = signatures within Hamming distance k
   (banded equality prefilter for scale).
@@ -144,20 +145,31 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_h1_h2() -> tuple[Column, Column]:
+    """The two base hashes for double-hashing minhash: 56-bit ints from
+    md5 prefixes (14 hex chars), identical in any engine that has md5 and
+    hex→int conversion. h_i = h1 + i*h2 stays < 2^61 for i < 16 — plain
+    long arithmetic, no modulus, no overflow."""
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("B:"), F.col("shingle"))), 1, 14), 16, 10
+    ).cast("long")
+    return h1, h2
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """(id, sig array<string>): sig[i] = min over shingles of
-    md5(i || ':' || shingle). md5-as-permutation is engine-portable and
-    seed-stable; min is an ordinary agg (map-side combinable)."""
+    """(id, h0..h{K-1} long): sig[i] = min over shingles of h1 + i*h2
+    (double hashing — Kirsch-Mitzenmacher): TWO md5s per shingle instead
+    of K, then K cheap long multiply-adds; min is an ordinary agg
+    (map-side combinable). Engine-portable: md5 prefix → int is exact in
+    any SQL engine."""
+    h1, h2 = _minhash_h1_h2()
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -202,12 +214,18 @@ def minhash_lsh_pairs(
 
     # One posexplode pass instead of a bands-way union: a union of N selects
     # over `sig` re-executes the signature subtree N times; exploding an
-    # array of band hashes evaluates it once per doc.
+    # array of band hashes evaluates it once per doc. concat_ws casts the
+    # long signature components to decimal strings — identical to
+    # BIGINT::VARCHAR in the oracle.
     band_arr = F.array(
         *[
             F.md5(
-                F.array_join(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)
