@@ -3,6 +3,7 @@
 cross-checked anchor values from SURVEY.md §8.3."""
 
 import pytest
+from pyspark.sql import functions as F
 
 POOL = "0x1d42064fc4beb5f8aaf85f4617ae8b3b5b8bd801"  # UNI/WETH 30bps, ethereum
 AS_OF = 12376626
@@ -207,3 +208,83 @@ def test_sql_surface_matches_dataframe_path(spark, pool, ref_examples):
     assert len(got) == len(want) == 123
     for r in got:
         assert r["liquidity"] == pytest.approx(want[r["tick"]], rel=1e-12, abs=1e-6)
+
+
+def test_quote_ladder_multi_matches_per_pool_scalar(spark, ref_examples):
+    """quote_ladder_multi prices many pools in one plan; every quote must
+    bit-match the per-pool scalar swap_in (or be flagged insufficient
+    where the scalar path asserts)."""
+    from v3_polars_spark import tables as T
+    from v3_polars_spark.v3 import Pool
+    from v3_polars_spark.v3.swap import quote_ladder_multi
+
+    as_of = 12376626.0
+    mb = T.with_as_of(
+        T.read_table(spark, ref_examples, "pool_mint_burn_events").withColumns(
+            {
+                "amount": F.col("amount").cast("double"),
+                "tick_lower": F.col("tick_lower").cast("long"),
+                "tick_upper": F.col("tick_upper").cast("long"),
+                "type_of_event": F.col("type_of_event").cast("double"),
+            }
+        )
+    ).filter(F.col("chain_name") == "ethereum")
+    swaps = T.with_as_of(T.read_table(spark, ref_examples, "pool_swap_events")).filter(
+        F.col("chain_name") == "ethereum"
+    )
+    factory = (
+        T.read_table(spark, ref_examples, "factory_pool_created")
+        .filter(F.col("chain_name") == "ethereum")
+        .withColumnRenamed("pool", "address")
+    )
+
+    # pools with both price history and mint/burns before as_of
+    candidates = [
+        r["address"]
+        for r in (
+            swaps.filter(F.col("as_of") < as_of)
+            .select("address")
+            .intersect(mb.filter(F.col("as_of") < as_of).select("address"))
+            .orderBy("address")
+            .limit(6)
+            .collect()
+        )
+    ]
+    assert len(candidates) >= 3
+
+    amounts = [1e18, 1e22]
+    rows = [
+        ("ethereum", p, i * len(amounts) + j, a)
+        for i, p in enumerate(candidates)
+        for j, a in enumerate(amounts)
+    ]
+    adf = spark.createDataFrame(
+        rows, ["chain_name", "address", "quote_id", "amount_in"]
+    )
+    out = {
+        r["quote_id"]: r
+        for r in quote_ladder_multi(
+            mb, swaps, factory, adf, as_of, zero_for_one=True
+        ).collect()
+    }
+
+    checked = 0
+    for _, addr, qid, a in rows:
+        try:
+            pool = Pool(spark, addr, "ethereum", ref_examples, pull=False)
+            want, (wspl, _, _) = pool.swap_in(
+                {"as_of": as_of, "tokenIn": pool.token0, "swapIn": a}
+            )
+        except AssertionError:
+            # insufficient depth: multi path flags instead of asserting
+            if qid in out:
+                assert not out[qid]["sufficient"], (addr, a)
+            continue
+        except ValueError:
+            continue  # no unambiguous in-range tick: multi path drops the pool
+        assert qid in out, (addr, a)
+        r = out[qid]
+        assert r["amt_out"] == want, (addr, a, r["amt_out"], want)
+        assert r["sqrt_price_last"] == wspl, (addr, a)
+        checked += 1
+    assert checked >= 4  # several pools actually compared bit-exactly

@@ -6,7 +6,14 @@ from .liquidity import (
 )
 from .pool import Pool
 from .series import bn_at_date, bn_series, price_series, tick_series
-from .swap import InRangeValues, in_range_values, quote_ladder, swap_frame, swap_in
+from .swap import (
+    InRangeValues,
+    in_range_values,
+    quote_ladder,
+    quote_ladder_multi,
+    swap_frame,
+    swap_in,
+)
 
 __all__ = [
     "InRangeValues",
@@ -19,6 +26,7 @@ __all__ = [
     "liquidity_timeline",
     "price_series",
     "quote_ladder",
+    "quote_ladder_multi",
     "swap_frame",
     "swap_in",
     "swap_math",

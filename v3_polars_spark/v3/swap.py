@@ -13,6 +13,7 @@ Python (frames are 10²-10⁴ rows; no JVM round-trips in the hot loop).
 from __future__ import annotations
 
 import bisect
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -322,6 +323,250 @@ def quote_ladder(
         .withColumn(
             "sqrt_price_last",
             F.when(~sufficient, F.lit(None).cast("double"))
+            .when(is_a, spl_a)
+            .otherwise(spl_b),
+        )
+        .withColumn("branch", F.when(is_a, F.lit("A")).otherwise(F.lit("B")))
+    )
+    return res.select(
+        *amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"
+    )
+
+
+def quote_ladder_multi(
+    mb: DataFrame,
+    swaps: DataFrame,
+    factory: DataFrame,
+    amounts: DataFrame,
+    as_of: float,
+    zero_for_one: bool,
+    by: list[str] = ("chain_name", "address"),
+    amount_col: str = "amount_in",
+) -> DataFrame:
+    """Batched swapIn across MANY pools in one distributed plan — the full
+    scale generalization: every per-pool scalar the single-pool path
+    collects (price, tick floor, in-range capacities, fee, tick spacing)
+    is derived as a column, so nothing is collected per pool and every
+    window partitions by the pool keys.
+
+    Inputs: mb (cast, with as_of), swaps (with as_of; sqrtPriceX96 string),
+    factory with the pool keys + tickSpacing/fee (strings ok), amounts with
+    the pool keys + ``amount_col``. One direction per call (``zero_for_one``
+    — amount rows quote token0-in when true, token1-in when false).
+
+    Output: amounts columns + amt_out, sqrt_price_last, branch, sufficient.
+    Bit-parity with looping Pool.swap_in per pool is pinned in tests.
+    """
+    by = list(by)
+
+    # pool metadata (J5 as a real dimension join, broadcast — factory is
+    # the smallest table in the system)
+    meta = factory.select(
+        *[F.col(c) for c in by],
+        F.col("tickSpacing").cast("long").alias("__ts"),
+        F.col("fee").cast("long").alias("__fee"),
+    )
+
+    # per-pool price in force strictly before as_of (J3 per key: max_by)
+    price = (
+        swaps.filter(F.col("as_of") < F.lit(float(as_of)))
+        .groupBy(*by)
+        .agg(
+            F.max_by(
+                F.col("sqrtPriceX96").cast("double"),
+                F.struct(F.col("as_of"), F.col("log_index")),
+            ).alias("__price_x96")
+        )
+    )
+
+    # per-pool swap frame (lead window partitioned by pool)
+    from .liquidity import liquidity_distribution_multi
+
+    liqm = liquidity_distribution_multi(mb, as_of, by)
+    w_lead = Window.partitionBy(*by).orderBy(F.col("tick").asc())
+    frame = (
+        liqm.join(meta, by)
+        .filter(F.col("liquidity") > 0)
+        .withColumn("tick_a", F.col("tick"))
+        .withColumn(
+            "tick_b",
+            F.coalesce(
+                F.lead("tick", 1).over(w_lead),
+                (F.floor(F.lit(sm.MAX_TICK) / F.col("__ts")) * F.col("__ts")).cast(
+                    "long"
+                ),
+            ),
+        )
+        .select(*by, "liquidity", "tick_a", "tick_b", "__ts", "__fee")
+        .withColumn("p_a", F.pow(F.lit(1.0001), F.col("tick_a") / F.lit(2.0)))
+        .withColumn("p_b", F.pow(F.lit(1.0001), F.col("tick_b") / F.lit(2.0)))
+        .withColumn("yInTick", F.col("liquidity") * (F.col("p_b") - F.col("p_a")))
+        .withColumn(
+            "xInTick",
+            F.col("liquidity")
+            * ((F.col("p_b") - F.col("p_a")) / (F.col("p_b") * F.col("p_a"))),
+        )
+    )
+
+    # per-pool in-range values (the irv 7-tuple as columns):
+    # tick floor exactly as the scalar kernel: floor(log((p/Q96)^2)/log(1.0001))
+    # then floor-div to spacing (price_x96_to_tick_floor)
+    sp = F.col("__price_x96") / F.lit(float(sm.Q96))
+    tick_real = F.log(sp * sp) / F.lit(math.log(1.0001))
+    pool_sp = price.withColumn("__sqrt_p", sp).withColumn(
+        "__tick_floor_raw", F.floor(tick_real).cast("long")
+    )
+    irv = (
+        frame.join(pool_sp, by)
+        .withColumn(
+            "__tick_floor",
+            (F.floor(F.col("__tick_floor_raw") / F.col("__ts")) * F.col("__ts")).cast(
+                "long"
+            ),
+        )
+        .filter(
+            (F.col("tick_a") <= F.col("__tick_floor"))
+            & (F.col("__tick_floor") < F.col("tick_b"))
+        )
+        .select(
+            *by,
+            F.col("tick_a").alias("__irv_tick"),
+            F.col("liquidity").alias("__irv_liq"),
+            F.col("__sqrt_p"),
+            F.col("__ts"),
+            F.col("__fee"),
+            # get_amount{0,1}_delta with explicit ascending operand order
+            (
+                F.col("liquidity")
+                * (
+                    (F.greatest(F.col("p_a"), F.col("__sqrt_p")) - F.least(F.col("p_a"), F.col("__sqrt_p")))
+                    / (F.greatest(F.col("p_a"), F.col("__sqrt_p")) * F.least(F.col("p_a"), F.col("__sqrt_p")))
+                )
+            ).alias("__in_range0"),
+            (
+                F.col("liquidity")
+                * (F.greatest(F.col("p_a"), F.col("__sqrt_p")) - F.least(F.col("p_a"), F.col("__sqrt_p")))
+            ).alias("__in_range_to_swap0"),
+            (
+                F.col("liquidity")
+                * (F.greatest(F.col("p_b"), F.col("__sqrt_p")) - F.least(F.col("p_b"), F.col("__sqrt_p")))
+            ).alias("__in_range1"),
+            (
+                F.col("liquidity")
+                * (
+                    (F.greatest(F.col("p_b"), F.col("__sqrt_p")) - F.least(F.col("p_b"), F.col("__sqrt_p")))
+                    / (F.greatest(F.col("p_b"), F.col("__sqrt_p")) * F.least(F.col("p_b"), F.col("__sqrt_p")))
+                )
+            ).alias("__in_range_to_swap1"),
+        )
+    )
+
+    # per-pool direction-ordered depth with cumulative/preceding sums
+    in_key, out_key = ("xInTick", "yInTick") if zero_for_one else ("yInTick", "xInTick")
+    fdir = frame.join(irv.select(*by, "__irv_tick"), by)
+    if zero_for_one:
+        oor = fdir.filter(F.col("tick_a") < F.col("__irv_tick"))
+        order = F.col("tick_a").desc()
+    else:
+        oor = fdir.filter(F.col("tick_a") > F.col("__irv_tick"))
+        order = F.col("tick_a").asc()
+    w_cum = Window.partitionBy(*by).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prev = Window.partitionBy(*by).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    depth = oor.select(
+        *by,
+        F.col("tick_a").alias("__tick"),
+        F.col("liquidity").alias("__liq"),
+        F.col("p_a").alias("__p_a"),
+        F.col("p_b").alias("__p_b"),
+        F.sum(in_key).over(w_cum).alias("__cum_in"),
+        F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
+        F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
+    ).persist()
+    max_df = depth.groupBy(*by).agg(F.max("__cum_in").alias("__max_cum"))
+
+    # amount side: join per-pool irv scalars, then the covering join
+    in_range_test = F.col("__in_range0") if zero_for_one else F.col("__in_range1")
+    in_range_to_swap = (
+        F.col("__in_range_to_swap0") if zero_for_one else F.col("__in_range_to_swap1")
+    )
+    one_minus_fee = F.lit(1.0) - F.col("__fee") / F.lit(1e6)
+    a_in = F.col(amount_col)
+    amt = (
+        amounts.withColumn("__rid", F.monotonically_increasing_id())
+        .join(irv, by)
+        .withColumn("__omf", one_minus_fee)
+        .withColumn("__swap_in_minus_fee", a_in * F.col("__omf"))
+        .withColumn("__left", a_in - in_range_test)
+        .withColumn("__axis", (a_in - in_range_test) * F.col("__omf"))
+        .withColumn("__irt", in_range_test)
+        .withColumn("__irts", in_range_to_swap)
+    )
+    depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
+    # covering condition lives IN the left join: quotes no depth row covers
+    # (insufficient) must survive with NULL depth columns, not be dropped
+    depth_r = depth.select(
+        *[F.col(k).alias(f"__d_{k}") for k in by],
+        *depth_cols,
+        "__cum_in",
+    )
+    cond = F.lit(True)
+    for k in by:
+        cond = cond & (amt[k] == depth_r[f"__d_{k}"])
+    cond = cond & (F.col("__axis") <= F.col("__cum_in"))
+    cand = amt.join(depth_r, cond, "left")
+    joined = (
+        cand.groupBy("__rid")
+        .agg(
+            *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
+            *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
+        )
+        .join(max_df, by, "left")
+    )
+
+    is_a = F.col("__irt") > F.col("__swap_in_minus_fee")
+    liq_c, sp_c = F.col("__irv_liq"), F.col("__sqrt_p")
+
+    if zero_for_one:
+        spl_a = (liq_c * sp_c) / (liq_c + F.col("__swap_in_minus_fee") * sp_c)
+        out_a = liq_c * (F.greatest(spl_a, sp_c) - F.least(spl_a, sp_c))
+    else:
+        spl_a = sp_c + F.col("__swap_in_minus_fee") / liq_c
+        out_a = liq_c * (
+            (F.greatest(spl_a, sp_c) - F.least(spl_a, sp_c))
+            / (F.greatest(spl_a, sp_c) * F.least(spl_a, sp_c))
+        )
+
+    left_mf = (F.col("__left") - F.col("__prev_in")) * F.col("__omf")
+    bl = F.col("__liq")
+    if zero_for_one:
+        spl_b = (bl * F.col("__p_b")) / (bl + left_mf * F.col("__p_b"))
+        out_last = bl * (F.greatest(spl_b, F.col("__p_b")) - F.least(spl_b, F.col("__p_b")))
+    else:
+        spl_b = F.col("__p_a") + left_mf / bl
+        out_last = bl * (
+            (F.greatest(spl_b, F.col("__p_a")) - F.least(spl_b, F.col("__p_a")))
+            / (F.greatest(spl_b, F.col("__p_a")) * F.least(spl_b, F.col("__p_a")))
+        )
+    out_b = out_last + (F.col("__irts") + F.col("__prev_out"))
+
+    sufficient = is_a | (
+        F.col("__tick").isNotNull() & (F.col("__max_cum") > F.col("__left"))
+    )
+    res = (
+        joined.withColumn("sufficient", F.coalesce(sufficient, F.lit(False)))
+        .withColumn(
+            "amt_out",
+            F.when(~F.col("sufficient"), F.lit(None).cast("double"))
+            .when(is_a, out_a)
+            .otherwise(out_b),
+        )
+        .withColumn(
+            "sqrt_price_last",
+            F.when(~F.col("sufficient"), F.lit(None).cast("double"))
             .when(is_a, spl_a)
             .otherwise(spl_b),
         )
