@@ -159,3 +159,98 @@ def test_stateful_liquidity_deltas_across_batches(spark, tmp_path):
         expected[(addr, tl)] = expected.get((addr, tl), 0.0) + amt * toe
         expected[(addr, tu)] = expected.get((addr, tu), 0.0) - amt * toe
     assert final == pytest.approx(expected)
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming dedup drops later re-occurrences of the same normalized
+    text ACROSS micro-batches (state carries between files)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from v3_polars_spark.streaming import stream_dedup_exact
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], schema
+    ).coalesce(1).write.parquet(src + "/seg1")
+    spark.createDataFrame(
+        [(2, "ALPHA   beta"), (3, "epsilon zeta")], schema  # 2 ~ 0 normalized
+    ).coalesce(1).write.parquet(src + "/seg2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/seg*")
+    )
+    out = stream_dedup_exact(stream)
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert 3 in ids and (0 in ids or 2 in ids)
+    assert not (0 in ids and 2 in ids)  # normalized dup dropped across batches
+    assert 1 in ids
+
+
+def test_stateful_liquidity_resumes_from_checkpoint(spark, tmp_path):
+    """Killing and restarting the stateful query must resume per-pool
+    state from the checkpoint: events landed after the first drain fold
+    into the state built before it."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    from v3_polars_spark.streaming import streaming_liquidity_deltas
+
+    schema = StructType([
+        StructField("chain_name", StringType()),
+        StructField("address", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("type_of_event", DoubleType()),
+        StructField("tick_lower", LongType()),
+        StructField("tick_upper", LongType()),
+    ])
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    batches = {}
+
+    def collect(df, batch_id):
+        batches[batch_id] = df.toPandas()
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src + "/seg*")
+        q = (
+            streaming_liquidity_deltas(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [("ethereum", "0xa", 100.0, 1.0, -60, 60)], schema
+    ).coalesce(1).write.parquet(src + "/seg1")
+    drain()  # first run: state {(-60): 100, (60): -100}
+
+    spark.createDataFrame(
+        [("ethereum", "0xa", 30.0, -1.0, -60, 60)], schema
+    ).coalesce(1).write.parquet(src + "/seg2")
+    drain()  # second run, NEW query instance, same checkpoint
+
+    final = {}
+    for bid in sorted(batches):
+        for r in batches[bid].itertuples():
+            final[(r.address, r.tick)] = r.liquidity_delta
+    assert final[("0xa", -60)] == pytest.approx(70.0)  # 100 - 30: state resumed
+    assert final[("0xa", 60)] == pytest.approx(-70.0)

@@ -1,8 +1,14 @@
-from .ingest_stream import run_available_now, stream_table, streaming_resample
+from .ingest_stream import (
+    run_available_now,
+    stream_dedup_exact,
+    stream_table,
+    streaming_resample,
+)
 from .stateful import streaming_liquidity_deltas
 
 __all__ = [
     "run_available_now",
+    "stream_dedup_exact",
     "stream_table",
     "streaming_resample",
     "streaming_liquidity_deltas",

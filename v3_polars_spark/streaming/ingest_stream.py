@@ -81,3 +81,24 @@ def run_available_now(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def stream_dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose normalized-text md5
+    fingerprint was already seen. Structured Streaming's dropDuplicates
+    keeps the seen-set as managed state; with an event-time watermark the
+    state is bounded (fingerprints older than the watermark age out — the
+    right contract for continuous ingest at 100 TB; omit ts_col for exact
+    global dedup with unbounded state)."""
+    from ..datapipe.text import fingerprint_md5
+
+    out = fingerprint_md5(df, text_col)
+    if ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicates(["fp", ts_col]).drop("fp")
+    return out.dropDuplicates(["fp"]).drop("fp")
