@@ -258,6 +258,9 @@ def test_quote_ladder_multi_matches_per_pool_scalar(spark, ref_examples):
         for i, p in enumerate(candidates)
         for j, a in enumerate(amounts)
     ]
+    # a pool that exists nowhere: must come back sufficient=false, not
+    # silently vanish through the irv join
+    rows.append(("ethereum", "0x" + "00" * 20, 10_000, 1e18))
     adf = spark.createDataFrame(
         rows, ["chain_name", "address", "quote_id", "amount_in"]
     )
@@ -267,6 +270,10 @@ def test_quote_ladder_multi_matches_per_pool_scalar(spark, ref_examples):
             mb, swaps, factory, adf, as_of, zero_for_one=True
         ).collect()
     }
+
+    assert len(out) == len(rows)  # every input row comes back
+    ghost = out[10_000]
+    assert not ghost["sufficient"] and ghost["amt_out"] is None
 
     checked = 0
     for _, addr, qid, a in rows:

@@ -165,6 +165,8 @@ def minhash_signatures(
     of K, then K cheap long multiply-adds; min is an ordinary agg
     (map-side combinable). Engine-portable: md5 prefix → int is exact in
     any SQL engine."""
+    # h1 + i*h2 with 56-bit bases stays under 2^63 only for i <= 63
+    assert num_hashes <= 64, "num_hashes > 64 overflows the 56-bit double-hash"
     h1, h2 = _minhash_h1_h2()
     mins = [
         F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)
@@ -294,6 +296,17 @@ def simhash_near_pairs(
     ``prefix_bands`` 16-bit chunks (pigeonhole: hamming<=3 pairs share at
     least one exact chunk when bands=4), join on chunk equality, verify
     Hamming distance with bit_count(xor)."""
+    # pigeonhole guarantee (every qualifying pair shares a chunk) only
+    # holds for max_hamming < prefix_bands; beyond that the banding is an
+    # approximate prefilter — make the recall contract explicit
+    if max_hamming >= prefix_bands:
+        import warnings
+
+        warnings.warn(
+            "simhash_near_pairs: max_hamming >= prefix_bands — banded "
+            "prefilter no longer guarantees full recall",
+            stacklevel=2,
+        )
     chunk_bits = 64 // prefix_bands
     # posexplode (see minhash_lsh_pairs): one pass over sig, not a
     # prefix_bands-way union re-executing the signature subtree.
@@ -380,6 +393,15 @@ def connected_components(
         labels = new_labels
         if changed:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint within max_iter={max_iter} "
+            "rounds — labels are min-id within that many hops; components "
+            "with larger diameter keep multiple representatives",
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(F.col("src").alias(id_col), "rep")
 

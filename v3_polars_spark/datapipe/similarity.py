@@ -169,20 +169,25 @@ def embedding_near_dup_lsh(
     buckets = F.array(
         *[lsh_bucket(v, dim, bits, seed + 1000003 * t) for t in range(tables)]
     )
+    # bucket rows carry ONLY (id, table, bucket) — shuffling the vector
+    # payload tables-times through the pair join would dominate exchange
+    # volume at scale; vectors re-attach to the deduped id pairs below
     banded = df.select(
-        F.col(id_col), v.alias("__v"), F.posexplode(buckets).alias("table", "bucket")
+        F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "table", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "table", "bucket"
-    )
-    cand = (
+    a = banded.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    ids = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col), v.alias("__v"))
+    cand = ids.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va")), "id_a"
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")), "id_b"
     )
     cos = _dot(F.col("__va"), F.col("__vb")) / (
         _norm(F.col("__va")) * _norm(F.col("__vb"))
@@ -344,7 +349,7 @@ def cosine_topk_lsh(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )

@@ -100,5 +100,12 @@ def stream_dedup_exact(
 
     out = fingerprint_md5(df, text_col)
     if ts_col is not None:
-        return out.withWatermark(ts_col, watermark).dropDuplicates(["fp", ts_col]).drop("fp")
+        # dropDuplicatesWithinWatermark dedups on fp ALONE with state aged
+        # by the watermark — dropDuplicates([fp, ts]) would only drop rows
+        # whose event time also matches exactly
+        return (
+            out.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fp"])
+            .drop("fp")
+        )
     return out.dropDuplicates(["fp"]).drop("fp")

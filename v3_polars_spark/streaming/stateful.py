@@ -77,7 +77,12 @@ def _fold_liquidity(
                 acc[t] = acc.get(t, 0.0) + sign * float(d)
                 touched.add(t)
 
-    state.update((list(acc.keys()), list(acc.values())))
+    # prune exactly-zero ticks (fully burned positions) from STATE so it
+    # tracks currently-initialized ticks, not ticks-ever-touched — the
+    # batch path drops them the same way; they still EMIT this batch so
+    # downstream sees the transition to 0
+    acc_live = {t: s for t, s in acc.items() if s != 0.0}
+    state.update((list(acc_live.keys()), list(acc_live.values())))
     out = sorted(touched)
     yield pd.DataFrame(
         {

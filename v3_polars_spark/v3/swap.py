@@ -572,6 +572,18 @@ def quote_ladder_multi(
         )
         .withColumn("branch", F.when(is_a, F.lit("A")).otherwise(F.lit("B")))
     )
-    return res.select(
+    priced = res.select(
         *amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"
     )
+    # contract: EVERY input amount row comes back. Pools with no factory
+    # row, no price before as_of, or no unambiguous in-range tick (states
+    # where the scalar path raises) return sufficient=false + NULLs
+    # instead of silently disappearing through the irv inner join.
+    unpriceable = amounts.join(irv.select(*by).distinct(), by, "left_anti")
+    extras = (
+        unpriceable.withColumn("amt_out", F.lit(None).cast("double"))
+        .withColumn("sqrt_price_last", F.lit(None).cast("double"))
+        .withColumn("branch", F.lit(None).cast("string"))
+        .withColumn("sufficient", F.lit(False))
+    )
+    return priced.unionByName(extras)
