@@ -172,6 +172,30 @@ def q_recode_map(spark, sf):
     return out.select("r_regionkey", "r_name", "code")
 
 
+def q_recode_join(spark, sf):
+    """P8 scale path: the same recode as a broadcast join against a
+    mapping dimension (recode_join) — identical results to the literal
+    map, pinned by sharing recode_map's oracle SQL shape."""
+    from v3_polars_spark.ops import recode_join
+
+    r = _t(spark, sf, "region")
+    mapping = spark.createDataFrame(
+        [("AFRICA", "AF"), ("AMERICA", "AM"), ("ASIA", "AS")], ["k", "v"]
+    )
+    out = recode_join(r, "r_name", mapping, "k", "v", out="code")
+    return out.select("r_regionkey", "r_name", "code")
+
+
+def dp_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs: banded 16-bit chunk prefilter + exact
+    Hamming verify (rows-only: xxhash64 has no portable SQL analog; the
+    operator's recall/precision contracts are pinned in tests)."""
+    from v3_polars_spark.datapipe import simhash, simhash_near_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_near_pairs(simhash(d), max_hamming=3)
+
+
 def q_json_extract(spark, sf):
     """Scalar funcs: JSON extraction + coalesce (reference flattens map
     access at ingest, allium.py:86-91)."""
@@ -826,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_math": q_derived_math,
         "cast_literal": q_cast_literal,
         "recode_map": q_recode_map,
+        "recode_join": q_recode_join,
         "json_extract": q_json_extract,
         "outer_join_coalesce": q_outer_join_coalesce,
         "theta_join": q_theta_join,
@@ -860,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_minhash_lsh": dp_minhash_lsh,
         "dp_dedup_near": dp_dedup_near,
         "dp_simhash": dp_simhash,
+        "dp_simhash_pairs": dp_simhash_pairs,
         "dp_embed_topk": dp_embed_topk,
         "dp_embed_topk_lsh": dp_embed_topk_lsh,
         "dp_embed_topk_ivf": dp_embed_topk_ivf,
@@ -1115,6 +1141,12 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "recode_map": """
+            SELECT r_regionkey, r_name,
+                   CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                               WHEN 'ASIA' THEN 'AS' ELSE NULL END AS code
+            FROM region
+        """,
+        "recode_join": """
             SELECT r_regionkey, r_name,
                    CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
                                WHEN 'ASIA' THEN 'AS' ELSE NULL END AS code
