@@ -26,6 +26,7 @@ from .similarity import (
     cosine_topk_lsh,
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
+    ivf_assign,
     ivf_build,
     ivf_topk,
     lsh_bucket,
@@ -54,6 +55,7 @@ __all__ = [
     "embedding_near_dup_lsh",
     "embedding_near_dup_pairs",
     "fingerprint_md5",
+    "ivf_assign",
     "ivf_build",
     "ivf_topk",
     "fingerprint_rolling",

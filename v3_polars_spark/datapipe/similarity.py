@@ -224,7 +224,7 @@ def ivf_build(
         "cluster_id", (F.row_number().over(w) - 1).cast("long")
     ).select("cluster_id", "centroid")
     for _ in range(iters):
-        assigned = _ivf_assign(c, centroids)
+        assigned = ivf_assign(c, centroids)
         centroids = (
             assigned.select(
                 "cluster_id", F.posexplode(F.col("__v")).alias("pos", "x")
@@ -242,7 +242,7 @@ def ivf_build(
     return centroids
 
 
-def _ivf_assign(c: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(c: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment by cosine: broadcast the (small)
     centroid table against the corpus, keep the argmax via max_by.
     Input ``c`` is (id, __v); output (id, __v, cluster_id). Ties prefer
@@ -287,7 +287,7 @@ def ivf_topk(
     the exact scan."""
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     centroids = ivf_build(corpus, n_centroids, iters, id_col, vec_col)
-    assigned = _ivf_assign(c, centroids)
+    assigned = ivf_assign(c, centroids)
 
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
