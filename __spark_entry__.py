@@ -486,7 +486,11 @@ def q_liquidity_dist(spark, sf):
         .withColumn("as_of", F.col("block_number") + F.col("transaction_index") / F.lit(1e4))
     )
     liq = liquidity_distribution(mb, as_of=12376626.0)
-    return liq.select("tick", F.round(F.col("liquidity") / 1e9, 0).alias("liquidity_1e9"))
+    # + 0.0 normalizes IEEE -0.0 (the telescoped top tick rounds to zero
+    # from either side; "-0.0" vs "0.0" breaks the sorted value compare)
+    return liq.select(
+        "tick", (F.round(F.col("liquidity") / 1e9, 0) + F.lit(0.0)).alias("liquidity_1e9")
+    )
 
 
 _TL_FRAMES = [12372000.0, 12374000.0, 12376626.0]
@@ -517,10 +521,16 @@ def q_liquidity_timeline(spark, sf):
         )
     )
     tl = liquidity_timeline(mb, _TL_FRAMES)
+    # 1e12 granularity (~9 significant digits of sums ~1e21): the frame-
+    # axis cumsum stacks two float accumulations whose partial-agg order
+    # is partition-dependent, so a 1e9 bucket put ~1-ulp jitter on the
+    # rounding boundary (observed one-digit flakes across runs)
     return tl.select(
         "frame_as_of",
         "tick",
-        F.round(F.col("liquidity") / 1e9, 0).alias("liquidity_1e9"),
+        # + 0.0 normalizes IEEE -0.0 (telescoped top ticks round to
+        # zero from either side; "-0.0" vs "0.0" breaks the sorted compare)
+        (F.round(F.col("liquidity") / 1e12, 0) + F.lit(0.0)).alias("liquidity_1e12"),
     )
 
 
@@ -1316,7 +1326,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM tl FULL OUTER JOIN tu ON tl.tick = tu.tick
             )
             SELECT tick,
-                   round(SUM(delta) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) / 1e9, 0)
+                   round(SUM(delta) OVER (ORDER BY tick ROWS UNBOUNDED PRECEDING) / 1e9, 0) + 0.0
                      AS liquidity_1e9
             FROM j
         """,
@@ -1500,8 +1510,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT frame_as_of, tick,
                    round(SUM(net) OVER (PARTITION BY frame_as_of ORDER BY tick
-                                        ROWS UNBOUNDED PRECEDING) / 1e9, 0)
-                     AS liquidity_1e9
+                                        ROWS UNBOUNDED PRECEDING) / 1e12, 0) + 0.0
+                     AS liquidity_1e12
             FROM net
         """,
         "dp_minhash_lsh": _minhash_sql(),
