@@ -107,3 +107,18 @@ def test_resample_buckets(spark):
 def test_segment_bounds(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], ["bn"])
     assert segment_bounds(df, "bn", 10) == 9
+
+
+def test_asof_join_takes_matched_row_as_unit(spark):
+    """join_asof semantics: the matched right ROW is taken whole — a null
+    value in the matched row must NOT be backfilled from an earlier row
+    (per-column fills would stitch together a row that never existed)."""
+    from v3_polars_spark.ops import asof_join
+
+    left = spark.createDataFrame([(3,)], ["t"])
+    right = spark.createDataFrame(
+        [(1, 100, None), (2, None, 5)], ["t", "price", "vol"]
+    )
+    row = asof_join(left, right, on="t", by=[]).first()
+    assert row["price"] is None  # from the matched t=2 row, not t=1's 100
+    assert row["vol"] == 5

@@ -63,23 +63,39 @@ def asof_join(
     cols = left.columns + value_cols + [_SIDE]
     unioned = left_tagged.select(*cols).unionByName(right_tagged.select(*cols))
 
+    # Pack ALL value columns into one struct that is NULL on left rows:
+    # per-column last(ignorenulls) would stitch fields from DIFFERENT right
+    # rows whenever a right value is null — join_asof semantics take the
+    # matched ROW as a unit, nulls included.
+    vals = F.when(
+        F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in value_cols])
+    ).otherwise(F.lit(None))
+    unioned = unioned.withColumn("__vals", vals)
+
     if strategy == "backward":
         w = (
             Window.partitionBy(*by)
             .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        fill = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
     else:
         w = (
             Window.partitionBy(*by)
             .orderBy(F.col(on).desc(), F.col(_SIDE).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        fill = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols]
+    filled = F.last(F.col("__vals"), ignorenulls=True).over(w)
 
     keep = [c for c in left.columns]
-    out = unioned.select(*keep, F.col(_SIDE), *fill).filter(F.col(_SIDE) == 1).drop(_SIDE)
+    out = (
+        unioned.select(
+            *keep,
+            F.col(_SIDE),
+            *[filled.getField(c).alias(c) for c in value_cols],
+        )
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE)
+    )
     return out
 
 

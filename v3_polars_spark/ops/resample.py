@@ -43,7 +43,16 @@ def resample(
     bucket_alias: str = "bucket_ts",
 ) -> DataFrame:
     """Tumbling-window aggregate: ``bucket_alias`` is the bucket START
-    timestamp (matches Polars group_by_dynamic's bucket label)."""
+    timestamp (matches Polars group_by_dynamic's bucket label).
+
+    Weekly buckets get startTime="96 hours": Spark aligns tumbling windows
+    to the epoch (1970-01-01, a Thursday) while Polars aligns "1w" buckets
+    to Monday — the offset shifts the grid to Monday boundaries."""
     interval = duration_to_interval(every)
-    out = df.groupBy(F.window(F.col(ts_col), interval).alias("__w")).agg(*aggs)
+    if interval.endswith("weeks"):
+        n = int(interval.split()[0])
+        win = F.window(F.col(ts_col), f"{n * 7} days", startTime="96 hours")
+    else:
+        win = F.window(F.col(ts_col), interval)
+    out = df.groupBy(win.alias("__w")).agg(*aggs)
     return out.withColumn(bucket_alias, F.col("__w.start")).drop("__w")

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 
 def _window(by: list[str] | None, order: list[str | Column], desc: bool = False):
-    keys = [F.col(c).desc() if desc else F.col(c).asc() if isinstance(c, str) else c for c in order]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    keys = [c.desc() if desc else c.asc() for c in cols]
     w = Window.partitionBy(*(by or [])).orderBy(*keys)
     return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -131,10 +132,21 @@ def cumsum_scalable(
         offsets[pid] = running
         running += tot or 0
     spark = df.sparkSession
+    # offsets keep the column's own numeric type (no float() coercion —
+    # long sums past 2^53 would silently lose precision as doubles) and
+    # the explicit schema also makes the empty-input case well-defined
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sum_type = ranged.schema["__local_cum"].dataType
+    off_schema = StructType(
+        [StructField("__pid", LongType()), StructField("__off", sum_type)]
+    )
+    conv = float if sum_type.typeName() in ("double", "float") else int
     offsets_df = spark.createDataFrame(
-        [(int(pid), float(off)) for pid, off in offsets.items()], ["__pid", "__off"]
+        [(int(pid), conv(off)) for pid, off in offsets.items()], off_schema
     )
+    zero = F.lit(0).cast(sum_type)
     joined = ranged.join(F.broadcast(offsets_df), "__pid", "left")
-    return joined.withColumn(out, F.col("__local_cum") + F.coalesce(F.col("__off"), F.lit(0.0))).drop(
-        "__pid", "__local_cum", "__off"
-    )
+    return joined.withColumn(
+        out, F.col("__local_cum") + F.coalesce(F.col("__off"), zero)
+    ).drop("__pid", "__local_cum", "__off")

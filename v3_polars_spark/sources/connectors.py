@@ -64,9 +64,13 @@ class LocalParquetConnector:
         return (row["lo"], row["hi"]) if row else (None, None)
 
     def segment_horizon(self, chain: str, table: str, min_block: int, tgt_max_rows: int):
+        # reference W7 orders by block_timestamp (gbq.py:49-71); the
+        # block_number tiebreak makes the horizon deterministic when many
+        # rows share a timestamp (ties are arbitrary under a distributed
+        # scan otherwise — SURVEY §8.1 Q3 policy: explicit total order)
         df = self._scan(chain, table).filter(F.col("block_number") >= min_block)
         row = (
-            df.orderBy(F.col("block_timestamp").asc())
+            df.orderBy(F.col("block_timestamp").asc(), F.col("block_number").asc())
             .limit(tgt_max_rows)
             .agg(F.max("block_number").alias("hi"))
             .first()

@@ -100,10 +100,13 @@ def ovm1_rewrite(df: DataFrame, mapping_df: DataFrame) -> DataFrame:
         )
         .withColumn("chain_name", F.lit("optimism"))
     )
-    if "address" in df.columns:
-        out = recode_join(
-            out, "address", mapping_df, key_col="oldaddress", value_col="newaddress"
-        )
+    # event tables recode `address`; the factory table recodes `pool`
+    # (reference data_update.py:266-276 handles exactly these two)
+    for col in ("address", "pool"):
+        if col in df.columns:
+            out = recode_join(
+                out, col, mapping_df, key_col="oldaddress", value_col="newaddress"
+            )
     return out
 
 
@@ -128,6 +131,20 @@ def update_tables(
         )
     if chain == "optimism" and ovm1_mapping is not None:
         for table in tables:
+            # idempotence: rewritten legacy rows all land at the synthetic
+            # block_number=1, which never occurs for live optimism data —
+            # if any such rows are already on disk, the replay has run
+            # (re-appending would double every legacy pool's liquidity)
+            try:
+                landed = T.read_table(spark, data_path, table)
+                already = not landed.filter(
+                    (F.col("chain_name") == "optimism")
+                    & (F.col("block_number") == 1)
+                ).isEmpty()
+            except Exception:
+                already = False
+            if already:
+                continue
             lo, hi = connector.min_max_block(OVM1_CHAIN, table)
             if lo is None:
                 continue

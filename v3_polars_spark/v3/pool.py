@@ -59,10 +59,14 @@ class Pool:
         self.max_supported = -1
         if pull:
             s, m = self.swaps, self.mb
-            self.max_supported = min(
+            bounds = [
                 s.agg(F.max("block_number")).first()[0],
                 m.agg(F.max("block_number")).first()[0],
-            )
+            ]
+            # a pool can have one table empty (initialized but never
+            # traded, or never minted): the completeness watermark is then
+            # undefined — keep the -1 sentinel instead of min(None, int)
+            self.max_supported = min(bounds) if all(b is not None for b in bounds) else -1
 
     # readFromMemoryOrDisk analogs (reference state.py:114-174) ------------
     @property
