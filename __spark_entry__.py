@@ -1247,9 +1247,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumsum": """
             SELECT user_id, event_id,
-                   SUM(CAST(round(value * 100) AS BIGINT))
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS cum_cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
             FROM events
         """,
         "lead": f"""

@@ -91,7 +91,7 @@ def main() -> int:
         if name not in oracles:
             try:
                 n = fn(spark, sf_dir).count()
-                print(f"  {name::<24} ROWS-ONLY ({n} rows)")
+                print(f"  {name:<24} ROWS-ONLY ({n} rows)")
             except Exception as e:
                 print(f"✗ {name:<24} ROWS-ONLY FAILED: {e}")
                 failed.append(name)

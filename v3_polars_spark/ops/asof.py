@@ -56,7 +56,10 @@ def asof_join(
     left_tagged = left.withColumn(_SIDE, F.lit(1))
     for c in value_cols:
         left_tagged = left_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    right_tagged = right.withColumn(_SIDE, F.lit(0))
+    # Polars join_asof never matches null keys; Spark's nulls-first ascending
+    # sort would otherwise let a null-`on` right row propagate to every left
+    # row before the first real right row.
+    right_tagged = right.filter(F.col(on).isNotNull()).withColumn(_SIDE, F.lit(0))
     for c in left.columns:
         if c not in right_tagged.columns:
             right_tagged = right_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))

@@ -64,7 +64,7 @@ def recode_join(
     m = F.broadcast(
         mapping_df.select(
             F.col(key_col).alias("__k"), F.col(value_col).alias("__recode_v")
-        )
+        ).dropDuplicates(["__k"])  # a dup mapping key would multiply event rows
     )
     joined = df.join(m, df[col] == m["__k"], "left").drop("__k")
     return joined.withColumn(out or col, F.col("__recode_v")).drop("__recode_v")

@@ -77,7 +77,12 @@ def update_table(
         horizon = min(horizon, hi)
         seg = connector.read_segment(spark, chain, table, resume, horizon)
         if seg.isEmpty():
-            break
+            # a block-range gap (possible when segment_horizon is an
+            # estimate, as with remote connectors): skip past it and keep
+            # going, matching the reference loop which advances min_block
+            # over empty ranges (data_update.py)
+            resume = horizon + 1
+            continue
         T.write_segment(seg, data_path, table)
         n_segments += 1
         resume = horizon + 1
