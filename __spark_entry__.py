@@ -188,12 +188,13 @@ def q_recode_join(spark, sf):
 
 def dp_simhash_pairs(spark, sf):
     """SimHash near-dup pairs: banded 16-bit chunk prefilter + exact
-    Hamming verify (rows-only: xxhash64 has no portable SQL analog; the
-    operator's recall/precision contracts are pinned in tests)."""
+    Hamming verify. md5-prefix token hashes make the signature
+    engine-portable — the oracle replays banding and verify exactly."""
     from v3_polars_spark.datapipe import simhash, simhash_near_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_near_pairs(simhash(d), max_hamming=3)
+    out = simhash_near_pairs(simhash(d), max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_json_extract(spark, sf):
@@ -605,8 +606,8 @@ def dp_minhash_lsh(spark, sf):
 
 
 def dp_simhash(spark, sf):
-    """64-bit SimHash signatures (xxhash64 token hashes — Spark-native; no
-    portable SQL analog, driver records rows-only)."""
+    """64-bit SimHash signatures (md5-prefix token hashes: bits 0-55 from
+    md5(tok), 56-63 from md5('S:'||tok) — exactly replayable in SQL)."""
     from v3_polars_spark.datapipe import simhash
 
     d = _t(spark, sf, "documents")
@@ -625,8 +626,9 @@ def dp_embed_topk(spark, sf):
 
 
 def dp_embed_topk_lsh(spark, sf):
-    """Hyperplane-LSH approximate top-k (rows-only: the plane literals are
-    plan-time constants; correctness pinned by tests + exact-path oracle)."""
+    """Hyperplane-LSH approximate top-k. The plane literals come from a
+    deterministic seeded generator, so the oracle SQL embeds the identical
+    constants and replays bucketing + re-rank exactly."""
     from v3_polars_spark.datapipe import cosine_topk_lsh
 
     e = _t(spark, sf, "embeddings")
@@ -659,9 +661,9 @@ def dp_embed_neardup(spark, sf):
 
 
 def dp_embed_neardup_lsh(spark, sf):
-    """Multi-table hyperplane-LSH near-dup pairs (rows-only: plane
-    literals are plan-time constants; precision pinned to 1.0 by the
-    exact cosine filter, recall checked in tests vs the exact path)."""
+    """Multi-table hyperplane-LSH near-dup pairs. Plane literals are
+    emitted into the oracle SQL (8 tables x 4 planes), so candidate
+    generation and the exact cosine verify replay identically."""
     from v3_polars_spark.datapipe import embedding_near_dup_lsh
 
     e = _t(spark, sf, "embeddings")
@@ -669,9 +671,9 @@ def dp_embed_neardup_lsh(spark, sf):
 
 
 def dp_embed_topk_ivf(spark, sf):
-    """IVF approximate top-k: deterministic coarse quantizer (xxhash64
+    """IVF approximate top-k: deterministic coarse quantizer (md5-prefix
     seed pick + one Lloyd step, all column ops), probe 3 of 8 inverted
-    lists (rows-only; recall vs exact pinned in tests)."""
+    lists; the oracle replays the full build/assign/probe pipeline."""
     from v3_polars_spark.datapipe import ivf_topk
 
     e = _t(spark, sf, "embeddings")
@@ -741,7 +743,8 @@ def q_quote_ladder(spark, sf):
 
 def mm_decode_features(spark, sf):
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
-    over binary payloads (deterministic fake decoder; rows-only)."""
+    over binary payloads (deterministic fake decoder). Payloads are ASCII
+    hex bytes, so the oracle regenerates and sha256-hashes them in SQL."""
     from v3_polars_spark.datapipe import decode_image_features, make_fake_media
 
     media = make_fake_media(spark, n=96)
@@ -1123,6 +1126,201 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) 
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
         WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
+
+
+def _simhash_sig_cte(bits: int = 64) -> str:
+    """CTEs ending in sig(doc_id, simhash) — mirror of datapipe.dedup.simhash:
+    56-bit md5-prefix token hash (bits 0-55) + salted md5 (bits 56-63),
+    frequency-weighted bit-majority vote."""
+    th1 = "(('0x' || substr(md5(tok), 1, 14))::BIGINT)"
+    th2 = "(('0x' || substr(md5('S:' || tok), 1, 14))::BIGINT)"
+    votes = []
+    for i in range(bits):
+        src, sh = (th1, i) if i < 56 else (th2, i - 56)
+        votes.append(
+            f"SUM(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        )
+    # bit 63 is the sign bit: Spark adds -(1<<63); summing bits 0..62 first
+    # peaks at exactly 2^63-1, still in BIGINT range
+    terms = [
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i if i < 63 else -(1 << 63)} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    ]
+    return f"""
+        toks AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+        ),
+        vb AS (SELECT doc_id, {", ".join(votes)} FROM toks GROUP BY doc_id),
+        sig AS (SELECT doc_id, {" + ".join(terms)} AS simhash FROM vb)
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, prefix_bands: int = 4) -> str:
+    chunk_bits = 64 // prefix_bands
+    mask = (1 << chunk_bits) - 1
+    return f"""
+        WITH {_simhash_sig_cte()},
+        banded AS (
+            SELECT doc_id, simhash, band,
+                   ((simhash >> (band * {chunk_bits})) & {mask}) AS chunk
+            FROM sig, unnest(generate_series(0, {prefix_bands - 1})) AS t(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+                            b.doc_id AS id_b, b.simhash AS sh_b
+            FROM banded a JOIN banded b USING (band, chunk)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+def _lsh_bucket_expr(vec_expr: str, dim: int, bits: int, seed: int) -> str:
+    """Mirror of similarity.lsh_bucket: the seeded plane literals are emitted
+    verbatim (repr round-trips doubles exactly), sign-of-dot per bit."""
+    from v3_polars_spark.datapipe.similarity import _planes
+
+    terms = []
+    for i, p in enumerate(_planes(dim, bits, seed)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0"
+            f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _embed_topk_lsh_sql(dim: int = 64, k: int = 10, bits: int = 4, seed: int = 42) -> str:
+    bucket = _lsh_bucket_expr("v", dim, bits, seed)
+    cos = _COS.format(a="qv", b="v")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, {bucket} AS bucket
+              FROM e WHERE vec_id < 3),
+        scored AS (
+            SELECT query_id, c.vec_id, {cos} AS cosine
+            FROM q JOIN c USING (bucket)
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _embed_neardup_lsh_sql(
+    dim: int = 64,
+    threshold: float = 0.4,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> str:
+    bucket_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_lsh_bucket_expr('v', dim, bits, seed + 1000003 * t)} AS bucket FROM e"
+        for t in range(tables)
+    )
+    cos = _COS.format(a="va.v", b="vb.v")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        buckets AS ({bucket_selects}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b USING (tbl, bucket)
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, {cos} AS cosine
+        FROM cand JOIN e va ON va.vec_id = id_a JOIN e vb ON vb.vec_id = id_b
+        WHERE {cos} >= {threshold}
+    """
+
+
+def _embed_topk_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 3) -> str:
+    """Full IVF replay: md5-prefix seed pick -> centroid ids by array order
+    -> one Lloyd step (argmax-cosine assign, per-position mean) -> re-assign
+    -> probe the n_probe nearest lists per query -> exact re-rank."""
+    seed_h = "(('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT)"
+    cos_vc = _COS.format(a="e.v", b="c.centroid")
+    cos_qc = _COS.format(a="q.qv", b="c.centroid")
+    cos_qv = _COS.format(a="qv", b="v")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        seeds AS (
+            SELECT v AS centroid FROM e ORDER BY {seed_h}, vec_id LIMIT {n_centroids}
+        ),
+        cent0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY centroid) - 1 AS BIGINT)
+                     AS cluster_id, centroid
+            FROM seeds
+        ),
+        asg0 AS (
+            SELECT vec_id, v, cluster_id FROM (
+                SELECT e.vec_id, e.v, c.cluster_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_vc} DESC, c.cluster_id) AS rn
+                FROM e CROSS JOIN cent0 c
+            ) WHERE rn = 1
+        ),
+        cent AS (
+            SELECT cluster_id, list(x ORDER BY pos) AS centroid FROM (
+                SELECT cluster_id, pos, avg(x) AS x FROM (
+                    SELECT cluster_id, i AS pos, v[i] AS x
+                    FROM asg0, unnest(generate_series(1, len(v))) AS t(i)
+                ) GROUP BY cluster_id, pos
+            ) GROUP BY cluster_id
+        ),
+        asg AS (
+            SELECT vec_id, v, cluster_id FROM (
+                SELECT e.vec_id, e.v, c.cluster_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_vc} DESC, c.cluster_id) AS rn
+                FROM e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        probes AS (
+            SELECT query_id, qv, cluster_id FROM (
+                SELECT q.query_id, q.qv, c.cluster_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY {cos_qc} DESC, c.cluster_id) AS pr
+                FROM q CROSS JOIN cent c
+            ) WHERE pr <= {n_probe}
+        ),
+        scored AS (
+            SELECT query_id, a.vec_id, {cos_qv} AS cosine
+            FROM probes p JOIN asg a USING (cluster_id)
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _mm_decode_sql(n: int = 96, seed: int = 7) -> str:
+    """Mirror of make_fake_media + the fake decoder's sha256/n_bytes outputs:
+    payload bytes are the ASCII hex digest repeated 4x, identical to the
+    Python generator, so sha256 over them matches hashlib exactly."""
+    return f"""
+        WITH p AS (
+            SELECT i AS media_id,
+                   repeat(sha256('{seed}:' || i::VARCHAR), 4) AS payload
+            FROM range({n}) AS t(i)
+        )
+        SELECT media_id, sha256(payload) AS sha256,
+               CAST(length(payload) AS BIGINT) AS n_bytes
+        FROM p
     """
 
 
@@ -1564,4 +1762,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 10
         """,
+        "dp_simhash": f"WITH {_simhash_sig_cte()} SELECT doc_id, simhash FROM sig",
+        "dp_simhash_pairs": _simhash_pairs_sql(max_hamming=3, prefix_bands=4),
+        "dp_embed_topk_lsh": _embed_topk_lsh_sql(dim=64, k=10, bits=4, seed=42),
+        "dp_embed_neardup_lsh": _embed_neardup_lsh_sql(
+            dim=64, threshold=0.4, bits=4, tables=8, seed=42
+        ),
+        "dp_embed_topk_ivf": _embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=3),
+        "mm_decode_features": _mm_decode_sql(n=96, seed=7),
     }

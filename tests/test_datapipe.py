@@ -211,7 +211,7 @@ def test_multimodal_fake_decode(spark):
     for r in feats:
         assert len(r["feature"]) == 8
         assert all(0.0 <= x < 1.0 for x in r["feature"])
-        assert r["n_bytes"] == 128
+        assert r["n_bytes"] == 256
     # determinism: same payload -> same feature
     again = decode_image_features(media, dim=8, fake=True).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))

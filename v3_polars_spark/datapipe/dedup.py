@@ -268,18 +268,32 @@ def minhash_lsh_pairs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document: per-token xxhash64, bit-majority vote
+    """64-bit SimHash per document: per-token hash, bit-majority vote
     weighted by token frequency. Exploding tokens + conditional-sum per bit
-    keeps everything in codegen'd aggregates (one shuffle on doc id)."""
+    keeps everything in codegen'd aggregates (one shuffle on doc id).
+
+    Token hashes are 56-bit md5-prefix ints (bits 0-55) extended by a
+    second salted md5 (bits 56-63) — the same engine-portable construction
+    as ``_minhash_h1_h2``, so a SQL oracle replays signatures exactly."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
-    h = toks.withColumn("th", F.xxhash64(F.col("tok")))
+    h = toks.withColumn(
+        "th1", F.conv(F.substring(F.md5(F.col("tok")), 1, 14), 16, 10).cast("long")
+    ).withColumn(
+        "th2",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("S:"), F.col("tok"))), 1, 14), 16, 10
+        ).cast("long"),
+    )
+
+    def _bit(i: int) -> Column:
+        src, sh = ("th1", i) if i < 56 else ("th2", i - 56)
+        return F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = h.groupBy(id_col).agg(*votes)

@@ -128,12 +128,16 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic fake media table for tests (payload = seeded bytes).
+
+    Payloads are ASCII hex bytes (not raw digests) so a SQL oracle can
+    regenerate them with string functions and hash the identical bytes —
+    the column is still BinaryType and the decode path treats it as opaque."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+        payload = (hashlib.sha256(f"{seed}:{i}".encode()).hexdigest() * 4).encode()
         rows.append(
             (
                 i,

@@ -207,15 +207,19 @@ def ivf_build(
 ) -> DataFrame:
     """Train an IVF coarse quantizer: (cluster_id, centroid array<double>).
 
-    Seeds are the n_centroids corpus vectors with smallest xxhash64(id) —
-    a deterministic distributed sample (TakeOrdered, never a full sort).
+    Seeds are the n_centroids corpus vectors with smallest md5-prefix
+    hash of their id — a deterministic distributed sample (TakeOrdered,
+    never a full sort) that any SQL engine replays exactly.
     ``iters`` Lloyd steps refine them: assign every vector to its nearest
     centroid (broadcast join + max_by — one scan, no shuffle of vectors),
     then recompute centroids as element-wise means via posexplode →
     groupBy(cluster, pos) avg → re-assemble. All built-in column ops."""
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    seed_h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
+    ).cast("long")
     seeds = (
-        c.orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        c.orderBy(seed_h.asc(), F.col(id_col).asc())
         .limit(n_centroids)
         .select(F.col("__v").alias("centroid"))
     )
