@@ -37,7 +37,7 @@ HEADLINE = [
     "series_pipeline",
     "dp_dedup_exact",
     "dp_minhash_lsh",
-    "dp_embed_topk",
+    "dp_embed_topk_ivf",
     "dp_text_stats",
 ]
 
@@ -59,6 +59,8 @@ def main() -> None:
         "sum(v) OVER (PARTITION BY k ORDER BY id) AS w"
     ).write.format("noop").mode("overwrite").save()
 
+    from v3_polars_spark.datapipe import release_intermediates
+
     qs = entrymod.queries()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
@@ -70,6 +72,7 @@ def main() -> None:
             _force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        release_intermediates()  # free per-query persisted shingle/edge frames
 
     total = round(sum(timings.values()), 4)
 

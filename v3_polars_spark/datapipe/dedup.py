@@ -26,6 +26,39 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, normalize_text
 
+# ---------------------------------------------------------------------------
+# persisted-intermediate tracking
+# ---------------------------------------------------------------------------
+
+# Shingle/edge intermediates are persisted because their common subtree has
+# no exchange boundary (pure scan+regex projection), so Spark's reuse rules
+# would re-execute it once per consumer. Persisted frames outlive the
+# returned lazy DataFrame; long-lived sessions call release_intermediates()
+# after consuming results to free executor storage.
+_INTERMEDIATES: list = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and remember it for ``release_intermediates``."""
+    df.persist()
+    _INTERMEDIATES.append(df)
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every tracked intermediate; returns how many were freed.
+    Safe to call any time — consumed results are unaffected (they rebuild
+    from lineage if re-executed)."""
+    n = 0
+    while _INTERMEDIATES:
+        df = _INTERMEDIATES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -116,7 +149,7 @@ def ngram_jaccard_pairs(
 
     The shared-shingle equi-join bounds the pair space to actually-similar
     candidates; |A∪B| = |A|+|B|-|A∩B| avoids a second pass over sets."""
-    sh = shingles(df, text_col, id_col, n).persist()
+    sh = _track(shingles(df, text_col, id_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -204,7 +237,7 @@ def minhash_lsh_pairs(
     # rows, hence no signature, no bucket, no candidate — the filter was
     # redundant AND forced CollapseProject to re-inline the shingle
     # expression into the filter condition (split x4 in the plan).
-    sets = shingle_sets(df, text_col, id_col, n).persist()
+    sets = _track(shingle_sets(df, text_col, id_col, n))
     shset = F.col("shset")
     # signatures on the EXPLODED form, not array_min(transform(...)):
     # higher-order-function lambdas run interpreted, while explode +
@@ -380,7 +413,7 @@ def connected_components(
         )
         .distinct()
         .persist()
-    )
+    )  # unpersisted below once the fixpoint loop ends
     labels = nodes.select(F.col(id_col).alias("src"), F.col(id_col).alias("rep"))
     for _ in range(max_iter):
         neighbor_min = (
@@ -388,7 +421,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("rep").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _track(
             labels.join(neighbor_min, "src", "left")
             .select(
                 "src",
@@ -396,7 +429,6 @@ def connected_components(
                     "rep"
                 ),
             )
-            .persist()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("rep", "old"), "src")

@@ -243,8 +243,16 @@ def quote_ladder(
         order = F.col("tick_a").asc()
     w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
     w_prev = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     # prev_* use the PRECEDING-rows window (not cum - current): identical
-    # left-to-right float accumulation as the scalar path's running sums
+    # left-to-right float accumulation as the scalar path's running sums.
+    # The reference-Q5 depth assert's max cum travels WITH each depth row:
+    # tick amounts are positive so max(cum) == the full-frame ordered sum —
+    # one more window over the same sort, no extra exchange, no second job.
+    # Kept asymmetric on purpose: max cum > left_to_swap (pre-fee) while
+    # the covering search uses >= left_minus_fee.
     depth = oor.select(
         F.col("tick_a").alias("__tick"),
         F.col("liquidity").alias("__liq"),
@@ -253,13 +261,8 @@ def quote_ladder(
         F.sum(in_key).over(w_cum).alias("__cum_in"),
         F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
         F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
+        F.sum(in_key).over(w_all).alias("__max_cum"),
     )
-    depth = depth.persist()
-    # reference Q5 asymmetry kept: depth assert uses max cum > left_to_swap
-    # (pre-fee) while the covering search uses >= left_minus_fee. The max
-    # stays IN the plan (1-row agg broadcast below) — no driver action, no
-    # second evaluation of the depth pipeline.
-    max_df = depth.agg(F.max("__cum_in").alias("__max_cum"))
 
     # --- amount side -----------------------------------------------------
     a_in = F.col(amount_col)
@@ -273,14 +276,16 @@ def quote_ladder(
     # covering row = min-cum depth row with cum_in >= axis (cum_in is
     # strictly increasing, so no ties). Broadcast join + min_by: map-side
     # partial agg, parallel over amount partitions.
-    depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
+    depth_cols = [
+        "__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out", "__max_cum"
+    ]
     cand = amt.join(
         F.broadcast(depth), F.col("__axis") <= F.col("__cum_in"), "left"
     )
     joined = cand.groupBy("__rid").agg(
         *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
         *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
-    ).crossJoin(F.broadcast(max_df))
+    )
 
     is_a = F.lit(in_range_test) > F.col("__swap_in_minus_fee")
     liq, sp = F.lit(irv.liquidity), F.lit(irv.sqrt_p)
@@ -476,6 +481,12 @@ def quote_ladder_multi(
     w_prev = Window.partitionBy(*by).orderBy(order).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    w_all = Window.partitionBy(*by).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # per-pool max cum rides along in the same partitioned window pass
+    # (positive tick amounts: max(cum) == full-frame ordered sum) — no
+    # separate aggregate, no persist, no extra join
     depth = oor.select(
         *by,
         F.col("tick_a").alias("__tick"),
@@ -485,8 +496,8 @@ def quote_ladder_multi(
         F.sum(in_key).over(w_cum).alias("__cum_in"),
         F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
         F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
-    ).persist()
-    max_df = depth.groupBy(*by).agg(F.max("__cum_in").alias("__max_cum"))
+        F.sum(in_key).over(w_all).alias("__max_cum"),
+    )
 
     # amount side: join per-pool irv scalars, then the covering join
     in_range_test = F.col("__in_range0") if zero_for_one else F.col("__in_range1")
@@ -505,7 +516,9 @@ def quote_ladder_multi(
         .withColumn("__irt", in_range_test)
         .withColumn("__irts", in_range_to_swap)
     )
-    depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
+    depth_cols = [
+        "__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out", "__max_cum"
+    ]
     # covering condition lives IN the left join: quotes no depth row covers
     # (insufficient) must survive with NULL depth columns, not be dropped
     depth_r = depth.select(
@@ -518,13 +531,9 @@ def quote_ladder_multi(
         cond = cond & (amt[k] == depth_r[f"__d_{k}"])
     cond = cond & (F.col("__axis") <= F.col("__cum_in"))
     cand = amt.join(depth_r, cond, "left")
-    joined = (
-        cand.groupBy("__rid")
-        .agg(
-            *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
-            *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
-        )
-        .join(max_df, by, "left")
+    joined = cand.groupBy("__rid").agg(
+        *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
+        *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
     )
 
     is_a = F.col("__irt") > F.col("__swap_in_minus_fee")
