@@ -5,10 +5,14 @@ from .ingest import (
     update_table,
     update_tables,
 )
+from .warehouse import NFP_MANAGER, AlliumSource, BigQuerySource
 
 __all__ = [
+    "AlliumSource",
+    "BigQuerySource",
     "Connector",
     "LocalParquetConnector",
+    "NFP_MANAGER",
     "max_landed_block",
     "ovm1_rewrite",
     "rows_to_dataframe",
