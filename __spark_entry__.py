@@ -806,6 +806,61 @@ def q_swap_frame(spark, sf):
     )
 
 
+def q_nfp_positions(spark, sf):
+    """The NFP position-attribution join (tables.SCHEMAS['nfp'] side vs
+    core mint/burns): 4 equi keys + the log-ordering theta residual
+    (reference allium.py:193-210), driven by deterministic synthetic
+    sides derived from lineitem so the oracle replays row-for-row.
+    One in three nfp rows deliberately violates the log-order predicate
+    and must drop; linenumbers > 4 have no nfp event at all."""
+    from v3_polars_spark.v3 import nfp_positions
+
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    mb = li.select(
+        F.col("l_orderkey").cast("string").alias("transaction_hash"),
+        qty.cast("string").alias("amount"),
+        F.col("l_partkey").cast("string").alias("amount0"),
+        F.col("l_suppkey").cast("string").alias("amount1"),
+        (F.col("l_linenumber") * 2).cast("long").alias("log_index"),
+        F.concat(F.lit("pool_"), (F.col("l_suppkey") % 4).cast("string")).alias(
+            "address"
+        ),
+        ((F.col("l_partkey") % 100) * 10).cast("long").alias("tick_lower"),
+        ((F.col("l_partkey") % 100) * 10 + 60).cast("long").alias("tick_upper"),
+    )
+    nfp = (
+        li.filter((F.col("l_orderkey") % 20 == 0) & (F.col("l_linenumber") <= 4))
+        .select(
+            F.when(qty % 2 == 0, F.lit("IncreaseLiquidity"))
+            .otherwise(F.lit("DecreaseLiquidity"))
+            .alias("name"),
+            F.lit("ethereum").alias("chain_name"),
+            F.col("l_orderkey").cast("string").alias("transaction_hash"),
+            F.col("l_orderkey").cast("long").alias("block_number"),
+            F.col("l_linenumber").cast("long").alias("tx_index"),
+            F.concat(F.lit("user_"), (F.col("l_orderkey") % 97).cast("string")).alias(
+                "from_address"
+            ),
+            qty.cast("string").alias("amount"),
+            F.col("l_partkey").cast("string").alias("amount0"),
+            F.col("l_suppkey").cast("string").alias("amount1"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("string")
+            .alias("tokenId"),
+            # every third linenumber gets log_index BELOW its core event —
+            # the theta predicate must reject it
+            (
+                F.col("l_linenumber") * 2
+                + F.when(F.col("l_linenumber") % 3 == 0, F.lit(-2)).otherwise(F.lit(1))
+            )
+            .cast("long")
+            .alias("log_index"),
+        )
+    )
+    return nfp_positions(nfp, mb)
+
+
 def q_normalize(spark, sf):
     """Notebook-parity normalization (Crosschain_Liquidity_GIF.ipynb cell 12):
     (x - min) / (max - min) per group — global aggs joined back."""
@@ -898,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embed_neardup": dp_embed_neardup,
         "dp_embed_neardup_lsh": dp_embed_neardup_lsh,
         "mm_decode_features": mm_decode_features,
+        "nfp_positions": q_nfp_positions,
     }
 
 
@@ -1763,4 +1819,45 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dp_embed_topk_ivf": _embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=3),
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
+        "nfp_positions": """
+            WITH mb AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS transaction_hash,
+                       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS amount,
+                       CAST(l_partkey AS VARCHAR) AS amount0,
+                       CAST(l_suppkey AS VARCHAR) AS amount1,
+                       CAST(l_linenumber * 2 AS BIGINT) AS core_log_index,
+                       'pool_' || CAST(l_suppkey % 4 AS VARCHAR) AS address,
+                       CAST((l_partkey % 100) * 10 AS BIGINT) AS tick_lower,
+                       CAST((l_partkey % 100) * 10 + 60 AS BIGINT) AS tick_upper
+                FROM lineitem
+            ),
+            nfp AS (
+                SELECT CASE WHEN CAST(l_quantity AS BIGINT) % 2 = 0
+                            THEN 'IncreaseLiquidity'
+                            ELSE 'DecreaseLiquidity' END AS name,
+                       'ethereum' AS chain_name,
+                       CAST(l_orderkey AS VARCHAR) AS transaction_hash,
+                       CAST(l_orderkey AS BIGINT) AS block_number,
+                       CAST(l_linenumber AS BIGINT) AS tx_index,
+                       'user_' || CAST(l_orderkey % 97 AS VARCHAR) AS from_address,
+                       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS amount,
+                       CAST(l_partkey AS VARCHAR) AS amount0,
+                       CAST(l_suppkey AS VARCHAR) AS amount1,
+                       CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS tokenId,
+                       CAST(l_linenumber * 2
+                            + CASE WHEN l_linenumber % 3 = 0 THEN -2 ELSE 1 END
+                            AS BIGINT) AS nfp_log_index
+                FROM lineitem
+                WHERE l_orderkey % 20 = 0 AND l_linenumber <= 4
+            )
+            SELECT n.name, n.chain_name, n.transaction_hash, n.block_number,
+                   n.tx_index, n.from_address, n.amount, n.amount0, n.amount1,
+                   n.tokenId, m.address, m.tick_lower, m.tick_upper
+            FROM nfp n INNER JOIN mb m
+              ON n.transaction_hash = m.transaction_hash
+             AND n.amount = m.amount
+             AND n.amount0 = m.amount0
+             AND n.amount1 = m.amount1
+             AND n.nfp_log_index > m.core_log_index
+        """,
     }

@@ -122,3 +122,30 @@ def test_asof_join_takes_matched_row_as_unit(spark):
     row = asof_join(left, right, on="t", by=[]).first()
     assert row["price"] is None  # from the matched t=2 row, not t=1's 100
     assert row["vol"] == 5
+
+
+def test_nfp_positions_theta_join(spark):
+    """NFP->core matching: 4 equi keys AND nfp.log_index strictly above the
+    core event's; equal log_index or any key mismatch drops the row."""
+    from v3_polars_spark.v3 import nfp_positions
+
+    nfp = spark.createDataFrame(
+        [
+            # (name, chain, hash, bn, tx_index, from, amount, a0, a1, tokenId, log_index)
+            ("IncreaseLiquidity", "ethereum", "0xa", 10, 1, "u1", "5", "1", "2", "7", 3),
+            ("IncreaseLiquidity", "ethereum", "0xa", 10, 1, "u1", "5", "1", "2", "8", 2),  # == core: drop
+            ("DecreaseLiquidity", "ethereum", "0xb", 11, 2, "u2", "9", "1", "2", "9", 5),  # no core row: drop
+        ],
+        "name string, chain_name string, transaction_hash string, block_number long, "
+        "tx_index long, from_address string, amount string, amount0 string, "
+        "amount1 string, tokenId string, log_index long",
+    )
+    mb = spark.createDataFrame(
+        [("0xa", "5", "1", "2", 2, "0xpool", -60, 60)],
+        "transaction_hash string, amount string, amount0 string, amount1 string, "
+        "log_index long, address string, tick_lower long, tick_upper long",
+    )
+    out = nfp_positions(nfp, mb).collect()
+    assert len(out) == 1
+    assert out[0]["tokenId"] == "7" and out[0]["address"] == "0xpool"
+    assert out[0]["tick_lower"] == -60 and out[0]["tick_upper"] == 60

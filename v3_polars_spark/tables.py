@@ -89,6 +89,16 @@ SCHEMAS: dict[str, StructType] = {
             "from_address:s transaction_index:l gas_price:s gas_used:s l1_fee:s"
         )
     ),
+    # decoded NonfungiblePositionManager events (the raw nfp SIDE before
+    # matching to core mint/burns — reference allium.py:178-192 inner
+    # subquery; amounts are 256-bit strings like every event table)
+    "nfp": StructType(
+        _fields(
+            "chain_name:s name:s transaction_hash:s block_number:l "
+            "tx_index:l from_address:s amount:s amount0:s amount1:s "
+            "tokenId:s log_index:l"
+        )
+    ),
 }
 
 

@@ -5,6 +5,7 @@ from .liquidity import (
     liquidity_timeline,
 )
 from .pool import Pool
+from .positions import POSITION_COLUMNS, nfp_positions
 from .series import bn_at_date, bn_series, price_series, tick_series
 from .swap import (
     InRangeValues,
@@ -24,6 +25,8 @@ __all__ = [
     "liquidity_distribution",
     "liquidity_distribution_multi",
     "liquidity_timeline",
+    "nfp_positions",
+    "POSITION_COLUMNS",
     "price_series",
     "quote_ladder",
     "quote_ladder_multi",
