@@ -749,6 +749,35 @@ def q_quote_ladder(spark, sf):
     )
 
 
+def q_quote_fees(spark, sf):
+    """Per-tick LP fee attribution from the batched quote ladder
+    (fees=True): one row per (quote, crossed tick), ln-rounded like the
+    other pow-derived outputs. Insufficient quotes contribute no rows
+    (explode drops their NULL array) — matching the scalar path, which
+    asserts before producing a fee_dict."""
+    from v3_polars_spark.v3.swap import InRangeValues, quote_ladder, swap_frame
+
+    liq = _ref_liq(spark)
+    sf_df = swap_frame(liq, tick_spacing=60, min_liquidity=1e9)
+    amounts = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(_QL_AMOUNTS)], ["quote_id", "amount_in"]
+    )
+    out = quote_ladder(
+        sf_df,
+        InRangeValues(**_QL_IRV),
+        token_in_is_token1=False,
+        amounts=amounts,
+        fee_ppm=3000,
+        fees=True,
+    )
+    return out.select("quote_id", F.explode("fees").alias("f")).select(
+        "quote_id",
+        F.col("f.tick").alias("tick"),
+        F.round(F.log(F.col("f.fee")), 6).alias("ln_fee"),
+        F.round(F.log(F.col("f.liquidity")), 6).alias("ln_liq"),
+    )
+
+
 def mm_decode_features(spark, sf):
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake decoder). Payloads are ASCII
@@ -954,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embed_neardup_lsh": dp_embed_neardup_lsh,
         "mm_decode_features": mm_decode_features,
         "nfp_positions": q_nfp_positions,
+        "quote_fees": q_quote_fees,
     }
 
 
@@ -1028,13 +1058,14 @@ def _text_stats_sql() -> str:
     """
 
 
-def _quote_ladder_sql() -> str:
-    """DuckDB replay of q_quote_ladder: the same swap-frame CTE chain, the
-    covering-tick search as min_by over cum_in >= axis (== the Spark
-    forward as-of join), branch math with the identical golden literals."""
+def _quote_ladder_ctes() -> str:
+    """The shared DuckDB CTE chain for the quote-ladder oracles: swap frame
+    from the reference example data, direction-ordered cumulative depth,
+    the covering-tick search as min_by over cum_in >= axis (== the Spark
+    forward as-of join), branch/sufficiency math with the identical golden
+    literals."""
     sp = repr(_QL_IRV["sqrt_p"])
     irt = repr(_QL_IRV["in_range0"])
-    irts = repr(_QL_IRV["in_range_to_swap0"])
     liq0 = repr(_QL_IRV["liquidity"])
     omf = repr(1 - 3000 / 1e6)
     tick0 = _QL_IRV["tick"]
@@ -1087,7 +1118,7 @@ def _quote_ladder_sql() -> str:
             FROM px WHERE tick_a < {tick0}
         ),
         dcum AS (
-            SELECT tick_a, liquidity, pa, pb,
+            SELECT tick_a, liquidity, pa, pb, x_in,
                    SUM(x_in) OVER w AS cum_in,
                    COALESCE(SUM(x_in) OVER wp, 0.0) AS prev_in,
                    COALESCE(SUM(y_in) OVER wp, 0.0) AS prev_out
@@ -1116,16 +1147,26 @@ def _quote_ladder_sql() -> str:
         ),
         mx AS (SELECT MAX(cum_in) AS max_cum FROM dcum),
         calc AS (
-            SELECT a2.quote_id,
+            SELECT a2.quote_id, a2.amount_in, a2.left_amt, a2.axis,
                    CASE WHEN {irt} > a_mf THEN 'A' ELSE 'B' END AS branch,
                    ({irt} > a_mf) OR (c_tick IS NOT NULL AND max_cum > left_amt)
                      AS sufficient,
                    ({liq0} * {sp}) / ({liq0} + a_mf * {sp}) AS spl_a,
                    (c_liq * c_pb)
                      / (c_liq + ((left_amt - c_prev_in) * {omf}) * c_pb) AS spl_b,
-                   c_liq, c_pb, c_prev_out
+                   c_tick, c_liq, c_pb, c_prev_in, c_prev_out
             FROM a2 JOIN cov ON cov.quote_id = a2.quote_id CROSS JOIN mx
         )
+    """
+
+
+def _quote_ladder_sql() -> str:
+    """DuckDB replay of q_quote_ladder over the shared CTE chain."""
+    sp = repr(_QL_IRV["sqrt_p"])
+    irts = repr(_QL_IRV["in_range_to_swap0"])
+    liq0 = repr(_QL_IRV["liquidity"])
+    return f"""
+        {_quote_ladder_ctes()}
         SELECT quote_id, branch, sufficient,
                round(ln(CASE WHEN NOT sufficient THEN NULL
                              WHEN branch = 'A'
@@ -1136,6 +1177,38 @@ def _quote_ladder_sql() -> str:
                round(ln(CASE WHEN NOT sufficient THEN NULL
                              WHEN branch = 'A' THEN spl_a ELSE spl_b END), 6) AS ln_spl
         FROM calc
+    """
+
+
+def _quote_fees_sql() -> str:
+    """DuckDB replay of q_quote_fees: per-tick fee attribution rows for
+    every sufficient quote — branch A's single in-range entry, branch B's
+    in-range + fully-crossed + partial covering entries (the scalar
+    fee_dict, reference swap.py:141-142,148-149,180-183)."""
+    irt = repr(_QL_IRV["in_range0"])
+    liq0 = repr(_QL_IRV["liquidity"])
+    tick0 = _QL_IRV["tick"]
+    ff = repr(3000 / 1e6)
+    return f"""
+        {_quote_ladder_ctes()}
+        SELECT quote_id, tick, round(ln(fee), 6) AS ln_fee,
+               round(ln(liquidity), 6) AS ln_liq
+        FROM (
+            SELECT quote_id, CAST({tick0} AS BIGINT) AS tick,
+                   amount_in * {ff} AS fee, {liq0} AS liquidity
+            FROM calc WHERE sufficient AND branch = 'A'
+            UNION ALL
+            SELECT quote_id, CAST({tick0} AS BIGINT),
+                   {irt} * {ff}, {liq0}
+            FROM calc WHERE sufficient AND branch = 'B'
+            UNION ALL
+            SELECT c.quote_id, d.tick_a, d.x_in * {ff}, d.liquidity
+            FROM calc c JOIN dcum d ON d.cum_in < c.axis
+            WHERE c.sufficient AND c.branch = 'B'
+            UNION ALL
+            SELECT quote_id, c_tick, (left_amt - c_prev_in) * {ff}, c_liq
+            FROM calc WHERE sufficient AND branch = 'B'
+        )
     """
 
 
@@ -1819,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dp_embed_topk_ivf": _embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=3),
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
+        "quote_fees": _quote_fees_sql(),
         "nfp_positions": """
             WITH mb AS (
                 SELECT CAST(l_orderkey AS VARCHAR) AS transaction_hash,

@@ -295,3 +295,79 @@ def test_quote_ladder_multi_matches_per_pool_scalar(spark, ref_examples):
         assert r["sqrt_price_last"] == wspl, (addr, a)
         checked += 1
     assert checked >= 4  # several pools actually compared bit-exactly
+
+
+def test_quote_ladder_fees_match_scalar_fee_dict(pool, spark):
+    """fees=True parity: the batched per-tick fee array must carry the
+    identical (tick, fee, liquidity) entries as the scalar path's
+    fee_dict — branch A (single in-range entry) and deep branch B
+    (in-range + every crossed tick + partial covering tick)."""
+    as_of = 12376626
+    amounts = [1e18, 1e21, 1e23]  # A, shallow B, deep B
+    adf = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(amounts)], ["quote_id", "amount_in"]
+    )
+    for token_in in (pool.token0, pool.token1):
+        got = {
+            r["quote_id"]: r
+            for r in pool.quote_ladder(as_of, token_in, adf, fees=True).collect()
+        }
+        for i, a in enumerate(amounts):
+            _, (_, _, fee_dict) = pool.swap_in(
+                {"as_of": as_of, "tokenIn": token_in, "swapIn": a, "fees": True}
+            )
+            have = {e["tick"]: (e["fee"], e["liquidity"]) for e in got[i]["fees"]}
+            assert have == fee_dict, (token_in, a)
+
+
+def test_quote_ladder_multi_fees(spark, ref_examples):
+    """fees=True on the many-pool path: per-pool fee arrays match the
+    scalar fee_dict through the same harness as the amt_out parity test."""
+    import math
+
+    from v3_polars_spark.v3 import Pool
+    from v3_polars_spark.v3.swap import quote_ladder_multi
+    from v3_polars_spark import tables as T
+
+    pool = Pool(
+        spark,
+        "0x1d42064FC4Beb5F8aAF85F4617AE8b3b5B8Bd801",
+        "ethereum",
+        ref_examples,
+    )
+    as_of = 12376626.0
+    mb = T.with_as_of(
+        T.read_table(spark, ref_examples, "pool_mint_burn_events")
+    ).withColumns(
+        {
+            "amount": F.col("amount").cast("double"),
+            "tick_lower": F.col("tick_lower").cast("long"),
+            "tick_upper": F.col("tick_upper").cast("long"),
+            "type_of_event": F.col("type_of_event").cast("double"),
+        }
+    )
+    swaps = T.with_as_of(
+        T.read_table(spark, ref_examples, "pool_swap_events")
+    )
+    factory = T.read_table(
+        spark, ref_examples, "factory_pool_created"
+    ).withColumnRenamed("pool", "address")
+    amounts = spark.createDataFrame(
+        [("ethereum", pool.pool, i, a) for i, a in enumerate([1e21, 1e22, 1e23])],
+        ["chain_name", "address", "quote_id", "amount_in"],
+    )
+    rows = quote_ladder_multi(
+        mb, swaps, factory, amounts, as_of, zero_for_one=True, fees=True
+    ).collect()
+    for r in rows:
+        a = [1e21, 1e22, 1e23][r["quote_id"]]
+        _, (_, _, fee_dict) = pool.swap_in(
+            {"as_of": as_of, "tokenIn": pool.token0, "swapIn": a, "fees": True}
+        )
+        have = {e["tick"]: (e["fee"], e["liquidity"]) for e in r["fees"]}
+        assert set(have) == set(fee_dict), a
+        for t in fee_dict:
+            wf, wl = fee_dict[t]
+            hf, hl = have[t]
+            assert hl == wl
+            assert math.isclose(hf, wf, rel_tol=1e-12), (t, hf, wf)

@@ -148,11 +148,18 @@ class Pool:
         )
 
     def quote_ladder(
-        self, as_of: float, token_in: str, amounts: DataFrame, amount_col: str = "amount_in"
+        self,
+        as_of: float,
+        token_in: str,
+        amounts: DataFrame,
+        amount_col: str = "amount_in",
+        fees: bool = False,
     ) -> DataFrame:
         """Batched swapIn: quote every amount in ``amounts`` at one as_of in
         a single distributed plan (forward as-of join on cumulative depth).
-        Bit-identical to looping swap_in; see swap.quote_ladder."""
+        Bit-identical to looping swap_in; ``fees=True`` adds the per-tick
+        fee attribution array (scalar fee_dict parity); see
+        swap.quote_ladder."""
         _, irv = self.calc_swap_df(as_of)
         sdf = swap_frame(self.create_liq(as_of), self.ts)
         return quote_ladder(
@@ -162,6 +169,7 @@ class Pool:
             amounts=amounts,
             fee_ppm=self.fee,
             amount_col=amount_col,
+            fees=fees,
         )
 
     # series ----------------------------------------------------------------

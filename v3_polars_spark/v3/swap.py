@@ -199,6 +199,7 @@ def quote_ladder(
     amounts: DataFrame,
     fee_ppm: int,
     amount_col: str = "amount_in",
+    fees: bool = False,
 ) -> DataFrame:
     """Batched swapIn: quote MANY input amounts against one swap frame in a
     single distributed plan — the batch-of-swaps generalization SURVEY.md
@@ -223,7 +224,14 @@ def quote_ladder(
     get sufficient=false and NULL outputs instead of the scalar assert.
 
     Output: all ``amounts`` columns + amt_out, sqrt_price_last, branch
-    ('A'|'B'), sufficient.
+    ('A'|'B'), sufficient; with ``fees=True`` also ``fees`` — an
+    array<struct<tick,fee,liquidity>> of per-tick LP fee attribution,
+    value-identical to the scalar path's fee_dict (reference
+    v3/helpers/swap.py:141-142,148-149,180-183): the in-range tick's fee,
+    one entry per fully-crossed tick, and the partial covering tick. In
+    fee mode the covering join keeps every crossed-tick row instead of
+    only the covering one — the output is inherently per-crossed-tick, so
+    that is the minimal join, not overhead.
     """
     zero_for_one = not token_in_is_token1
     fee_frac = fee_ppm / 1e6
@@ -258,6 +266,7 @@ def quote_ladder(
         F.col("liquidity").alias("__liq"),
         F.col("p_a").alias("__p_a"),
         F.col("p_b").alias("__p_b"),
+        F.col(in_key).alias("__in_amt"),
         F.sum(in_key).over(w_cum).alias("__cum_in"),
         F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
         F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
@@ -276,15 +285,37 @@ def quote_ladder(
     # covering row = min-cum depth row with cum_in >= axis (cum_in is
     # strictly increasing, so no ties). Broadcast join + min_by: map-side
     # partial agg, parallel over amount partitions.
-    depth_cols = [
-        "__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out", "__max_cum"
-    ]
-    cand = amt.join(
-        F.broadcast(depth), F.col("__axis") <= F.col("__cum_in"), "left"
-    )
+    depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
+    if fees:
+        # keep ALL depth rows per amount: crossed ticks feed the fee array,
+        # the covering row is selected inside the aggregate
+        cand = amt.join(F.broadcast(depth), F.lit(True), "left")
+        qual = F.when(F.col("__axis") <= F.col("__cum_in"), F.col("__cum_in"))
+        fee_aggs = [
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__cum_in") < F.col("__axis"),
+                        F.struct(
+                            F.col("__tick").alias("tick"),
+                            (F.col("__in_amt") * F.lit(fee_frac)).alias("fee"),
+                            F.col("__liq").alias("liquidity"),
+                        ),
+                    )
+                )
+            ).alias("__prev_fees")
+        ]
+    else:
+        cand = amt.join(
+            F.broadcast(depth), F.col("__axis") <= F.col("__cum_in"), "left"
+        )
+        qual = F.col("__cum_in")
+        fee_aggs = []
     joined = cand.groupBy("__rid").agg(
         *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
-        *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
+        *[F.min_by(c, qual).alias(c) for c in depth_cols],
+        F.max("__max_cum").alias("__max_cum"),
+        *fee_aggs,
     )
 
     is_a = F.lit(in_range_test) > F.col("__swap_in_minus_fee")
@@ -333,9 +364,45 @@ def quote_ladder(
         )
         .withColumn("branch", F.when(is_a, F.lit("A")).otherwise(F.lit("B")))
     )
-    return res.select(
-        *amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"
-    )
+    out_cols = [*amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"]
+    if fees:
+        # scalar fee_dict parity (swap_in fees=True): branch A charges the
+        # whole amount at the in-range tick; branch B charges the in-range
+        # capacity there, each crossed tick's full tradable input, and the
+        # residual at the covering tick — identical operand order per entry
+        def _entry(tick, fee, liquidity):
+            return F.struct(
+                tick.cast("long").alias("tick"),
+                fee.alias("fee"),
+                liquidity.alias("liquidity"),
+            )
+
+        fee_a = F.array(_entry(F.lit(irv.tick), a_in * F.lit(fee_frac), F.lit(irv.liquidity)))
+        fee_b = F.concat(
+            F.array(
+                _entry(
+                    F.lit(irv.tick),
+                    F.lit(in_range_test * fee_frac),
+                    F.lit(irv.liquidity),
+                )
+            ),
+            F.col("__prev_fees"),
+            F.array(
+                _entry(
+                    F.col("__tick"),
+                    (F.col("__left") - F.col("__prev_in")) * F.lit(fee_frac),
+                    F.col("__liq"),
+                )
+            ),
+        )
+        res = res.withColumn(
+            "fees",
+            F.when(~F.col("sufficient"), F.lit(None))
+            .when(is_a, fee_a)
+            .otherwise(fee_b),
+        )
+        out_cols.append("fees")
+    return res.select(*out_cols)
 
 
 def quote_ladder_multi(
@@ -347,6 +414,7 @@ def quote_ladder_multi(
     zero_for_one: bool,
     by: list[str] = ("chain_name", "address"),
     amount_col: str = "amount_in",
+    fees: bool = False,
 ) -> DataFrame:
     """Batched swapIn across MANY pools in one distributed plan — the full
     scale generalization: every per-pool scalar the single-pool path
@@ -493,6 +561,7 @@ def quote_ladder_multi(
         F.col("liquidity").alias("__liq"),
         F.col("p_a").alias("__p_a"),
         F.col("p_b").alias("__p_b"),
+        F.col(in_key).alias("__in_amt"),
         F.sum(in_key).over(w_cum).alias("__cum_in"),
         F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
         F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
@@ -516,24 +585,48 @@ def quote_ladder_multi(
         .withColumn("__irt", in_range_test)
         .withColumn("__irts", in_range_to_swap)
     )
-    depth_cols = [
-        "__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out", "__max_cum"
-    ]
+    depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
     # covering condition lives IN the left join: quotes no depth row covers
     # (insufficient) must survive with NULL depth columns, not be dropped
     depth_r = depth.select(
         *[F.col(k).alias(f"__d_{k}") for k in by],
         *depth_cols,
+        "__in_amt",
         "__cum_in",
+        "__max_cum",
     )
     cond = F.lit(True)
     for k in by:
         cond = cond & (amt[k] == depth_r[f"__d_{k}"])
-    cond = cond & (F.col("__axis") <= F.col("__cum_in"))
+    if fees:
+        # equi-join on the pool keys only: every crossed tick row feeds the
+        # fee array; the covering row is picked inside the aggregate
+        qual = F.when(F.col("__axis") <= F.col("__cum_in"), F.col("__cum_in"))
+        fee_frac_c = F.col("__fee") / F.lit(1e6)
+        fee_aggs = [
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__cum_in") < F.col("__axis"),
+                        F.struct(
+                            F.col("__tick").alias("tick"),
+                            (F.col("__in_amt") * fee_frac_c).alias("fee"),
+                            F.col("__liq").alias("liquidity"),
+                        ),
+                    )
+                )
+            ).alias("__prev_fees")
+        ]
+    else:
+        cond = cond & (F.col("__axis") <= F.col("__cum_in"))
+        qual = F.col("__cum_in")
+        fee_aggs = []
     cand = amt.join(depth_r, cond, "left")
     joined = cand.groupBy("__rid").agg(
         *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
-        *[F.min_by(c, "__cum_in").alias(c) for c in depth_cols],
+        *[F.min_by(c, qual).alias(c) for c in depth_cols],
+        F.max("__max_cum").alias("__max_cum"),
+        *fee_aggs,
     )
 
     is_a = F.col("__irt") > F.col("__swap_in_minus_fee")
@@ -581,9 +674,46 @@ def quote_ladder_multi(
         )
         .withColumn("branch", F.when(is_a, F.lit("A")).otherwise(F.lit("B")))
     )
-    priced = res.select(
-        *amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"
-    )
+    out_cols = [*amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"]
+    fee_type = "array<struct<tick:bigint,fee:double,liquidity:double>>"
+    if fees:
+        fee_frac_c = F.col("__fee") / F.lit(1e6)
+
+        def _entry(tick, fee, liquidity):
+            return F.struct(
+                tick.cast("long").alias("tick"),
+                fee.alias("fee"),
+                liquidity.alias("liquidity"),
+            )
+
+        fee_a = F.array(
+            _entry(F.col("__irv_tick"), a_in * fee_frac_c, F.col("__irv_liq"))
+        )
+        fee_b = F.concat(
+            F.array(
+                _entry(
+                    F.col("__irv_tick"),
+                    F.col("__irt") * fee_frac_c,
+                    F.col("__irv_liq"),
+                )
+            ),
+            F.col("__prev_fees"),
+            F.array(
+                _entry(
+                    F.col("__tick"),
+                    (F.col("__left") - F.col("__prev_in")) * fee_frac_c,
+                    F.col("__liq"),
+                )
+            ),
+        )
+        res = res.withColumn(
+            "fees",
+            F.when(~F.col("sufficient"), F.lit(None).cast(fee_type))
+            .when(is_a, fee_a)
+            .otherwise(fee_b),
+        )
+        out_cols.append("fees")
+    priced = res.select(*out_cols)
     # contract: EVERY input amount row comes back. Pools with no factory
     # row, no price before as_of, or no unambiguous in-range tick (states
     # where the scalar path raises) return sufficient=false + NULLs
@@ -595,4 +725,6 @@ def quote_ladder_multi(
         .withColumn("branch", F.lit(None).cast("string"))
         .withColumn("sufficient", F.lit(False))
     )
+    if fees:
+        extras = extras.withColumn("fees", F.lit(None).cast(fee_type))
     return priced.unionByName(extras)
