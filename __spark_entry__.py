@@ -101,6 +101,39 @@ def _ref_mb(spark: SparkSession) -> DataFrame:
 
 
 _REF_AS_OF = 12376626.0
+REF_EXAMPLES = "/root/reference/v3/data/examples"
+
+
+def _ref_table(spark: SparkSession, table: str) -> DataFrame:
+    """A reference example table for the MULTI-pool pipeline: ethereum
+    rows of all pools, typed, with as_of, cached once per session."""
+    from v3_polars_spark import tables as T
+
+    key = (id(spark), "__ref_all__", table)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    _prep(spark)
+    df = T.read_table(spark, REF_EXAMPLES, table).filter(
+        F.col("chain_name") == "ethereum"
+    )
+    if table == "pool_mint_burn_events":
+        df = T.with_as_of(
+            df.withColumns(
+                {
+                    "amount": F.col("amount").cast("double"),
+                    "tick_lower": F.col("tick_lower").cast("long"),
+                    "tick_upper": F.col("tick_upper").cast("long"),
+                    "type_of_event": F.col("type_of_event").cast("double"),
+                }
+            )
+        )
+    elif table == "pool_swap_events":
+        df = T.with_as_of(df)
+    elif table == "factory_pool_created":
+        df = df.withColumnRenamed("pool", "address")
+    df = df.cache()
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def _ref_liq(spark: SparkSession) -> DataFrame:
@@ -749,6 +782,45 @@ def q_quote_ladder(spark, sf):
     )
 
 
+_QM_AMOUNTS = [1e21, 5e22, 1e30]
+
+
+def q_quote_multi(spark, sf):
+    """The SCALE path of the quote ladder, oracle-checked end-to-end: many
+    pools priced in one plan with EVERY per-pool scalar — price in force,
+    tick floor, in-range capacities, fee, spacing — derived as columns
+    (no injected literals; the golden-literal single-pool query stays as
+    the pinned anchor). The oracle replays the whole derivation in SQL:
+    per-pool liquidity distribution, swap frame, irv, direction-ordered
+    depth, covering search, branch math."""
+    from v3_polars_spark.v3.swap import quote_ladder_multi
+
+    mb = _ref_table(spark, "pool_mint_burn_events")
+    swaps = _ref_table(spark, "pool_swap_events")
+    factory = _ref_table(spark, "factory_pool_created")
+    pools = (
+        swaps.filter(F.col("as_of") < F.lit(_REF_AS_OF))
+        .select("address")
+        .intersect(mb.filter(F.col("as_of") < F.lit(_REF_AS_OF)).select("address"))
+        .orderBy("address")
+        .limit(6)
+    )
+    amounts = pools.crossJoin(
+        spark.createDataFrame([(a,) for a in _QM_AMOUNTS], ["amount_in"])
+    ).withColumn("chain_name", F.lit("ethereum"))
+    out = quote_ladder_multi(
+        mb, swaps, factory, amounts, as_of=_REF_AS_OF, zero_for_one=True
+    )
+    return out.select(
+        "address",
+        "amount_in",  # exact double literals — safe for the hash compare
+        "branch",
+        "sufficient",
+        F.round(F.log("amt_out"), 6).alias("ln_out"),
+        F.round(F.log("sqrt_price_last"), 6).alias("ln_spl"),
+    )
+
+
 def q_quote_fees(spark, sf):
     """Per-tick LP fee attribution from the batched quote ladder
     (fees=True): one row per (quote, crossed tick), ln-rounded like the
@@ -984,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_features": mm_decode_features,
         "nfp_positions": q_nfp_positions,
         "quote_fees": q_quote_fees,
+        "quote_multi": q_quote_multi,
     }
 
 
@@ -1177,6 +1250,207 @@ def _quote_ladder_sql() -> str:
                round(ln(CASE WHEN NOT sufficient THEN NULL
                              WHEN branch = 'A' THEN spl_a ELSE spl_b END), 6) AS ln_spl
         FROM calc
+    """
+
+
+def _quote_multi_sql() -> str:
+    """DuckDB replay of q_quote_multi: the WHOLE multi-pool derivation in
+    SQL — per-pool price-in-force (max_by), tick floor, liquidity
+    distribution, swap frame, in-range capacities, direction-ordered
+    depth, covering search, branch math. Nothing injected: every scalar
+    the single-pool oracle takes as a golden literal is derived here,
+    exactly like the Spark plan does it."""
+    import math as _math
+
+    X = repr(_REF_AS_OF)
+    q96 = repr(float(2**96))
+    ln_b = repr(_math.log(1.0001))  # same literal divisor as the Spark plan
+    values = ", ".join(f"({repr(a)})" for a in _QM_AMOUNTS)
+    ex = REF_EXAMPLES
+    return f"""
+        WITH mb AS (
+            SELECT address, CAST(amount AS DOUBLE) AS amount,
+                   CAST(tick_lower AS BIGINT) AS tick_lower,
+                   CAST(tick_upper AS BIGINT) AS tick_upper,
+                   CAST(type_of_event AS DOUBLE) AS type_of_event,
+                   block_number + transaction_index / 1e4 AS as_of
+            FROM read_parquet('{ex}/pool_mint_burn_events/*.parquet')
+            WHERE chain_name = 'ethereum'
+        ),
+        swaps AS (
+            SELECT address, sqrtPriceX96, log_index,
+                   block_number + transaction_index / 1e4 AS as_of
+            FROM read_parquet('{ex}/pool_swap_events/*.parquet')
+            WHERE chain_name = 'ethereum'
+        ),
+        fact AS (
+            SELECT pool AS address,
+                   CAST(tickSpacing AS BIGINT) AS ts,
+                   CAST(fee AS BIGINT) AS fee
+            FROM read_parquet('{ex}/factory_pool_created/*.parquet')
+            WHERE chain_name = 'ethereum'
+        ),
+        pools AS (
+            SELECT address FROM (
+                SELECT address FROM swaps WHERE as_of < {X}
+                INTERSECT
+                SELECT address FROM mb WHERE as_of < {X}
+            ) ORDER BY address LIMIT 6
+        ),
+        amounts AS (
+            SELECT p.address, t.a AS amount_in
+            FROM pools p CROSS JOIN (VALUES {values}) t(a)
+        ),
+        f AS (SELECT * FROM mb WHERE as_of < {X}),
+        tl AS (
+            SELECT address, tick_lower AS tick,
+                   SUM(amount * type_of_event) AS liquidity_lower
+            FROM f GROUP BY 1, 2 HAVING SUM(amount * type_of_event) != 0
+        ),
+        tu AS (
+            SELECT address, tick_upper AS tick,
+                   SUM(-(amount * type_of_event)) AS liquidity_upper
+            FROM f GROUP BY 1, 2 HAVING SUM(-(amount * type_of_event)) != 0
+        ),
+        j AS (
+            SELECT COALESCE(tl.address, tu.address) AS address,
+                   COALESCE(tl.tick, tu.tick) AS tick,
+                   COALESCE(liquidity_lower, 0) + COALESCE(liquidity_upper, 0)
+                     AS delta
+            FROM tl FULL OUTER JOIN tu
+              ON tl.address = tu.address AND tl.tick = tu.tick
+        ),
+        liq AS (
+            SELECT address, tick,
+                   SUM(delta) OVER (PARTITION BY address ORDER BY tick
+                                    ROWS UNBOUNDED PRECEDING) AS liquidity
+            FROM j
+        ),
+        frame AS (
+            SELECT l.address, l.liquidity, l.tick AS tick_a,
+                   COALESCE(
+                       LEAD(l.tick) OVER (PARTITION BY l.address ORDER BY l.tick),
+                       CAST(floor(CAST(887272 AS DOUBLE) / fa.ts) * fa.ts AS BIGINT)
+                   ) AS tick_b,
+                   fa.ts, fa.fee
+            FROM liq l JOIN fact fa ON fa.address = l.address
+            WHERE l.liquidity > 0
+        ),
+        px AS (
+            SELECT address, liquidity, tick_a, tick_b, ts, fee,
+                   pow(1.0001, tick_a / 2.0) AS pa,
+                   pow(1.0001, tick_b / 2.0) AS pb
+            FROM frame
+        ),
+        fx AS (
+            SELECT *, liquidity * (pb - pa) AS y_in,
+                   liquidity * ((pb - pa) / (pb * pa)) AS x_in
+            FROM px
+        ),
+        price AS (
+            SELECT address, price_x96 FROM (
+                SELECT address, CAST(sqrtPriceX96 AS DOUBLE) AS price_x96,
+                       row_number() OVER (PARTITION BY address
+                                          ORDER BY as_of DESC, log_index DESC)
+                         AS rn
+                FROM swaps WHERE as_of < {X}
+            ) WHERE rn = 1
+        ),
+        psp AS (
+            SELECT address, price_x96 / {q96} AS sp,
+                   CAST(floor(ln((price_x96 / {q96}) * (price_x96 / {q96}))
+                              / {ln_b}) AS BIGINT) AS tf_raw
+            FROM price
+        ),
+        irv AS (
+            SELECT fx.address, fx.tick_a AS irv_tick, fx.liquidity AS irv_liq,
+                   psp.sp, fx.ts, fx.fee,
+                   fx.liquidity * ((greatest(fx.pa, psp.sp) - least(fx.pa, psp.sp))
+                       / (greatest(fx.pa, psp.sp) * least(fx.pa, psp.sp))) AS ir0,
+                   fx.liquidity * (greatest(fx.pa, psp.sp) - least(fx.pa, psp.sp))
+                     AS irts0
+            FROM fx JOIN psp ON psp.address = fx.address
+            WHERE fx.tick_a <= CAST(floor(CAST(psp.tf_raw AS DOUBLE) / fx.ts) * fx.ts
+                                    AS BIGINT)
+              AND CAST(floor(CAST(psp.tf_raw AS DOUBLE) / fx.ts) * fx.ts AS BIGINT)
+                  < fx.tick_b
+        ),
+        depth AS (
+            SELECT fx.address, fx.tick_a, fx.liquidity, fx.pa, fx.pb,
+                   SUM(fx.x_in) OVER w AS cum_in,
+                   COALESCE(SUM(fx.x_in) OVER wp, 0.0) AS prev_in,
+                   COALESCE(SUM(fx.y_in) OVER wp, 0.0) AS prev_out,
+                   SUM(fx.x_in) OVER wa AS max_cum
+            FROM fx JOIN irv ON irv.address = fx.address
+            WHERE fx.tick_a < irv.irv_tick
+            WINDOW w AS (PARTITION BY fx.address ORDER BY fx.tick_a DESC
+                         ROWS UNBOUNDED PRECEDING),
+                   wp AS (PARTITION BY fx.address ORDER BY fx.tick_a DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wa AS (PARTITION BY fx.address ORDER BY fx.tick_a DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
+        ),
+        a2 AS (
+            SELECT am.address, am.amount_in, i.irv_tick, i.irv_liq, i.sp,
+                   i.ir0, i.irts0,
+                   1.0 - i.fee / 1e6 AS omf,
+                   am.amount_in * (1.0 - i.fee / 1e6) AS smf,
+                   am.amount_in - i.ir0 AS left_amt,
+                   (am.amount_in - i.ir0) * (1.0 - i.fee / 1e6) AS axis
+            FROM amounts am JOIN irv i ON i.address = am.address
+        ),
+        cov AS (
+            SELECT a2.address, a2.amount_in,
+                   min_by(d.tick_a, d.cum_in) AS c_tick,
+                   min_by(d.liquidity, d.cum_in) AS c_liq,
+                   min_by(d.pb, d.cum_in) AS c_pb,
+                   min_by(d.prev_in, d.cum_in) AS c_prev_in,
+                   min_by(d.prev_out, d.cum_in) AS c_prev_out,
+                   MAX(d.max_cum) AS max_cum
+            FROM a2 LEFT JOIN depth d
+              ON d.address = a2.address AND d.cum_in >= a2.axis
+            GROUP BY 1, 2
+        ),
+        mx AS (
+            SELECT address, MAX(max_cum) AS pool_max_cum
+            FROM depth GROUP BY address
+        ),
+        calc AS (
+            SELECT a2.address, a2.amount_in,
+                   a2.ir0 > a2.smf AS is_a,
+                   COALESCE((a2.ir0 > a2.smf)
+                            OR (c.c_tick IS NOT NULL
+                                AND mx.pool_max_cum > a2.left_amt),
+                            FALSE) AS sufficient,
+                   (a2.irv_liq * a2.sp) / (a2.irv_liq + a2.smf * a2.sp) AS spl_a,
+                   (c.c_liq * c.c_pb)
+                     / (c.c_liq + ((a2.left_amt - c.c_prev_in) * a2.omf) * c.c_pb)
+                     AS spl_b,
+                   a2.irv_liq, a2.sp, a2.irts0,
+                   c.c_liq, c.c_pb, c.c_prev_out
+            FROM a2
+            JOIN cov c ON c.address = a2.address AND c.amount_in = a2.amount_in
+            LEFT JOIN mx ON mx.address = a2.address
+        )
+        SELECT am.address, am.amount_in,
+               CASE WHEN ca.address IS NULL THEN NULL
+                    WHEN ca.is_a THEN 'A' ELSE 'B' END AS branch,
+               COALESCE(ca.sufficient, FALSE) AS sufficient,
+               round(ln(CASE WHEN NOT ca.sufficient THEN NULL
+                             WHEN ca.is_a THEN ca.irv_liq
+                               * (greatest(ca.spl_a, ca.sp) - least(ca.spl_a, ca.sp))
+                             ELSE ca.c_liq
+                               * (greatest(ca.spl_b, ca.c_pb)
+                                  - least(ca.spl_b, ca.c_pb))
+                               + (ca.irts0 + ca.c_prev_out)
+                        END), 6) AS ln_out,
+               round(ln(CASE WHEN NOT ca.sufficient THEN NULL
+                             WHEN ca.is_a THEN ca.spl_a
+                             ELSE ca.spl_b END), 6) AS ln_spl
+        FROM amounts am
+        LEFT JOIN calc ca
+          ON ca.address = am.address AND ca.amount_in = am.amount_in
     """
 
 
@@ -1893,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_embed_topk_ivf": _embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=3),
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
         "quote_fees": _quote_fees_sql(),
+        "quote_multi": _quote_multi_sql(),
         "nfp_positions": """
             WITH mb AS (
                 SELECT CAST(l_orderkey AS VARCHAR) AS transaction_hash,
