@@ -850,6 +850,56 @@ def q_quote_fees(spark, sf):
     )
 
 
+def q_stream_resample(spark, sf):
+    """§2.8 as an oracle-checked query: the A3 tumbling-window aggregation
+    executed through Structured Streaming — readStream over the events
+    parquet, windowed stateful aggregation, AvailableNow drain into a
+    memory sink — and returned as the sink table. Batch equivalence is
+    the oracle: the same SQL DuckDB runs for resample_6h. Complete output
+    mode so every window (including the still-open last one) emits,
+    matching the one-shot batch result; the watermark+append variant is
+    pinned in tests/test_streaming.py."""
+    import uuid
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "6 hours").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .withColumn("bucket_ts", F.col("__w.start"))
+        .drop("__w")
+    )
+    qname = f"stream_resample_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    out = spark.table(qname)
+    return out.select(
+        _ts_str("bucket_ts", "bucket_str"), "n_events", "max_value", "first_event_id"
+    )
+
+
 def mm_decode_features(spark, sf):
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake decoder). Payloads are ASCII
@@ -1057,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfp_positions": q_nfp_positions,
         "quote_fees": q_quote_fees,
         "quote_multi": q_quote_multi,
+        "stream_resample": q_stream_resample,
     }
 
 
@@ -2168,6 +2219,14 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
         "quote_fees": _quote_fees_sql(),
         "quote_multi": _quote_multi_sql(),
+        "stream_resample": f"""
+            SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+                            '{TS_FMT_DUCK}') AS bucket_str,
+                   COUNT(*) AS n_events,
+                   MAX(value) AS max_value,
+                   MIN(event_id) AS first_event_id
+            FROM events GROUP BY 1
+        """,
         "nfp_positions": """
             WITH mb AS (
                 SELECT CAST(l_orderkey AS VARCHAR) AS transaction_hash,

@@ -69,13 +69,28 @@ def _fold_liquidity(
     touched = set()
     for pdf in pdfs:
         # +amount*type_of_event enters at tick_lower, leaves at tick_upper
-        # (reference v3/helpers/swap_math.py:36-60; type_of_event ∈ {+1,-1})
+        # (reference v3/helpers/swap_math.py:36-60; type_of_event ∈ {+1,-1}).
+        # Vectorized: concat both tick columns with signed deltas, one
+        # pandas groupby-sum per batch — no per-row Python in the hot path.
         signed = pdf["amount"].astype(float) * pdf["type_of_event"].astype(float)
-        for tick_col, sign in (("tick_lower", 1.0), ("tick_upper", -1.0)):
-            for tick, d in zip(pdf[tick_col].astype("int64"), signed):
-                t = int(tick)
-                acc[t] = acc.get(t, 0.0) + sign * float(d)
-                touched.add(t)
+        deltas = (
+            pd.concat(
+                [
+                    pd.DataFrame(
+                        {"t": pdf["tick_lower"].astype("int64"), "d": signed}
+                    ),
+                    pd.DataFrame(
+                        {"t": pdf["tick_upper"].astype("int64"), "d": -signed}
+                    ),
+                ]
+            )
+            .groupby("t")["d"]
+            .sum()
+        )
+        for t, d in deltas.items():
+            t = int(t)
+            acc[t] = acc.get(t, 0.0) + float(d)
+            touched.add(t)
 
     # prune exactly-zero ticks (fully burned positions) from STATE so it
     # tracks currently-initialized ticks, not ticks-ever-touched — the
