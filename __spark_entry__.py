@@ -900,6 +900,24 @@ def q_stream_resample(spark, sf):
     )
 
 
+def q_price_frames(spark, sf):
+    """Notebook-parity price-space frames (Crosschain_Liquidity_GIF.ipynb
+    cell 12): multi-frame liquidity in PRICE space with per-frame max
+    normalization. ln-rounded price (pow differs in the last ulp across
+    engines); + 0.0 normalizes IEEE -0.0 on the ±epsilon telescoped top
+    ticks."""
+    from v3_polars_spark.v3 import liquidity_price_frames
+
+    mb = _ref_mb(spark)
+    out = liquidity_price_frames(mb, _TL_FRAMES, decimal_adjustment=1e12)
+    return out.select(
+        "frame_as_of",
+        "tick",
+        F.round(F.log("price"), 6).alias("ln_price"),
+        (F.round(F.col("liquidity_norm"), 6) + F.lit(0.0)).alias("liq_norm"),
+    )
+
+
 def mm_decode_features(spark, sf):
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake decoder). Payloads are ASCII
@@ -1108,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_fees": q_quote_fees,
         "quote_multi": q_quote_multi,
         "stream_resample": q_stream_resample,
+        "price_frames": q_price_frames,
     }
 
 
@@ -1771,6 +1790,50 @@ def _mm_decode_sql(n: int = 96, seed: int = 7) -> str:
     """
 
 
+_TL_CTES = """WITH mb AS (
+                SELECT CAST(amount AS DOUBLE) AS amount,
+                       CAST(tick_lower AS BIGINT) AS tick_lower,
+                       CAST(tick_upper AS BIGINT) AS tick_upper,
+                       CAST(type_of_event AS DOUBLE) AS type_of_event,
+                       block_number + transaction_index / 1e4 AS as_of
+                FROM read_parquet('__REFMB__')
+                WHERE chain_name = 'ethereum' AND address = '__REFPOOL__'
+            ),
+            deltas AS (
+                SELECT as_of, tick_lower AS tick, amount * type_of_event AS delta FROM mb
+                UNION ALL
+                SELECT as_of, tick_upper AS tick, -(amount * type_of_event) AS delta FROM mb
+            ),
+            frames(frame_as_of) AS (
+                VALUES __FRAMES__
+            ),
+            tagged AS (
+                SELECT (SELECT MIN(frame_as_of) FROM frames
+                        WHERE frame_as_of > d.as_of) AS frame_as_of,
+                       tick, delta
+                FROM deltas d
+            ),
+            per_frame AS (
+                SELECT frame_as_of, tick, SUM(delta) AS delta
+                FROM tagged WHERE frame_as_of IS NOT NULL GROUP BY 1, 2
+            ),
+            ticks AS (SELECT DISTINCT tick FROM deltas),
+            grid AS (SELECT f.frame_as_of, t.tick FROM frames f CROSS JOIN ticks t),
+            dense AS (
+                SELECT g.frame_as_of, g.tick, COALESCE(p.delta, 0) AS delta
+                FROM grid g LEFT JOIN per_frame p
+                  ON p.frame_as_of = g.frame_as_of AND p.tick = g.tick
+            ),
+            net AS (
+                SELECT frame_as_of, tick,
+                       SUM(delta) OVER (PARTITION BY tick ORDER BY frame_as_of
+                                        ROWS UNBOUNDED PRECEDING) AS net
+                FROM dense
+            )""".replace("__REFMB__", REF_MB).replace("__REFPOOL__", REF_POOL).replace(
+    "__FRAMES__", ", ".join(f"(CAST({x} AS DOUBLE))" for x in _TL_FRAMES)
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "scan_project": "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
@@ -2113,51 +2176,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quote_ladder": _quote_ladder_sql(),
         "liquidity_timeline": f"""
-            WITH mb AS (
-                SELECT CAST(amount AS DOUBLE) AS amount,
-                       CAST(tick_lower AS BIGINT) AS tick_lower,
-                       CAST(tick_upper AS BIGINT) AS tick_upper,
-                       CAST(type_of_event AS DOUBLE) AS type_of_event,
-                       block_number + transaction_index / 1e4 AS as_of
-                FROM read_parquet('{REF_MB}')
-                WHERE chain_name = 'ethereum' AND address = '{REF_POOL}'
-            ),
-            deltas AS (
-                SELECT as_of, tick_lower AS tick, amount * type_of_event AS delta FROM mb
-                UNION ALL
-                SELECT as_of, tick_upper AS tick, -(amount * type_of_event) AS delta FROM mb
-            ),
-            frames(frame_as_of) AS (
-                VALUES {", ".join(f"(CAST({x} AS DOUBLE))" for x in _TL_FRAMES)}
-            ),
-            tagged AS (
-                SELECT (SELECT MIN(frame_as_of) FROM frames
-                        WHERE frame_as_of > d.as_of) AS frame_as_of,
-                       tick, delta
-                FROM deltas d
-            ),
-            per_frame AS (
-                SELECT frame_as_of, tick, SUM(delta) AS delta
-                FROM tagged WHERE frame_as_of IS NOT NULL GROUP BY 1, 2
-            ),
-            ticks AS (SELECT DISTINCT tick FROM deltas),
-            grid AS (SELECT f.frame_as_of, t.tick FROM frames f CROSS JOIN ticks t),
-            dense AS (
-                SELECT g.frame_as_of, g.tick, COALESCE(p.delta, 0) AS delta
-                FROM grid g LEFT JOIN per_frame p
-                  ON p.frame_as_of = g.frame_as_of AND p.tick = g.tick
-            ),
-            net AS (
-                SELECT frame_as_of, tick,
-                       SUM(delta) OVER (PARTITION BY tick ORDER BY frame_as_of
-                                        ROWS UNBOUNDED PRECEDING) AS net
-                FROM dense
-            )
+            {_TL_CTES}
             SELECT frame_as_of, tick,
                    round(SUM(net) OVER (PARTITION BY frame_as_of ORDER BY tick
                                         ROWS UNBOUNDED PRECEDING) / 1e12, 0) + 0.0
                      AS liquidity_1e12
             FROM net
+        """,
+        "price_frames": f"""
+            {_TL_CTES},
+            sel AS (
+                SELECT frame_as_of, tick,
+                       SUM(net) OVER (PARTITION BY frame_as_of ORDER BY tick
+                                      ROWS UNBOUNDED PRECEDING) AS liquidity
+                FROM net
+            )
+            SELECT frame_as_of, tick,
+                   round(ln(pow(1.0001, tick) * 1e12), 6) AS ln_price,
+                   round(liquidity / MAX(liquidity)
+                           OVER (PARTITION BY frame_as_of), 6) + 0.0 AS liq_norm
+            FROM sel
         """,
         "dp_minhash_lsh": _minhash_sql(),
         "dp_dedup_near": f"""

@@ -371,3 +371,33 @@ def test_quote_ladder_multi_fees(spark, ref_examples):
             hf, hl = have[t]
             assert hl == wl
             assert math.isclose(hf, wf, rel_tol=1e-12), (t, hf, wf)
+
+
+def test_tick_to_price_and_price_frames(pool, spark):
+    """Notebook cell-12 parity: price = 1.0001^tick * decimal_adjustment,
+    and the frame pipeline ends in price space with per-frame max-norm."""
+    import math
+
+    from v3_polars_spark.v3 import liquidity_price_frames, tick_to_price
+
+    df = spark.createDataFrame([(0,), (-204079,), (887272,)], ["tick"])
+    got = {
+        r["tick"]: r["p"]
+        for r in df.select("tick", tick_to_price(F.col("tick"), 1e12).alias("p")).collect()
+    }
+    assert got[0] == 1e12
+    assert got[-204079] == pytest.approx(1.0001**-204079 * 1e12, rel=1e-12)
+    inv = df.select(
+        tick_to_price(F.lit(100), 1e12, invert=True).alias("p")
+    ).first()["p"]
+    assert inv == pytest.approx(1.0 / (1.0001**100 * 1e12), rel=1e-12)
+
+    frames = [12374000.0, 12376626.0]
+    out = liquidity_price_frames(pool.mb, frames, decimal_adjustment=1e12).collect()
+    assert {r["frame_as_of"] for r in out} == set(frames)
+    for f in frames:
+        rows = [r for r in out if r["frame_as_of"] == f]
+        top = max(r["liquidity_norm"] for r in rows)
+        assert top == pytest.approx(1.0)
+        for r in rows:
+            assert r["price"] == pytest.approx(1.0001 ** r["tick"] * 1e12, rel=1e-9)

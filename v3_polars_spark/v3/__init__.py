@@ -6,7 +6,14 @@ from .liquidity import (
 )
 from .pool import Pool
 from .positions import POSITION_COLUMNS, nfp_positions
-from .series import bn_at_date, bn_series, price_series, tick_series
+from .series import (
+    bn_at_date,
+    bn_series,
+    liquidity_price_frames,
+    price_series,
+    tick_series,
+    tick_to_price,
+)
 from .swap import (
     InRangeValues,
     in_range_values,
@@ -27,6 +34,7 @@ __all__ = [
     "liquidity_timeline",
     "nfp_positions",
     "POSITION_COLUMNS",
+    "liquidity_price_frames",
     "price_series",
     "quote_ladder",
     "quote_ladder_multi",
@@ -34,4 +42,5 @@ __all__ = [
     "swap_in",
     "swap_math",
     "tick_series",
+    "tick_to_price",
 ]

@@ -99,3 +99,34 @@ def bn_at_date(swaps: DataFrame, dt) -> int | None:
         .first()
     )
     return row["bn"] if row else None
+
+
+def tick_to_price(tick_col, decimal_adjustment: float = 1.0, invert: bool = False):
+    """Price-space conversion: 1.0001^tick scaled by the token decimal
+    adjustment (reference notebook Crosschain_Liquidity_GIF.ipynb cell 12:
+    ``1.0001 ** tick * 1e12`` for the USDC/WETH pools; ``invert`` flips to
+    the token1/token0 quote). Pure column math — composes into any plan."""
+    p = F.pow(F.lit(1.0001), tick_col) * F.lit(float(decimal_adjustment))
+    return (F.lit(1.0) / p) if invert else p
+
+
+def liquidity_price_frames(
+    mb: DataFrame,
+    frames: list[float],
+    decimal_adjustment: float = 1.0,
+    invert: bool = False,
+) -> DataFrame:
+    """The notebook's animation pipeline ending in PRICE space: multi-frame
+    liquidity distributions (one plan, no per-frame re-scan) with each tick
+    converted to a price and liquidity normalized to the frame max — the
+    exact frame data cell 12 plots. Output: (frame_as_of, tick, price,
+    liquidity, liquidity_norm)."""
+    from pyspark.sql import Window
+
+    from .liquidity import liquidity_timeline
+
+    tl = liquidity_timeline(mb, frames)
+    w = Window.partitionBy("frame_as_of")
+    return tl.withColumn(
+        "price", tick_to_price(F.col("tick"), decimal_adjustment, invert)
+    ).withColumn("liquidity_norm", F.col("liquidity") / F.max("liquidity").over(w))
