@@ -900,6 +900,28 @@ def q_stream_resample(spark, sf):
     )
 
 
+def dp_sample_stratified(spark, sf):
+    """Hash-deterministic per-(lang, source) stratified sample: rank by
+    md5-u01 within each stratum, keep ceil(20%) — the exact same rows on
+    every run, partitioning, and engine."""
+    from v3_polars_spark.datapipe import sample_stratified
+
+    d = _t(spark, sf, "documents")
+    out = sample_stratified(d, ["lang", "source"], fraction=0.2, seed=7)
+    return out.select("doc_id", "lang", "source")
+
+
+def dp_source_mix(spark, sf):
+    """Weighted multi-epoch source mixing (the LLM data-mix recipe):
+    src0 x2.4 (two full epochs + hash-selected 40% third), src1 x0.5
+    (hash-downsampled), everything else x1."""
+    from v3_polars_spark.datapipe import source_mix
+
+    d = _t(spark, sf, "documents")
+    out = source_mix(d, {"src0": 2.4, "src1": 0.5}, seed=11)
+    return out.select("doc_id", "source", "epoch")
+
+
 def q_price_frames(spark, sf):
     """Notebook-parity price-space frames (Crosschain_Liquidity_GIF.ipynb
     cell 12): multi-frame liquidity in PRICE space with per-frame max
@@ -1127,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_multi": q_quote_multi,
         "stream_resample": q_stream_resample,
         "price_frames": q_price_frames,
+        "dp_sample_stratified": dp_sample_stratified,
+        "dp_source_mix": dp_source_mix,
     }
 
 
@@ -2257,6 +2281,33 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
         "quote_fees": _quote_fees_sql(),
         "quote_multi": _quote_multi_sql(),
+        "dp_sample_stratified": """
+            WITH r AS (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY lang, source
+                                          ORDER BY ((('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT) / 72057594037927936.0) ASC,
+                                                   doc_id ASC) AS rk,
+                       COUNT(*) OVER (PARTITION BY lang, source) AS n
+                FROM documents
+            )
+            SELECT doc_id, lang, source FROM r WHERE rk <= ceil(n * 0.2)
+        """,
+        "dp_source_mix": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       CASE WHEN source = 'src0' THEN 2
+                            WHEN source = 'src1' THEN 0 ELSE 1 END
+                       + CASE WHEN ((('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT) / 72057594037927936.0) <
+                                   CASE WHEN source = 'src0' THEN 0.3999999999999999
+                                        WHEN source = 'src1' THEN 0.5
+                                        ELSE 0.0 END
+                              THEN 1 ELSE 0 END AS n_copies
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+            FROM base, unnest(generate_series(0, n_copies - 1)) AS t(e)
+            WHERE n_copies > 0
+        """,
         "stream_resample": f"""
             SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
                             '{TS_FMT_DUCK}') AS bucket_str,

@@ -250,3 +250,55 @@ def test_dedup_near_keeps_one_per_cluster(docs):
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     # docs fixture plants doc 0 (BASE) ~ doc 1 (NEAR_DUP); min id 0 survives
     assert 0 in ids and 1 not in ids
+
+
+def test_sample_fraction_deterministic(spark, sf_dir):
+    from v3_polars_spark.datapipe import sample_fraction
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in sample_fraction(d, 0.3, seed=5).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample_fraction(d.repartition(7), 0.3, seed=5).select("doc_id").collect()}
+    assert a == b  # partitioning-independent membership
+    n = d.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~fraction, not exact
+    c = {r["doc_id"] for r in sample_fraction(d, 0.3, seed=6).select("doc_id").collect()}
+    assert a != c  # seed changes the selection
+
+
+def test_sample_stratified_exact_counts(spark, sf_dir):
+    from v3_polars_spark.datapipe import sample_stratified
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_stratified(d, ["lang"], n_per_stratum=3, seed=1)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(3, sizes[lang])
+    # fraction variant: exact ceil per stratum
+    out2 = sample_stratified(d, ["lang"], fraction=0.5, seed=1)
+    counts2 = {r["lang"]: r["n"] for r in out2.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    for lang, n in counts2.items():
+        assert n == math.ceil(sizes[lang] * 0.5)
+
+
+def test_source_mix_epochs(spark):
+    from v3_polars_spark.datapipe import source_mix
+
+    rows = [(i, "web" if i < 100 else "books") for i in range(150)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = source_mix(d, {"books": 2.5, "web": 0.4}, seed=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # books: every row has >= 2 epochs, ~half have 3
+    books = [len(v) for k, v in by_doc.items() if k >= 100]
+    assert all(n in (2, 3) for n in books)
+    assert 0.2 < sum(n == 3 for n in books) / len(books) < 0.8
+    # web: downsampled to ~40%, single epoch each
+    web = [v for k, v in by_doc.items() if k < 100]
+    assert all(v == [0] for v in web)
+    assert 20 < len(web) < 60
+    # epochs are contiguous 0..n-1
+    for v in by_doc.values():
+        assert sorted(v) == list(range(len(v)))

@@ -1,0 +1,126 @@
+"""Deterministic sampling and source-mixing operators for training-data
+pipelines.
+
+Random sampling is the wrong primitive at 100 TB: reruns must reproduce
+the same corpus byte-for-byte, samples must not depend on partitioning or
+row order, and an auditor must be able to verify membership of any single
+row without rerunning the job. Every operator here is therefore HASH
+deterministic — a row's fate is a pure function of its id and the seed:
+
+- ``hash_u01``: uniform [0,1) from the md5 prefix of (seed, key) — the
+  same engine-portable 56-bit construction the dedup family uses, so SQL
+  oracles replay selections exactly.
+- ``sample_fraction``: keep rows with u01 < fraction. Shuffle-free (a
+  filter over the scan); composes with any downstream op.
+- ``sample_stratified``: per-stratum exact-count sampling — rank rows
+  within each stratum by hash and keep the first n (or ceil(fraction *
+  stratum size)). One shuffle on the strata keys; the rank window
+  partitions by stratum, so no global sort.
+- ``source_mix``: weighted multi-epoch mixing (the Dolma/LLM-mix recipe):
+  weight 2.4 on a source means every row appears twice and a
+  hash-selected 40% appear a third time. Emits (row, epoch) so downstream
+  shuffling/packing can interleave epochs; explode of a per-row epoch
+  array — no join, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 56)
+
+
+def hash_u01(key: Column, seed: int = 0) -> Column:
+    """Deterministic uniform [0,1): 56-bit md5-prefix int of (seed, key),
+    divided by 2^56. Engine-portable (md5 + hex->int + divide)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(_DENOM)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep ~fraction of rows, hash-deterministically: a row survives iff
+    u01(seed, key) < fraction. Reruns, re-partitions, and other engines
+    select the IDENTICAL rows. Pure filter — no shuffle, pushes past
+    column pruning."""
+    return df.filter(hash_u01(F.col(key_col), seed) < F.lit(float(fraction)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int | None = None,
+    fraction: float | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exact per-stratum sampling: within each ``strata`` group, rank rows
+    by (hash, key) and keep the first ``n_per_stratum`` (or
+    ceil(fraction * stratum_size) with ``fraction``). Deterministic and
+    order-independent; ties impossible (the key breaks them).
+
+    Scale shape: ONE shuffle on the strata keys for the rank window (and
+    a count window over the same partition when ``fraction`` is used —
+    same exchange, no extra shuffle). Skewed strata parallelize no worse
+    than the data itself."""
+    if (n_per_stratum is None) == (fraction is None):
+        raise ValueError("pass exactly one of n_per_stratum / fraction")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(
+        hash_u01(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    if n_per_stratum is not None:
+        keep = F.col("__rk") <= F.lit(int(n_per_stratum))
+    else:
+        wc = Window.partitionBy(*strata)
+        ranked = ranked.withColumn("__n", F.count(F.lit(1)).over(wc))
+        keep = F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction)))
+    return ranked.filter(keep).drop("__rk", "__n")
+
+
+def source_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted multi-epoch source mixing: a source with weight w emits
+    floor(w) full copies of every row plus one extra copy for the
+    hash-selected frac(w) of rows. Sources absent from ``weights`` default
+    to 1.0. Output: input columns + ``epoch`` (0-based copy index).
+
+    This is the standard LLM-mix recipe (upweight books, downsample web)
+    expressed as per-row column math + one explode — no join, no shuffle,
+    and the SAME rows get the extra epoch on every run and engine."""
+    whole = F.lit(None).cast("int")
+    frac = F.lit(None).cast("double")
+    for src, w in weights.items():
+        whole = F.when(F.col(source_col) == src, F.lit(int(w))).otherwise(whole)
+        frac = F.when(F.col(source_col) == src, F.lit(float(w) - int(w))).otherwise(
+            frac
+        )
+    whole = F.coalesce(whole, F.lit(1))
+    frac = F.coalesce(frac, F.lit(0.0))
+    n_copies = whole + F.when(
+        hash_u01(F.col(key_col), seed) < frac, F.lit(1)
+    ).otherwise(F.lit(0))
+    out = df.withColumn(
+        "epoch",
+        F.explode(
+            F.when(
+                n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ),
+    )
+    return out.withColumn("epoch", F.col("epoch").cast("long"))
