@@ -922,6 +922,20 @@ def dp_source_mix(spark, sf):
     return out.select("doc_id", "source", "epoch")
 
 
+def dp_pack(spark, sf):
+    """Sequence-packing layout per source shard: contiguous doc layout in
+    doc_id order, cut into 4096-char sequences; integer window math, exact
+    cross-engine."""
+    from v3_polars_spark.datapipe import pack_offsets
+
+    d = _t(spark, sf, "documents")
+    out = pack_offsets(d, "n_chars", ["doc_id"], max_len=4096, by=["source"])
+    return out.select(
+        "doc_id", "source", "start_offset", "end_offset",
+        "first_seq", "last_seq", "offset_in_seq",
+    )
+
+
 def q_price_frames(spark, sf):
     """Notebook-parity price-space frames (Crosschain_Liquidity_GIF.ipynb
     cell 12): multi-frame liquidity in PRICE space with per-frame max
@@ -1151,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_frames": q_price_frames,
         "dp_sample_stratified": dp_sample_stratified,
         "dp_source_mix": dp_source_mix,
+        "dp_pack": dp_pack,
     }
 
 
@@ -2281,6 +2296,30 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
         "quote_fees": _quote_fees_sql(),
         "quote_multi": _quote_multi_sql(),
+        "dp_pack": """
+            WITH w AS (
+                SELECT doc_id, source, n_chars,
+                       COALESCE(SUM(n_chars) OVER (PARTITION BY source
+                                                   ORDER BY doc_id
+                                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                                            AND 1 PRECEDING),
+                                0) AS start_offset
+                FROM documents
+            )
+            SELECT doc_id, source, start_offset,
+                   start_offset + n_chars AS end_offset,
+                   CAST(floor(CAST(start_offset AS DOUBLE) / 4096) AS BIGINT)
+                     AS first_seq,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(floor(CAST(start_offset + n_chars - 1 AS DOUBLE)
+                                        / 4096) AS BIGINT)
+                        ELSE CAST(floor(CAST(start_offset AS DOUBLE) / 4096)
+                                  AS BIGINT) END AS last_seq,
+                   start_offset
+                     - CAST(floor(CAST(start_offset AS DOUBLE) / 4096) AS BIGINT)
+                       * 4096 AS offset_in_seq
+            FROM w
+        """,
         "dp_sample_stratified": """
             WITH r AS (
                 SELECT doc_id, lang, source,

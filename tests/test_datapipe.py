@@ -302,3 +302,28 @@ def test_source_mix_epochs(spark):
     # epochs are contiguous 0..n-1
     for v in by_doc.values():
         assert sorted(v) == list(range(len(v)))
+
+
+def test_pack_offsets_layout(spark):
+    from v3_polars_spark.datapipe import pack_offsets
+
+    rows = [(i, "s", 1000) for i in range(10)]  # 10 docs x 1000 tokens
+    d = spark.createDataFrame(rows, ["doc_id", "shard", "n_tok"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_offsets(d, "n_tok", ["doc_id"], max_len=4096, by=["shard"]).collect()
+    }
+    assert out[0]["start_offset"] == 0 and out[0]["first_seq"] == 0
+    assert out[4]["start_offset"] == 4000
+    assert out[4]["first_seq"] == 0 and out[4]["last_seq"] == 1  # spans the cut
+    assert out[4]["offset_in_seq"] == 4000
+    assert out[5]["first_seq"] == 1
+    # contiguity: each doc starts where the previous ended
+    for i in range(1, 10):
+        assert out[i]["start_offset"] == out[i - 1]["end_offset"]
+    # shards are independent streams
+    d2 = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", 10)], ["doc_id", "shard", "n_tok"]
+    )
+    out2 = pack_offsets(d2, "n_tok", ["doc_id"], max_len=8, by=["shard"]).collect()
+    assert all(r["start_offset"] == 0 for r in out2)

@@ -159,3 +159,32 @@ def test_shingle_split_evaluated_once(spark):
     for builder in (shingles, shingle_sets):
         plan = builder(df)._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") == 1, builder.__name__
+
+
+def test_sample_fraction_no_shuffle(spark, sf_dir):
+    """Hash sampling is a pure filter: zero exchanges, and the fate of a
+    row never depends on partitioning."""
+    from v3_polars_spark.datapipe import sample_fraction
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_fraction(df, 0.25, seed=1)
+    assert count_exchanges(out) == 0
+
+
+def test_sample_stratified_single_exchange(spark, sf_dir):
+    """Per-stratum rank + per-stratum count share ONE exchange on the
+    strata keys (both windows partition identically)."""
+    from v3_polars_spark.datapipe import sample_stratified
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_stratified(df, ["lang", "source"], fraction=0.2, seed=1)
+    assert count_exchanges(out) == 1
+
+
+def test_source_mix_no_shuffle(spark, sf_dir):
+    """Epoch expansion is per-row explode — no join, no exchange."""
+    from v3_polars_spark.datapipe import source_mix
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_mix(df, {"src0": 2.4, "src1": 0.5})
+    assert count_exchanges(out) == 0

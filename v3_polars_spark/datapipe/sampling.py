@@ -124,3 +124,46 @@ def source_mix(
         ),
     )
     return out.withColumn("epoch", F.col("epoch").cast("long"))
+
+
+def pack_offsets(
+    df: DataFrame,
+    tokens_col: str,
+    order_cols: list[str],
+    max_len: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Sequence-packing layout (the GPT-style concatenate-and-split
+    recipe): documents are laid out contiguously in ``order_cols`` order
+    and the token stream is cut into fixed ``max_len`` sequences; a
+    document may span a cut. Emits per document: ``start_offset`` /
+    ``end_offset`` in the token stream, ``first_seq`` / ``last_seq``
+    (which packed sequences contain it) and ``offset_in_seq``.
+
+    Scale shape: one prefix-sum window partitioned by ``by`` (the shard
+    key — packing is per output shard, so there is NO global order and no
+    single-task stage; pass by=None only for small corpora). All integer
+    column math — exact on every engine."""
+    from pyspark.sql import Window
+
+    by = by or []
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col(tokens_col).cast("long")
+    start = F.coalesce(F.sum(t).over(w), F.lit(0).cast("long"))
+    out = df.withColumn("start_offset", start).withColumn(
+        "end_offset", F.col("start_offset") + t
+    )
+    first_seq = F.floor(F.col("start_offset") / F.lit(max_len)).cast("long")
+    last_seq = F.floor((F.col("end_offset") - 1) / F.lit(max_len)).cast("long")
+    return (
+        out.withColumn("first_seq", first_seq)
+        .withColumn("last_seq", F.when(t > 0, last_seq).otherwise(first_seq))
+        .withColumn(
+            "offset_in_seq",
+            F.col("start_offset") - F.col("first_seq") * F.lit(max_len),
+        )
+    )
