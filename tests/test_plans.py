@@ -188,3 +188,48 @@ def test_source_mix_no_shuffle(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = source_mix(df, {"src0": 2.4, "src1": 0.5})
     assert count_exchanges(out) == 0
+
+
+def test_salted_join_same_result(spark):
+    """Salting changes the shuffle layout, never the result — pinned on a
+    deliberately skewed key distribution (one key owns 90% of rows)."""
+    from v3_polars_spark.ops import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i % 7, i) for i in range(1000)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(i, f"d{i}") for i in range(7)], ["k", "d"])
+    plain = left.join(right, "k").select("k", "v", "d")
+    salted = salted_join(left, right, "k", n_salt=8).select("k", "v", "d")
+    assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
+    # left join keeps unmatched skewed rows exactly once
+    left2 = left.unionByName(spark.createDataFrame([(99, -1)], ["k", "v"]))
+    lj = salted_join(left2, right, "k", n_salt=4, how="left")
+    assert lj.filter(F.col("k") == 99).count() == 1
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed-bucketed equi-join on the bucket keys reads co-located
+    buckets: ZERO exchanges in the join plan (the 100 TB fact-fact join
+    posture — shuffle paid once at write time)."""
+    from v3_polars_spark import tables as T
+
+    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        T.write_bucketed(orders.select("o_orderkey", "o_orderdate"),
+                         "b_orders", ["o_orderkey"], buckets=8)
+        T.write_bucketed(li.select("o_orderkey", "l_quantity"),
+                         "b_lineitem", ["o_orderkey"], buckets=8)
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        assert count_exchanges(j) == 0
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

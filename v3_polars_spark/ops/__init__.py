@@ -11,6 +11,7 @@ from .misc import (
     segment_bounds,
 )
 from .resample import duration_to_interval, resample
+from .skew import salted_join
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
@@ -30,5 +31,6 @@ __all__ = [
     "recode_join",
     "recode_map",
     "resample",
+    "salted_join",
     "segment_bounds",
 ]

@@ -173,3 +173,26 @@ def drop_chain(spark: SparkSession, data_path: str, table: str, chain: str) -> N
     part_dir = os.path.join(data_path, table, f"chain_name={chain}")
     if os.path.isdir(part_dir):
         shutil.rmtree(part_dir)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by ``keys`` so
+    repeated equi-joins and aggregations on those keys run WITHOUT an
+    exchange: both sides of a bucketed-bucketed join read co-located
+    buckets (pinned in tests/test_plans.py). This is the 100 TB posture
+    for the event tables — big fact-fact joins (swaps x mint/burns per
+    pool, nfp x core events per transaction) pay the shuffle once at
+    write time instead of per query.
+
+    Uses the session catalog (saveAsTable — bucketing metadata lives in
+    the catalog, not parquet footers); overwrites any same-named table."""
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(name)
