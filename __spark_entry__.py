@@ -936,6 +936,30 @@ def dp_pack(spark, sf):
     )
 
 
+def dp_quality_filter(spark, sf):
+    """The C4-style cleaning pipeline as ONE plan: language-ID + quality
+    scoring + rule evaluation per document, emitting keep/reason — the
+    shape a 100 TB corpus filter actually runs (single scan, zero
+    shuffles, all column expressions)."""
+    from v3_polars_spark.datapipe import language_id, quality_score
+
+    d = _t(spark, sf, "documents")
+    out = quality_score(language_id(d.select("doc_id", "text")))
+    ok_lang = F.col("lang_pred").isin("en", "de", "fr", "es")
+    ok_len = F.col("n_words") >= 10
+    ok_q = F.col("quality") >= 0.5
+    return out.select(
+        "doc_id",
+        (ok_lang & ok_len & ok_q).alias("keep"),
+        F.when(~ok_lang, F.lit("lang"))
+        .when(~ok_len, F.lit("short"))
+        .when(~ok_q, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+        F.round(F.col("quality"), 9).alias("quality_r"),
+    )
+
+
 def q_price_frames(spark, sf):
     """Notebook-parity price-space frames (Crosschain_Liquidity_GIF.ipynb
     cell 12): multi-frame liquidity in PRICE space with per-frame max
@@ -1166,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_sample_stratified": dp_sample_stratified,
         "dp_source_mix": dp_source_mix,
         "dp_pack": dp_pack,
+        "dp_quality_filter": dp_quality_filter,
     }
 
 
@@ -2296,6 +2321,30 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
         "quote_fees": _quote_fees_sql(),
         "quote_multi": _quote_multi_sql(),
+        "dp_quality_filter": ("""
+            WITH s AS (__STATS__),
+            l AS (__LANG__),
+            q AS (
+                SELECT s.doc_id,
+                       CASE WHEN s.n_words BETWEEN 5 AND 100000
+                            THEN 0.4 ELSE 0.0 END
+                       + CASE WHEN s.mean_word_len >= 2 AND s.mean_word_len <= 12
+                              THEN 0.3 ELSE 0.0 END
+                       + CASE WHEN s.punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END
+                       + s.stopword_ratio * 0.2 AS quality,
+                       s.n_words, l.lang_pred
+                FROM s JOIN l ON l.doc_id = s.doc_id
+            )
+            SELECT doc_id,
+                   (lang_pred IN ('en','de','fr','es'))
+                     AND n_words >= 10 AND quality >= 0.5 AS keep,
+                   CASE WHEN NOT (lang_pred IN ('en','de','fr','es')) THEN 'lang'
+                        WHEN NOT (n_words >= 10) THEN 'short'
+                        WHEN NOT (quality >= 0.5) THEN 'low_quality'
+                        ELSE 'ok' END AS reason,
+                   round(quality, 9) AS quality_r
+            FROM q
+        """.replace("__STATS__", _text_stats_sql()).replace("__LANG__", _lang_id_sql())),
         "dp_pack": """
             WITH w AS (
                 SELECT doc_id, source, n_chars,
