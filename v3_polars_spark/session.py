@@ -38,12 +38,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Spark docs recommend parallelismFirst=false so coalescing honors
-        # advisoryPartitionSizeInBytes (64M) instead of stopping at the
-        # cluster's default parallelism: right-sizes shuffles both for tiny
-        # local runs (tasks collapse to a few) and at 100 TB (partitions
-        # aim at the advisory size rather than over-splitting).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst=true (Spark's default): coalescing stops at the
+        # cluster's default parallelism instead of collapsing small shuffles
+        # to one advisory-sized (64M) partition. The flag only matters when
+        # a shuffle is SMALLER than cores x advisory size — exactly the case
+        # where collapsing to 1 task serializes the reduce side (measured
+        # 0.84s -> 0.71s on a cached 600k-row join at local[32]). At 100 TB
+        # every shuffle dwarfs that product, both settings coalesce to the
+        # advisory size, and the flag is a no-op — so `true` is free at
+        # scale and strictly better at interactive sizes.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
