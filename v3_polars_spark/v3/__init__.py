@@ -19,6 +19,7 @@ from .swap import (
     in_range_values,
     quote_ladder,
     quote_ladder_multi,
+    swap_depth,
     swap_frame,
     swap_in,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "price_series",
     "quote_ladder",
     "quote_ladder_multi",
+    "swap_depth",
     "swap_frame",
     "swap_in",
     "swap_math",

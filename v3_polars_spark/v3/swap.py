@@ -192,56 +192,18 @@ def swap_in(
     return amt_out_last_tick + amt_out_prev_ticks, (sqrt_price_last, irv.sqrt_p, fee_dict)
 
 
-def quote_ladder(
-    swap_df: DataFrame,
-    irv: InRangeValues,
-    token_in_is_token1: bool,
-    amounts: DataFrame,
-    fee_ppm: int,
-    amount_col: str = "amount_in",
-    fees: bool = False,
+def swap_depth(
+    swap_df: DataFrame, irv: InRangeValues, token_in_is_token1: bool
 ) -> DataFrame:
-    """Batched swapIn: quote MANY input amounts against one swap frame in a
-    single distributed plan — the batch-of-swaps generalization SURVEY.md
-    §2.9 calls for, with zero driver loops.
-
-    The scalar path's bisect over the cumulative-depth array (reference
-    v3/helpers/swap.py:144-168) becomes a broadcast covering join: each
-    amount row joins the (tiny, O(#initialized ticks)) cumulative-depth
-    table on cum_in >= axis and keeps the minimum-cum qualifying row via
-    max-by aggregation — bisect_left == "first right >= left". All swap
-    math runs as column expressions with the same operation order as the
-    scalar kernels, so results are bit-identical to looping ``swap_in``
-    (pinned in tests).
-
-    Scale shape: amounts can be arbitrarily large — the broadcast join
-    and the map-side-combinable min_by aggregate both parallelize over
-    amount partitions with NO single-task stage (a union+window as-of
-    formulation here would funnel every quote through one task since
-    there is no partition key). The only depth-side window is the
-    per-frame cumsum (single pool — for many pools, partition it by pool
-    keys as liquidity_distribution_multi does). Insufficient-depth quotes
-    get sufficient=false and NULL outputs instead of the scalar assert.
-
-    Output: all ``amounts`` columns + amt_out, sqrt_price_last, branch
-    ('A'|'B'), sufficient; with ``fees=True`` also ``fees`` — an
-    array<struct<tick,fee,liquidity>> of per-tick LP fee attribution,
-    value-identical to the scalar path's fee_dict (reference
-    v3/helpers/swap.py:141-142,148-149,180-183): the in-range tick's fee,
-    one entry per fully-crossed tick, and the partial covering tick. In
-    fee mode the covering join keeps every crossed-tick row instead of
-    only the covering one — the output is inherently per-crossed-tick, so
-    that is the minimal join, not overhead.
-    """
+    """The direction-ordered cumulative-depth state as ONE broadcastable
+    row: (__darr array<struct<cum/tick/liq/prices/amounts/prev sums>>,
+    __max_cum). This is the build step of the quote path — the exact
+    analog of the reference's cached createSwapDF arrays that its scalar
+    bisect walks (v3/helpers/swap.py:122-143, pool_helpers.py:80-94).
+    Build it once per (frame, direction), ``.cache()`` it, and serve any
+    number of ``quote_ladder`` batches against it; passing ``depth=`` to
+    ``quote_ladder`` skips the rebuild."""
     zero_for_one = not token_in_is_token1
-    fee_frac = fee_ppm / 1e6
-    in_range_test, in_range_to_swap = (
-        (irv.in_range0, irv.in_range_to_swap0)
-        if zero_for_one
-        else (irv.in_range1, irv.in_range_to_swap1)
-    )
-
-    # --- depth side: direction-ordered cumulative tradable amounts -------
     in_key, out_key = ("xInTick", "yInTick") if zero_for_one else ("yInTick", "xInTick")
     if zero_for_one:
         oor = swap_df.filter(F.col("tick_a") < F.lit(irv.tick))
@@ -251,14 +213,8 @@ def quote_ladder(
         order = F.col("tick_a").asc()
     w_cum = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
     w_prev = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy(order).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     # prev_* use the PRECEDING-rows window (not cum - current): identical
     # left-to-right float accumulation as the scalar path's running sums.
-    # The reference-Q5 depth assert's max cum travels WITH each depth row:
-    # tick amounts are positive so max(cum) == the full-frame ordered sum —
-    # one more window over the same sort, no extra exchange, no second job.
     # Kept asymmetric on purpose: max cum > left_to_swap (pre-fee) while
     # the covering search uses >= left_minus_fee.
     depth = oor.select(
@@ -270,53 +226,115 @@ def quote_ladder(
         F.sum(in_key).over(w_cum).alias("__cum_in"),
         F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
         F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
-        F.sum(in_key).over(w_all).alias("__max_cum"),
+    )
+    # ONE row: the depth table as a cum-ordered array (array_sort on the
+    # struct orders by its first field, __cum_in — strictly increasing, no
+    # ties). The reference-Q5 depth assert's max cum is the LAST running
+    # sum — same left-to-right float accumulation, so max(cum) is
+    # bit-identical to the old full-frame window sum.
+    return depth.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "__cum_in", "__tick", "__liq", "__p_a", "__p_b",
+                    "__in_amt", "__prev_in", "__prev_out",
+                )
+            )
+        ).alias("__darr"),
+        F.max("__cum_in").alias("__max_cum"),
     )
 
-    # --- amount side -----------------------------------------------------
+
+def quote_ladder(
+    swap_df: DataFrame | None,
+    irv: InRangeValues,
+    token_in_is_token1: bool,
+    amounts: DataFrame,
+    fee_ppm: int,
+    amount_col: str = "amount_in",
+    fees: bool = False,
+    depth: DataFrame | None = None,
+) -> DataFrame:
+    """Batched swapIn: quote MANY input amounts against one swap frame in a
+    single distributed plan — the batch-of-swaps generalization SURVEY.md
+    §2.9 calls for, with zero driver loops.
+
+    The scalar path's bisect over the cumulative-depth array (reference
+    v3/helpers/swap.py:144-168) stays an ARRAY bisect: the ordered
+    cumulative-depth table (tiny, O(#initialized ticks)) collapses to ONE
+    broadcast row holding the sorted depth array, and the covering-row
+    search — bisect_left == "first cum >= axis" — is a per-amount
+    ``filter``+``get(0)`` column expression. All swap math runs as column
+    expressions with the same operation order as the scalar kernels, so
+    results are bit-identical to looping ``swap_in`` (pinned in tests).
+
+    Scale shape: amounts can be arbitrarily large — after the broadcast
+    of the single depth row, the amount side is ONE narrow map stage: no
+    join duplication (the old join×agg shape duplicated every amount row
+    per qualifying tick and re-aggregated it back), no shuffle, no
+    single-task stage. The only depth-side window is the per-frame
+    cumsum over O(#ticks) rows (single pool — for many pools, partition
+    it by pool keys as liquidity_distribution_multi does).
+    Insufficient-depth quotes get sufficient=false and NULL outputs
+    instead of the scalar assert.
+
+    Output: all ``amounts`` columns + amt_out, sqrt_price_last, branch
+    ('A'|'B'), sufficient; with ``fees=True`` also ``fees`` — an
+    array<struct<tick,fee,liquidity>> of per-tick LP fee attribution,
+    value-identical to the scalar path's fee_dict (reference
+    v3/helpers/swap.py:141-142,148-149,180-183): the in-range tick's fee,
+    one entry per fully-crossed tick, and the partial covering tick. In
+    fee mode the crossed-tick entries come from a ``filter``+``transform``
+    over the same depth array — still one row per amount end-to-end.
+    """
+    zero_for_one = not token_in_is_token1
+    fee_frac = fee_ppm / 1e6
+    in_range_test, in_range_to_swap = (
+        (irv.in_range0, irv.in_range_to_swap0)
+        if zero_for_one
+        else (irv.in_range1, irv.in_range_to_swap1)
+    )
+
+    # --- depth side: prebuilt (cached) or derived from the swap frame ----
+    darr = depth if depth is not None else swap_depth(swap_df, irv, token_in_is_token1)
+
+    # --- amount side: one narrow stage, no shuffle -----------------------
     a_in = F.col(amount_col)
-    amt = (
-        amounts.withColumn("__rid", F.monotonically_increasing_id())
-        .withColumn("__swap_in_minus_fee", a_in * F.lit(1 - fee_frac))
-        .withColumn("__left", a_in - F.lit(in_range_test))
-        .withColumn("__axis", (a_in - F.lit(in_range_test)) * F.lit(1 - fee_frac))
+    amt = amounts.withColumns(
+        {
+            "__swap_in_minus_fee": a_in * F.lit(1 - fee_frac),
+            "__left": a_in - F.lit(in_range_test),
+            "__axis": (a_in - F.lit(in_range_test)) * F.lit(1 - fee_frac),
+        }
     )
 
-    # covering row = min-cum depth row with cum_in >= axis (cum_in is
-    # strictly increasing, so no ties). Broadcast join + min_by: map-side
-    # partial agg, parallel over amount partitions.
+    axis = F.col("__axis")
+    # covering row = first depth element with cum_in >= axis (bisect_left);
+    # F.get returns NULL past the end — the insufficient case
+    cov = F.get(F.filter(F.col("__darr"), lambda d: axis <= d["__cum_in"]), F.lit(0))
     depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
+    proj = [
+        *[F.col(c) for c in amt.columns],
+        F.col("__max_cum"),
+        *[cov[c].alias(c) for c in depth_cols],
+    ]
     if fees:
-        # keep ALL depth rows per amount: crossed ticks feed the fee array,
-        # the covering row is selected inside the aggregate
-        cand = amt.join(F.broadcast(depth), F.lit(True), "left")
-        qual = F.when(F.col("__axis") <= F.col("__cum_in"), F.col("__cum_in"))
-        fee_aggs = [
+        # crossed ticks = every depth element strictly below the axis,
+        # re-sorted by tick (the fee struct's first field) like the scalar
+        # fee_dict's key order
+        proj.append(
             F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("__cum_in") < F.col("__axis"),
-                        F.struct(
-                            F.col("__tick").alias("tick"),
-                            (F.col("__in_amt") * F.lit(fee_frac)).alias("fee"),
-                            F.col("__liq").alias("liquidity"),
-                        ),
-                    )
+                F.transform(
+                    F.filter(F.col("__darr"), lambda d: d["__cum_in"] < axis),
+                    lambda d: F.struct(
+                        d["__tick"].alias("tick"),
+                        (d["__in_amt"] * F.lit(fee_frac)).alias("fee"),
+                        d["__liq"].alias("liquidity"),
+                    ),
                 )
             ).alias("__prev_fees")
-        ]
-    else:
-        cand = amt.join(
-            F.broadcast(depth), F.col("__axis") <= F.col("__cum_in"), "left"
         )
-        qual = F.col("__cum_in")
-        fee_aggs = []
-    joined = cand.groupBy("__rid").agg(
-        *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
-        *[F.min_by(c, qual).alias(c) for c in depth_cols],
-        F.max("__max_cum").alias("__max_cum"),
-        *fee_aggs,
-    )
+    joined = amt.join(F.broadcast(darr), F.lit(True), "left").select(*proj)
 
     is_a = F.lit(in_range_test) > F.col("__swap_in_minus_fee")
     liq, sp = F.lit(irv.liquidity), F.lit(irv.sqrt_p)
