@@ -715,8 +715,10 @@ def dp_ngram_jaccard(spark, sf):
 
 def dp_minhash_lsh(spark, sf):
     """MinHash(16)+LSH(4 bands) candidate pairs with exact-Jaccard verify.
-    md5-based permutations make the whole index reproducible in any SQL
-    engine — the oracle replays signature, banding, and verify exactly."""
+    Hashed shingles (one md5 per token + modular polynomial combine) and
+    universal-hash permutations make the whole index reproducible in any
+    SQL engine — the oracle replays shingling, signatures, banding, and
+    verify bit-for-bit."""
     from v3_polars_spark.datapipe import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents")
@@ -1679,22 +1681,50 @@ def _quote_fees_sql() -> str:
     """
 
 
+def _hashed_shingles_cte(n: int = 3) -> str:
+    """CTEs ending in sh(doc_id, shingle BIGINT) + sz(doc_id, sz) — the SQL
+    mirror of datapipe.dedup.shingle_hash_sets: one md5 per token, modular
+    polynomial combine of n consecutive 56-bit token hashes mod POLY_MOD."""
+    from v3_polars_spark.datapipe.dedup import POLY_B, POLY_MOD
+
+    M, B = POLY_MOD, POLY_B
+    acc = f"(h[i] % {M})"
+    for j in range(1, n):
+        acc = f"(({acc} * {B} + h[i+{j}]) % {M})"
+    return f"""
+    norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    th AS (
+        SELECT doc_id,
+               list_transform(w, t -> ('0x' || substr(md5(t), 1, 14))::BIGINT) AS h
+        FROM norm
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, {acc} AS shingle
+        FROM th, unnest(generate_series(1, len(h) - {n - 1})) AS t(i)
+        WHERE len(h) >= {n}
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+"""
+
+
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) -> str:
+    from v3_polars_spark.datapipe.dedup import PERM_P, POLY_MOD, minhash_perm_constants
+
     r = num_hashes // bands
-    h1 = "(('0x' || substr(md5(shingle), 1, 14))::BIGINT)"
-    h2 = "(('0x' || substr(md5('B:' || shingle), 1, 14))::BIGINT)"
+    P, M = PERM_P, POLY_MOD
     sig_cols = ", ".join(
-        f"min({h1} + {i} * {h2}) AS h{i}" for i in range(num_hashes)
+        f"min(({a} * (shingle % {P}) + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
     )
     band_selects = []
     for b in range(bands):
-        parts = " || '|' || ".join(f"h{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig"
-        )
+        acc = f"(h{b * r} % {M})"
+        for i in range(b * r + 1, (b + 1) * r):
+            acc = f"(({acc} * 131 + h{i}) % {M})"
+        band_selects.append(f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_selects)
     return f"""
-        WITH {_SHINGLES_CTE},
+        WITH {_hashed_shingles_cte()},
         sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
         buckets AS ({buckets}),
         cand AS (

@@ -163,6 +163,19 @@ def test_shingle_split_evaluated_once(spark):
         assert plan.count("split(") == 1, builder.__name__
 
 
+def test_hashed_shingles_one_md5_pass(spark):
+    """shingle_hash_sets must md5 each token exactly once: the md5
+    transform and the split must each appear once in the optimized plan —
+    CollapseProject re-inlining the token-hash array into the n-gram
+    combine lambda would redo the md5 work n times per token."""
+    from v3_polars_spark.datapipe import shingle_hash_sets
+
+    df = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    plan = shingle_hash_sets(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1
+    assert plan.count("split(") == 1
+
+
 def test_sample_fraction_no_shuffle(spark, sf_dir):
     """Hash sampling is a pure filter: zero exchanges, and the fate of a
     row never depends on partitioning."""

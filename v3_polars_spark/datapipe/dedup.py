@@ -174,6 +174,83 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# hashed shingles (the minhash scale path)
+# ---------------------------------------------------------------------------
+
+# Polynomial-combine modulus: largest prime < 2^55. acc*B + tok_hash peaks
+# at (M-1)*127 + 2^56 < 2^63, so the fold never overflows a BIGINT in any
+# engine (DuckDB errors on overflow; Spark would silently wrap).
+POLY_MOD = 36028797018963913
+POLY_B = 127
+# Universal-hash permutation prime: smallest prime > 2^40. a*(s%P) + b peaks
+# at (2^22-1)*(P-1) + (P-1) < 2^63.
+PERM_P = 1099511627791
+_PERM_A_RANGE = (1 << 22) - 1
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the permutation family
+    h_i(s) = (a_i * (s mod P) + b_i) mod P — the classic universal-hash
+    minhash permutations. Derived from md5 so any engine (or an oracle SQL
+    builder) regenerates the identical constants."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:6], 16)
+        b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:10], 16)
+        out.append((a % _PERM_A_RANGE + 1, b % PERM_P))
+    return out
+
+
+def _token_hash(col: Column) -> Column:
+    """56-bit engine-portable token hash: md5 prefix → BIGINT (the same
+    construction as ``_minhash_h1_h2``/``simhash``, one md5 per token)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def shingle_hash_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as 55-bit INTEGER hashes:
+    (id_col, shset array<long>).
+
+    Each token is md5-hashed ONCE; a shingle is the modular polynomial
+    combine of its n token hashes (acc = (acc*B + h) mod M). Versus string
+    shingles this does a third of the md5 work on ~3x-shorter inputs and
+    never allocates the joined shingle strings — the downstream minhash,
+    distinct, and intersect all run on longs. Collision probability at
+    2^55 is ~|shingles|^2/2^56 per corpus — negligible below ~10^8 distinct
+    shingles per comparison domain.
+
+    Plan-shape note (same CollapseProject trap as ``_shingle_base``): the
+    token-hash array is bound to ``__th`` in its own projection, and the
+    combine references ``__th`` n+1 times (size + n gets) so CollapseProject
+    will not re-inline the md5 transform into the shingle lambda."""
+    base = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__toks")
+    )
+    hashed = base.select(
+        F.col(id_col),
+        F.transform(F.col("__toks"), _token_hash).alias("__th"),
+    )
+    th = F.col("__th")
+    n_sh = F.size(th) - F.lit(n - 1)
+    idx = F.when(n_sh > 0, F.sequence(F.lit(0), n_sh - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def _comb(i: Column) -> Column:
+        acc = F.get(th, i) % F.lit(POLY_MOD)
+        for j in range(1, n):
+            acc = (acc * F.lit(POLY_B) + F.get(th, i + j)) % F.lit(POLY_MOD)
+        return acc
+
+    sh = F.transform(idx, _comb)
+    return hashed.select(F.col(id_col), F.array_distinct(sh).alias("shset"))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -216,20 +293,24 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs: shingle sets → K minhashes → B bands of
-    R=K/B rows → bucket join → exact-Jaccard verify of candidates.
+    """MinHash-LSH near-dup pairs: hashed shingle sets → K minhashes via a
+    universal-hash permutation family → B bands of R=K/B rows → bucket join
+    → exact-Jaccard verify of candidates.
 
     Output: (id_a, id_b, jaccard) for candidates with exact Jaccard >=
-    verify_threshold.
+    verify_threshold (Jaccard over the 55-bit shingle-hash sets — equal to
+    string-shingle Jaccard up to ~2^-56-probability hash collisions).
 
-    Array-native scale design: shingle sets stay a per-doc array column,
-    so signatures (array_min over transform) and set sizes need NO
-    groupBy — the document row never leaves its partition until the one
-    real exchange, the band-bucket join (short uniform keys, skew-free).
+    Scale design: shingle sets are per-doc arrays of LONGS
+    (``shingle_hash_sets``) — one md5 per token total, and every
+    downstream op (signature min-agg, band fold, distinct, verify
+    intersect) is long arithmetic, never string building. The only real
+    exchanges are the signature groupBy (tiny map-side-combined partials)
+    and the band-bucket self-join (short uniform keys, skew-free).
     Verification is size(array_intersect(set_a, set_b)) on the joined
     candidate rows — per-row column math instead of a second shingle-level
-    shuffle join. Versus the exploded formulation this removes three
-    exchanges (global distinct, signature groupBy, verify join)."""
+    shuffle join. Everything is md5+modular arithmetic, so a SQL oracle
+    replays signatures, buckets, and verify bit-for-bit."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
@@ -237,7 +318,7 @@ def minhash_lsh_pairs(
     # rows, hence no signature, no bucket, no candidate — the filter was
     # redundant AND forced CollapseProject to re-inline the shingle
     # expression into the filter condition (split x4 in the plan).
-    sets = _track(shingle_sets(df, text_col, id_col, n))
+    sets = _track(shingle_hash_sets(df, text_col, id_col, n))
     shset = F.col("shset")
     # signatures on the EXPLODED form, not array_min(transform(...)):
     # higher-order-function lambdas run interpreted, while explode +
@@ -245,27 +326,25 @@ def minhash_lsh_pairs(
     # (the explode never moves rows, so the groupBy shuffles only tiny
     # per-doc partial aggregates).
     sh = sets.select(F.col(id_col), F.explode(shset).alias("shingle"))
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    s_mod = F.col("shingle") % F.lit(PERM_P)
+    mins = [
+        F.min((F.lit(a) * s_mod + F.lit(b)) % F.lit(PERM_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
 
     # One posexplode pass instead of a bands-way union: a union of N selects
     # over `sig` re-executes the signature subtree N times; exploding an
-    # array of band hashes evaluates it once per doc. concat_ws casts the
-    # long signature components to decimal strings — identical to
-    # BIGINT::VARCHAR in the oracle.
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+    # array of band hashes evaluates it once per doc. Each band bucket is
+    # the modular polynomial fold of its R signature components — pure long
+    # arithmetic (no md5-of-concat strings), identical in the oracle.
+    def _band_bucket(b: int) -> Column:
+        acc = F.col(f"h{b * rows_per_band}") % F.lit(POLY_MOD)
+        for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band):
+            acc = (acc * F.lit(131) + F.col(f"h{i}")) % F.lit(POLY_MOD)
+        return acc
+
+    band_arr = F.array(*[_band_bucket(b) for b in range(bands)])
     buckets = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
 
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
