@@ -1024,6 +1024,91 @@ def dp_quality_filter(spark, sf):
     )
 
 
+_PII_SYNTH_ROWS = [
+    (-1, "contact me at alice@example.com or bob.smith+tag@mail.co.uk thanks"),
+    (-2, "server at 192.168.1.254 and 10.0.0.7 responded"),
+    (-3, "call +1 (555) 123-4567 or 555-987-6543 now"),
+]
+
+
+def dp_repetition(spark, sf):
+    """Gopher-style repetition signals per document: duplicate-word and
+    duplicate-line fractions (pure array math, no shuffle) plus the
+    top-bigram coverage fraction (hashed bigrams, two doc-keyed
+    aggregates)."""
+    from v3_polars_spark.datapipe import repetition_signals
+
+    d = _t(spark, sf, "documents")
+    out = repetition_signals(d)
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 9).alias("dup_word_r"),
+        F.round("dup_line_frac", 9).alias("dup_line_r"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_r"),
+    )
+
+
+def dp_contamination(spark, sf):
+    """Benchmark decontamination: hashed 3-gram overlap of every document
+    against a benchmark set (docs with doc_id % 50 == 0 stand in for the
+    eval corpus). The benchmark gram set is broadcast-sized by nature."""
+    from v3_polars_spark.datapipe import contamination_check
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    out = contamination_check(d, bench, n=3, max_overlap_frac=0.1)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round("overlap_frac", 9).alias("overlap_r"),
+        "contaminated",
+    )
+
+
+def dp_pii(spark, sf):
+    """C4-style PII scrub: regex redaction of emails/IPv4s/phones with
+    per-kind match counts. Three synthetic PII rows are unioned in so the
+    oracle actually exercises matching; the scrubbed text is compared via
+    its md5."""
+    from v3_polars_spark.datapipe import pii_scrub
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    synth = _values_df(spark, _PII_SYNTH_ROWS, ["doc_id", "text"])
+    out = pii_scrub(d.unionByName(synth))
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("text_scrubbed").alias("scrub_fp"),
+    )
+
+
+def dp_tfidf(spark, sf):
+    """Top-3 characteristic terms per document by tf-idf (BM25 rational
+    idf — engine-exact arithmetic, no transcendentals)."""
+    from v3_polars_spark.datapipe import tf_idf_top_terms
+
+    d = _t(spark, sf, "documents")
+    out = tf_idf_top_terms(d, k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round("tf_idf", 9).alias("tf_idf_r"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def dp_vocab(spark, sf):
+    """Corpus vocabulary with total and document frequencies (count >= 5)."""
+    from v3_polars_spark.datapipe import vocabulary
+
+    d = _t(spark, sf, "documents")
+    return vocabulary(d, min_count=5).select("term", "count", "n_docs")
+
+
 def q_price_frames(spark, sf):
     """Notebook-parity price-space frames (Crosschain_Liquidity_GIF.ipynb
     cell 12): multi-frame liquidity in PRICE space with per-frame max
@@ -1252,6 +1337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_source_mix": dp_source_mix,
         "dp_pack": dp_pack,
         "dp_quality_filter": dp_quality_filter,
+        "dp_repetition": dp_repetition,
+        "dp_contamination": dp_contamination,
+        "dp_pii": dp_pii,
+        "dp_tfidf": dp_tfidf,
+        "dp_vocab": dp_vocab,
     }
 
 
@@ -1745,6 +1835,130 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) 
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
         WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
+
+
+def _repetition_sql() -> str:
+    """Mirror of datapipe.quality.repetition_signals: word/line duplicate
+    fractions + hashed-bigram top-coverage fraction."""
+    from v3_polars_spark.datapipe.dedup import POLY_B, POLY_MOD
+
+    M, B = POLY_MOD, POLY_B
+    return f"""
+        WITH norm AS (
+            SELECT doc_id, text, string_split({_NORM}, ' ') AS w FROM documents
+        ),
+        sig1 AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) > 0
+                        THEN 1.0 - len(list_distinct(w)) / len(w)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(string_split(text, chr(10))) > 0
+                        THEN 1.0 - len(list_distinct(string_split(text, chr(10))))
+                                   / len(string_split(text, chr(10)))
+                        ELSE 0.0 END AS dup_line_frac
+            FROM norm
+        ),
+        th AS (
+            SELECT doc_id,
+                   list_transform(w, t -> ('0x' || substr(md5(t), 1, 14))::BIGINT) AS h
+            FROM norm
+        ),
+        g AS (
+            SELECT doc_id, ((h[i] % {M}) * {B} + h[i+1]) % {M} AS g
+            FROM th, unnest(generate_series(1, len(h) - 1)) AS t(i)
+            WHERE len(h) >= 2
+        ),
+        cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(c) / sum(c) AS top_bigram_frac FROM cnt GROUP BY 1)
+        SELECT s.doc_id,
+               round(dup_word_frac, 9) AS dup_word_r,
+               round(dup_line_frac, 9) AS dup_line_r,
+               round(coalesce(top_bigram_frac, 0.0), 9) AS top_bigram_r
+        FROM sig1 s LEFT JOIN top USING (doc_id)
+    """
+
+
+def _contamination_sql(n: int = 3, max_overlap_frac: float = 0.1) -> str:
+    """Mirror of datapipe.quality.contamination_check with benchmark =
+    documents where doc_id % 50 == 0 (hashed shingle CTE shared with
+    minhash)."""
+    frac = "CASE WHEN n_ngrams > 0 THEN coalesce(n_cont, 0) / n_ngrams ELSE 0.0 END"
+    return f"""
+        WITH {_hashed_shingles_cte(n)},
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        hits AS (
+            SELECT s.doc_id, count(*) AS n_cont
+            FROM sh s JOIN bench USING (shingle) GROUP BY 1
+        ),
+        base AS (
+            SELECT d.doc_id, coalesce(sz.sz, 0) AS n_ngrams
+            FROM documents d LEFT JOIN sz USING (doc_id)
+        )
+        SELECT b.doc_id, n_ngrams,
+               coalesce(n_cont, 0) AS n_contaminated,
+               round({frac}, 9) AS overlap_r,
+               ({frac}) > {max_overlap_frac} AS contaminated
+        FROM base b LEFT JOIN hits USING (doc_id)
+    """
+
+
+def _pii_sql() -> str:
+    """Mirror of datapipe.quality.pii_scrub over documents plus the
+    synthetic PII rows (counts via regexp_extract_all; global-flag
+    replaces in the same order as PII_PATTERNS)."""
+    from v3_polars_spark.datapipe import PII_PATTERNS
+
+    synth = ",".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _PII_SYNTH_ROWS
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for k, p in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<{k.upper()}>', 'g')"
+    return f"""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES {synth}) AS t(doc_id, text)
+        )
+        SELECT doc_id, {counts}, md5({scrub}) AS scrub_fp
+        FROM all_docs
+    """
+
+
+def _tfidf_sql(k: int = 3) -> str:
+    """Mirror of datapipe.quality.tf_idf_top_terms (BM25 rational idf,
+    double arithmetic — 0.5 cast to DOUBLE so DuckDB doesn't route the
+    math through DECIMAL)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+            FROM documents
+        ),
+        toksf AS (SELECT * FROM toks WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toksf GROUP BY 1, 2),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        idf AS (
+            SELECT term,
+                   (n_docs - df_t + 0.5::DOUBLE) / (df_t + 0.5::DOUBLE) AS idf
+            FROM dft CROSS JOIN nd
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS tf_idf
+            FROM tf JOIN idf USING (term)
+        ),
+        rnk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tf_idf DESC, term ASC
+            ) AS rnk FROM scored
+        )
+        SELECT doc_id, term, tf, round(tf_idf, 9) AS tf_idf_r, rnk
+        FROM rnk WHERE rnk <= {k}
     """
 
 
@@ -2484,6 +2698,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
             FROM base, unnest(generate_series(0, n_copies - 1)) AS t(e)
             WHERE n_copies > 0
+        """,
+        "dp_repetition": _repetition_sql(),
+        "dp_contamination": _contamination_sql(),
+        "dp_pii": _pii_sql(),
+        "dp_tfidf": _tfidf_sql(k=3),
+        "dp_vocab": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS count, count(DISTINCT doc_id) AS n_docs
+            FROM toks WHERE term <> '' GROUP BY 1 HAVING count(*) >= 5
         """,
         "stream_resample": f"""
             SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),

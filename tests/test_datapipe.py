@@ -327,3 +327,94 @@ def test_pack_offsets_layout(spark):
     )
     out2 = pack_offsets(d2, "n_tok", ["doc_id"], max_len=8, by=["shard"]).collect()
     assert all(r["start_offset"] == 0 for r in out2)
+
+
+def test_repetition_signals(spark):
+    from v3_polars_spark.datapipe import repetition_signals
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),          # one word looped
+        (1, "alpha beta gamma delta epsilon zeta"),     # all distinct
+        (2, "line one\nline one\nline two"),            # duplicate line
+        (3, ""),                                        # empty
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_signals(d).collect()}
+    assert out[0]["dup_word_frac"] == pytest.approx(5 / 6)
+    assert out[0]["top_bigram_frac"] == 1.0            # only bigram is spam,spam
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == pytest.approx(1 / 5)
+    assert out[2]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert out[3]["dup_word_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+
+
+def test_contamination_check(spark):
+    from v3_polars_spark.datapipe import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),   # = benchmark
+            (1, "a completely different sentence about spark engines"),
+            (2, "something with the quick brown fox inside but mostly unique "
+                "words elsewhere in this much longer document text body"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in contamination_check(train, bench).collect()}
+    assert out[0]["contaminated"] and out[0]["overlap_frac"] == 1.0
+    assert not out[1]["contaminated"] and out[1]["n_contaminated"] == 0
+    assert 0 < out[2]["n_contaminated"] < out[2]["n_ngrams"]
+
+
+def test_pii_scrub(spark):
+    from v3_polars_spark.datapipe import pii_scrub
+
+    rows = [
+        (0, "mail alice@example.com and bob.smith+tag@mail.co.uk today"),
+        (1, "hosts 192.168.1.254 and 10.0.0.7 are up"),
+        (2, "call +1 (555) 123-4567 or 555-987-6543"),
+        (3, "nothing sensitive here"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert out[0]["n_email"] == 2
+    assert out[0]["text_scrubbed"] == "mail <EMAIL> and <EMAIL> today"
+    assert out[1]["n_ipv4"] == 2
+    assert out[1]["text_scrubbed"] == "hosts <IPV4> and <IPV4> are up"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["text_scrubbed"] == "call <PHONE> or <PHONE>"
+    assert out[3]["text_scrubbed"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+
+def test_tf_idf_top_terms(spark):
+    from v3_polars_spark.datapipe import tf_idf_top_terms
+
+    rows = [
+        (0, "common common rare0 rare0 rare0"),
+        (1, "common common rare1"),
+        (2, "common rare2"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tf_idf_top_terms(d, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # the doc-unique term always outranks the corpus-wide one
+    assert top == {0: "rare0", 1: "rare1", 2: "rare2"}
+    assert all(r["rnk"] == 1 for r in out)
+
+
+def test_vocabulary(spark):
+    from v3_polars_spark.datapipe import vocabulary
+
+    d = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c")], ["doc_id", "text"]
+    )
+    out = {r["term"]: r for r in vocabulary(d).collect()}
+    assert out["a"]["count"] == 3 and out["a"]["n_docs"] == 2
+    assert out["b"]["count"] == 2 and out["b"]["n_docs"] == 2
+    assert out["c"]["count"] == 1 and out["c"]["n_docs"] == 1
+    assert vocabulary(d, min_count=2).count() == 2
