@@ -326,9 +326,11 @@ def minhash_lsh_pairs(
     # (the explode never moves rows, so the groupBy shuffles only tiny
     # per-doc partial aggregates).
     sh = sets.select(F.col(id_col), F.explode(shset).alias("shingle"))
-    s_mod = F.col("shingle") % F.lit(PERM_P)
+    # expr strings, not Column arithmetic: K permutations x ~6 ops each is
+    # hundreds of py4j round trips (~0.3s of driver latency per build);
+    # one parsed string per aggregate is sub-ms and yields the same tree
     mins = [
-        F.min((F.lit(a) * s_mod + F.lit(b)) % F.lit(PERM_P)).alias(f"h{i}")
+        F.expr(f"min(({a} * (shingle % {PERM_P}) + {b}) % {PERM_P}) AS h{i}")
         for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -339,10 +341,10 @@ def minhash_lsh_pairs(
     # the modular polynomial fold of its R signature components — pure long
     # arithmetic (no md5-of-concat strings), identical in the oracle.
     def _band_bucket(b: int) -> Column:
-        acc = F.col(f"h{b * rows_per_band}") % F.lit(POLY_MOD)
+        acc = f"(h{b * rows_per_band} % {POLY_MOD})"
         for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band):
-            acc = (acc * F.lit(131) + F.col(f"h{i}")) % F.lit(POLY_MOD)
-        return acc
+            acc = f"(({acc} * 131 + h{i}) % {POLY_MOD})"
+        return F.expr(acc)
 
     band_arr = F.array(*[_band_bucket(b) for b in range(bands)])
     buckets = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
@@ -400,19 +402,22 @@ def simhash(
         ).cast("long"),
     )
 
-    def _bit(i: int) -> Column:
+    # expr strings (64 votes x ~6 Column ops each would be ~400 py4j round
+    # trips of driver latency per build; see minhash_lsh_pairs)
+    def _bit(i: int) -> str:
         src, sh = ("th1", i) if i < 56 else ("th2", i - 56)
-        return F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+        return f"(shiftright({src}, {sh}) & 1)"
 
     votes = [
-        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        F.expr(f"sum(CASE WHEN {_bit(i)} = 1 THEN 1 ELSE -1 END) AS b{i}")
         for i in range(bits)
     ]
     agg = h.groupBy(id_col).agg(*votes)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(0)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i if i < 63 else -(1 << 63)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(terms).alias("simhash"))
 
 
 def simhash_near_pairs(

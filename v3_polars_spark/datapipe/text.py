@@ -25,34 +25,44 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "on", "or", "be"]
 
 
-def _padded(col: Column) -> Column:
-    """' text '-padded lowercase body so ' word ' containment = whole-word hit."""
-    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+def _marker_score_sql(col_sql: str, words: list[str]) -> str:
+    """SQL text for the marker-word score (0/1 per word, summed over the
+    ' '-padded lowercase body so ' word ' containment = whole-word hit).
+
+    Built as ONE generated expression string handed to ``F.expr`` rather
+    than a loop of Column operations: every Column call is a py4j round
+    trip (~ms each), so a 40-word loop costs ~0.5 s of driver latency per
+    query build, while parsing one string is sub-millisecond. The parsed
+    tree is identical either way. Marker words are plain ASCII [a-z], so
+    no SQL escaping is needed."""
+    pad = f"(' ' || lower({col_sql}) || ' ')"
+    terms = " + ".join(
+        f"CASE WHEN contains({pad}, ' {w} ') THEN 1 ELSE 0 END" for w in words
+    )
+    return f"({terms})"
 
 
-def _marker_score(col: Column, words: list[str]) -> Column:
-    """Number of marker words present (0/1 per word, summed) — expressible
-    identically in any SQL dialect, unlike tokenizer-dependent counts."""
-    padded = _padded(col)
-    score = F.lit(0)
-    for w in words:
-        score = score + F.when(padded.contains(f" {w} "), 1).otherwise(0)
-    return score
+def _marker_score(col_sql: str, words: list[str]) -> Column:
+    """Number of marker words present — see ``_marker_score_sql``."""
+    return F.expr(_marker_score_sql(col_sql, words))
 
 
 def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: CJK char presence → zh; else the language with
     the most marker-word hits (ties broken by fixed precedence en>de>fr>es);
     no hits → 'und'."""
-    scores = {lang: _marker_score(F.col(text_col), ws) for lang, ws in LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    pred = (
-        F.when(F.col(text_col).rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
-        .when(best == 0, F.lit("und"))
-        .when(scores["en"] == best, F.lit("en"))
-        .when(scores["de"] == best, F.lit("de"))
-        .when(scores["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
+    c = f"`{text_col}`"
+    scores = {
+        lang: _marker_score_sql(c, ws) for lang, ws in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    pred = F.expr(
+        f"""CASE WHEN {c} RLIKE '[\\\\u4e00-\\\\u9fff]' THEN 'zh'
+             WHEN {best} = 0 THEN 'und'
+             WHEN {scores['en']} = {best} THEN 'en'
+             WHEN {scores['de']} = {best} THEN 'de'
+             WHEN {scores['fr']} = {best} THEN 'fr'
+             ELSE 'es' END"""
     )
     return df.withColumn(out, pred)
 
@@ -99,7 +109,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars - F.length(F.regexp_replace(t, "[.,;:!?'\"()\\[\\]{}-]", ""))
     ).cast("double")
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    sw_hits = _marker_score(t, STOPWORDS_EN).cast("double")
+    sw_hits = _marker_score(f"`{text_col}`", STOPWORDS_EN).cast("double")
     stopword_ratio = sw_hits / F.lit(float(len(STOPWORDS_EN)))
     quality = (
         F.when((n_words >= 5) & (n_words <= 100000), 0.4).otherwise(0.0)
