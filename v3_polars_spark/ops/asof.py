@@ -30,40 +30,57 @@ def asof_join(
     on: str,
     by: list[str] | None = None,
     strategy: str = "backward",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Backward/forward as-of join (J2).
 
-    Columns of ``right`` other than ``on``/``by`` are appended to ``left``
-    rows with the value in force at the left row's ``on`` (backward: last
-    right value with ``on_r <= on_l``; forward: next with ``on_r >= on_l``).
+    Columns of ``right`` other than ``on``/``by``/``tiebreak`` are appended
+    to ``left`` rows with the value in force at the left row's ``on``
+    (backward: last right value with ``on_r <= on_l``; forward: next with
+    ``on_r >= on_l``).
 
     Determinism: ties between multiple right rows at the same ``on`` take
-    the one latest in (on, side) order — callers needing a finer tiebreak
-    should pre-dedup the right side with ``dedup_last`` (the reference's
-    pipelines do exactly that: group_by(ts).last() before join_asof,
-    reference v3/helpers/pool_helpers.py:144-146).
+    the one greatest in ``tiebreak`` order (the row ``dedup_last(keys=[by,
+    on], order=tiebreak)`` would keep — fused here into the ONE window
+    shuffle instead of paying a separate pre-dedup exchange). Without
+    ``tiebreak``, ties resolve to the right row latest in (on, side) order;
+    callers needing determinism pass ``tiebreak`` or pre-dedup (the
+    reference pre-dedups: group_by(ts).last() before join_asof, reference
+    v3/helpers/pool_helpers.py:144-146).
     """
     if strategy not in ("backward", "forward"):
         raise ValueError(f"unsupported asof strategy: {strategy}")
     by = by or []
-    value_cols = [c for c in right.columns if c != on and c not in by]
+    tiebreak = tiebreak or []
+    value_cols = [
+        c for c in right.columns if c != on and c not in by and c not in tiebreak
+    ]
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(f"right value columns clash with left: {clash}")
 
     # Side marker orders right rows BEFORE left rows at equal `on`, so an
     # exactly-equal right timestamp is visible to the left row (<= semantics).
+    # Tiebreak columns ride along under internal names (they may clash with
+    # left columns — e.g. both sides carrying an event id); left rows hold
+    # NULL, which is irrelevant to ordering because the side marker already
+    # separates the sides at equal `on`.
+    tb_names = [f"__asof_tb{i}" for i in range(len(tiebreak))]
     left_tagged = left.withColumn(_SIDE, F.lit(1))
     for c in value_cols:
         left_tagged = left_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    for c, tb in zip(tiebreak, tb_names):
+        left_tagged = left_tagged.withColumn(tb, F.lit(None).cast(right.schema[c].dataType))
     # Polars join_asof never matches null keys; Spark's nulls-first ascending
     # sort would otherwise let a null-`on` right row propagate to every left
     # row before the first real right row.
     right_tagged = right.filter(F.col(on).isNotNull()).withColumn(_SIDE, F.lit(0))
+    for c, tb in zip(tiebreak, tb_names):
+        right_tagged = right_tagged.withColumn(tb, F.col(c))
     for c in left.columns:
         if c not in right_tagged.columns:
             right_tagged = right_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    cols = left.columns + value_cols + [_SIDE]
+    cols = left.columns + value_cols + tb_names + [_SIDE]
     unioned = left_tagged.select(*cols).unionByName(right_tagged.select(*cols))
 
     # Pack ALL value columns into one struct that is NULL on left rows:
@@ -75,16 +92,17 @@ def asof_join(
     ).otherwise(F.lit(None))
     unioned = unioned.withColumn("__vals", vals)
 
+    tb_order = [F.col(tb).asc() for tb in tb_names]
     if strategy == "backward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+            .orderBy(F.col(on).asc(), F.col(_SIDE).asc(), *tb_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col(_SIDE).asc())
+            .orderBy(F.col(on).desc(), F.col(_SIDE).asc(), *tb_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     filled = F.last(F.col("__vals"), ignorenulls=True).over(w)

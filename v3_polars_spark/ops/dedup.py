@@ -6,14 +6,51 @@ tie-break is file order — nondeterministic under a distributed scan
 (SURVEY.md §8.1 Q3). This op requires an explicit total-order tiebreak
 (``block_number, transaction_index, log_index`` for event tables) and is a
 single map-side-combinable hash aggregation — ONE shuffle on the group keys,
-no window sort, no row_number pass. ``max_by`` over a struct gives
-last-in-order in a single agg expression.
+no window sort, no row_number pass.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt) -> bool:
+    """True if Spark can ORDER BY this type (maps cannot; arrays/structs
+    are orderable iff their element/field types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _dedup(df, keys, order, value_cols, agg_fn, by_fn):
+    value_cols = value_cols or [c for c in df.columns if c not in keys]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    packed = order + [c for c in value_cols if c not in order]
+    if all(_orderable(dtypes[c]) for c in packed):
+        # min/max over a struct whose leading fields are the order columns:
+        # selects the same row as min_by/max_by when the order tuple is
+        # unique per key (the op's determinism contract), and — unlike
+        # min_by/max_by — is duplicate-agnostic, so Catalyst's
+        # RemoveRedundantAggregates can collapse an upstream DISTINCT on
+        # (keys ∪ packed) into this aggregate (one exchange instead of two
+        # in the reference's unique→last pipeline shape,
+        # pool_helpers.py:143-146).
+        agged = df.groupBy(*keys).agg(
+            agg_fn(F.struct(*[F.col(c) for c in packed])).alias("__v")
+        )
+    else:
+        # unorderable payload types (maps): order only by the order tuple
+        ord_struct = F.struct(*[F.col(c) for c in order])
+        agged = df.groupBy(*keys).agg(
+            by_fn(F.struct(*[F.col(c) for c in packed]), ord_struct).alias("__v")
+        )
+    return agged.select(*keys, *[F.col(f"__v.{c}").alias(c) for c in value_cols])
 
 
 def dedup_last(
@@ -24,17 +61,11 @@ def dedup_last(
 ) -> DataFrame:
     """Latest row per ``keys`` under the total order ``order``.
 
-    Implemented as ``groupBy(keys).agg(max_by(struct(values), struct(order)))``
-    — an ordinary hash aggregate (partial agg on the map side, one shuffle),
-    strictly cheaper at scale than the window-row_number formulation which
-    must sort every partition's full rowset.
+    An ordinary hash/sort aggregate (partial agg on the map side, one
+    shuffle) — strictly cheaper at scale than the window-row_number
+    formulation which must sort every partition's full rowset.
     """
-    value_cols = value_cols or [c for c in df.columns if c not in keys]
-    ord_struct = F.struct(*[F.col(c) for c in order])
-    packed = df.groupBy(*keys).agg(
-        F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("__v")
-    )
-    return packed.select(*keys, *[F.col(f"__v.{c}").alias(c) for c in value_cols])
+    return _dedup(df, keys, order, value_cols, F.max, F.max_by)
 
 
 def dedup_first(
@@ -43,10 +74,5 @@ def dedup_first(
     order: list[str],
     value_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Earliest row per ``keys`` — same plan shape with ``min_by``."""
-    value_cols = value_cols or [c for c in df.columns if c not in keys]
-    ord_struct = F.struct(*[F.col(c) for c in order])
-    packed = df.groupBy(*keys).agg(
-        F.min_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("__v")
-    )
-    return packed.select(*keys, *[F.col(f"__v.{c}").alias(c) for c in value_cols])
+    """Earliest row per ``keys`` — same plan shape with ``min``/``min_by``."""
+    return _dedup(df, keys, order, value_cols, F.min, F.min_by)

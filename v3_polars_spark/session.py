@@ -49,6 +49,15 @@ def get_spark(
         # scale and strictly better at interactive sizes.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64M broadcast threshold (default 10M): the decision is made per
+        # join from ACTUAL relation sizes (cached-relation stats, or AQE
+        # runtime stats), so raising the cap never broadcasts an unbounded
+        # side — it lets dimension tables in the 10-64M band (orders at
+        # bench sf, the pools dim, LSH candidate sets) skip both exchanges.
+        # 64M replicated to executors with multi-GB heaps is the standard
+        # production posture; a 100 TB fact side is unaffected (it is never
+        # the build side, and sizes above the cap still sort-merge).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
