@@ -394,20 +394,24 @@ def q_asof_join(spark, sf):
     """J2: backward as-of join — for each click, the last purchase value at
     or before it, per user (getPriceSeries join shape,
     pool_helpers.py:202)."""
-    from v3_polars_spark.ops import asof_join, dedup_last
+    from v3_polars_spark.ops import asof_join
 
     e = _t(spark, sf, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value", "event_id"
+        "user_id",
+        "ts",
+        F.col("value").alias("last_purchase_value"),
+        "event_id",
     )
-    # dedup right side to one row per (user, ts): deterministic tie-break
-    purchases = dedup_last(
-        purchases, keys=["user_id", "ts"], order=["event_id"], value_cols=["value"]
-    ).withColumnRenamed("value", "last_purchase_value")
-    out = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    # tiebreak=event_id fuses the right-side dedup-to-latest into the one
+    # window shuffle (same result as a dedup_last pre-pass, one less
+    # exchange of the event table)
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], tiebreak=["event_id"]
+    )
     return out.select(
         "user_id", "event_id", _ts_str("ts", "ts_str"), "last_purchase_value"
     )
@@ -1279,7 +1283,119 @@ def q_liquidity_multi(spark, sf):
     return out.select("pool", "tick", "liquidity")
 
 
+def q_sessionize(spark, sf):
+    """Gap-based session windows (ops.sessionize / F.session_window): user
+    activity split into sessions at 30-minute inactivity gaps — one
+    aggregation, one shuffle; the identical expression streams under a
+    watermark. Oracle: the classic gaps-and-islands SQL (lag → new-session
+    flag → running sum → group), which is the session-window contract:
+    same session iff the next event starts at or before last_ts + gap
+    (touching windows merge); session_end = last_ts + gap."""
+    from v3_polars_spark.ops import sessionize
+
+    e = _t(spark, sf, "events")
+    out = sessionize(
+        e,
+        "ts",
+        "30m",
+        by=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _cents_sum("value", "sum_cents"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        _ts_str("session_start", "session_start_str"),
+        _ts_str("session_end", "session_end_str"),
+        "n_events",
+        "sum_cents",
+    )
+
+
+_RJ_BANDS = [(0, 0.0, 100.0), (1, 100.0, 250.0), (2, 250.0, 500.0), (3, 500.0, 1000.0)]
+
+
+def q_range_join(spark, sf):
+    """Point-in-interval range join WITHOUT a cartesian (ops.range_join):
+    intervals explode into fixed-width covering buckets, points hash-join
+    on their bucket, exact bounds filter residually — the banded-join
+    family (LSH buckets, Databricks range-join bins). Plan pinned
+    cartesian-free in tests/test_plans.py."""
+    from v3_polars_spark.ops import range_join
+
+    e = _t(spark, sf, "events").select("event_id", "value")
+    iv = _values_df(spark, _RJ_BANDS, ["band_id", "lo", "hi"])
+    j = range_join(e, iv, "value", "lo", "hi", bucket_width=100.0)
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cents_sum("value", "sum_cents"),
+    )
+
+
+def q_rollup_multi(spark, sf):
+    """Hypertable rollup (ops.hypertable_rollup): 1h/6h/1d tumbling
+    aggregates built hierarchically — ONE scan of events for the finest
+    level, coarser levels re-aggregate the previous level's bucket rows
+    (the continuous-aggregate shape; k resolutions ≠ k scans at 100 TB).
+    Oracle replays each level as an independent bucketed GROUP BY."""
+    from v3_polars_spark.ops import hypertable_rollup
+
+    e = _t(spark, sf, "events")
+    out = hypertable_rollup(
+        e,
+        "ts",
+        ["1h", "6h", "1d"],
+        aggs={
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "sum_cents": (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")),
+                "sum",
+            ),
+            "max_value": (F.max("value"), "max"),
+        },
+    )
+    return out.select(
+        "resolution",
+        _ts_str("bucket_ts", "bucket_str"),
+        "n_events",
+        "sum_cents",
+        "max_value",
+    )
+
+
+_PLAN_MEMO: dict = {}
+
+
+def _memo_query(name: str, fn):
+    """Memoize the BUILT DataFrame per (session, sf_dir): query plans here
+    are pure functions of (session, data dir), so repeated calls (bench
+    iterations, dashboard refresh) reuse the analyzed plan instead of
+    re-paying py4j plan construction + Catalyst analysis (~0.1-0.3 s for
+    the expression-heavy queries). The Spark analog of a prepared
+    statement — and of the reference's per-as_of memo of its derived
+    frames (v3/state.py:176-195). Execution is NOT cached: every action
+    on the memoized frame recomputes from the (cached) source tables."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (id(spark), sf_dir, name)
+        df = _PLAN_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _PLAN_MEMO[key] = df
+        return df
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = getattr(fn, "__name__", name)
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    qs = _raw_queries()
+    return {name: _memo_query(name, fn) for name, fn in qs.items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project": q_scan_project,
         "filter_pred": q_filter_pred,
@@ -1342,6 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_pii": dp_pii,
         "dp_tfidf": dp_tfidf,
         "dp_vocab": dp_vocab,
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
+        "rollup_multi": q_rollup_multi,
     }
 
 
@@ -2759,5 +2878,69 @@ def oracle_sql() -> dict[str, str]:
              AND n.amount0 = m.amount0
              AND n.amount1 = m.amount1
              AND n.nfp_log_index > m.core_log_index
+        """,
+        "sessionize": f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS sess
+                FROM o
+            )
+            SELECT user_id,
+                   strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start_str,
+                   strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}')
+                     AS session_end_str,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM s GROUP BY user_id, sess
+        """,
+        "range_join": """
+            SELECT CAST(band_id AS BIGINT) AS band_id,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events e
+            JOIN (VALUES (0, 0.0, 100.0), (1, 100.0, 250.0),
+                         (2, 250.0, 500.0), (3, 500.0, 1000.0))
+                 b(band_id, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1
+        """,
+        "rollup_multi": f"""
+            WITH b AS (
+                SELECT ts, value, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT '1h' AS resolution,
+                   strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
+                            '{TS_FMT_DUCK}') AS bucket_str,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   MAX(value) AS max_value
+            FROM b GROUP BY 2
+            UNION ALL
+            SELECT '6h' AS resolution,
+                   strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+                            '{TS_FMT_DUCK}') AS bucket_str,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   MAX(value) AS max_value
+            FROM b GROUP BY 2
+            UNION ALL
+            SELECT '1d' AS resolution,
+                   strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+                            '{TS_FMT_DUCK}') AS bucket_str,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   MAX(value) AS max_value
+            FROM b GROUP BY 2
         """,
     }

@@ -149,3 +149,135 @@ def test_nfp_positions_theta_join(spark):
     assert len(out) == 1
     assert out[0]["tokenId"] == "7" and out[0]["address"] == "0xpool"
     assert out[0]["tick_lower"] == -60 and out[0]["tick_upper"] == 60
+
+
+# ---------------------------------------------------------------------------
+# session windows / range join / hypertable rollup
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundaries(spark):
+    from v3_polars_spark.ops import sessionize
+
+    rows = [
+        # user 1: 29m gap (same session), then exactly 30m after the
+        # second event — TOUCHING windows merge (inclusive boundary),
+        # then 30m + 1µs after the third (strictly past the gap: new)
+        (1, _ts("2024-01-01 00:00:00")),
+        (1, _ts("2024-01-01 00:29:00")),
+        (1, _ts("2024-01-01 00:59:00")),
+        (1, _ts("2024-01-01 01:29:00.000001")),
+        # user 2: single event
+        (2, _ts("2024-01-01 12:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "ts", "30m", by=["user_id"]).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    s1, s2 = sorted(by_user[1], key=lambda r: r["session_start"])
+    assert s1["n_events"] == 3
+    assert s1["session_start"] == _ts("2024-01-01 00:00:00")
+    # end = last event + gap
+    assert s1["session_end"] == _ts("2024-01-01 01:29:00")
+    assert s2["n_events"] == 1
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
+
+
+def test_range_join_bounds_and_left(spark):
+    from v3_polars_spark.ops import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 99.9), (3, 100.0), (4, 250.0), (5, -5.0)], ["pid", "v"]
+    )
+    iv = spark.createDataFrame(
+        [(10, 0.0, 100.0), (11, 100.0, 200.0), (12, 200.0, 200.0)],
+        ["band", "lo", "hi"],
+    )
+    inner = range_join(pts, iv, "v", "lo", "hi", bucket_width=50.0)
+    got = {(r["pid"], r["band"]) for r in inner.collect()}
+    # closed-open: 100.0 joins band 11 not 10; empty interval 12 matches none
+    assert got == {(1, 10), (2, 10), (3, 11)}
+    left = range_join(pts, iv, "v", "lo", "hi", bucket_width=50.0, how="left")
+    rows = {r["pid"]: r["band"] for r in left.collect()}
+    assert rows[4] is None and rows[5] is None
+
+
+def test_range_join_rejects_overlapping_columns(spark):
+    from v3_polars_spark.ops import range_join
+
+    df = spark.createDataFrame([(1, 2.0)], ["id", "v"])
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(df, df, "v", "id", "v", 1.0)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("strategy", ["grouping_sets", "hierarchical"])
+def test_hypertable_rollup_matches_direct_groupby(spark, strategy):
+    from v3_polars_spark.ops import hypertable_rollup, resample
+
+    rows = [
+        (i, _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=37 * i), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    out = hypertable_rollup(
+        df,
+        "ts",
+        ["1h", "6h", "1d"],
+        aggs={
+            "n": (F.count(F.lit(1)), "sum"),
+            "sv": (F.sum("v"), "sum"),
+            "mx": (F.max("v"), "max"),
+        },
+        strategy=strategy,
+    )
+    got = {
+        (r["resolution"], r["bucket_ts"]): (r["n"], r["sv"], r["mx"])
+        for r in out.collect()
+    }
+    # every level equals an independent single-resolution resample
+    for res in ["1h", "6h", "1d"]:
+        direct = resample(
+            df,
+            "ts",
+            res,
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sv"),
+                F.max("v").alias("mx"),
+            ],
+        ).collect()
+        for r in direct:
+            assert got[(res, r["bucket_ts"])] == (r["n"], r["sv"], r["mx"])
+    assert len(got) == sum(1 for k in got)  # no duplicate (resolution, bucket)
+
+
+def test_hypertable_rollup_validates_hierarchy(spark):
+    from v3_polars_spark.ops import hypertable_rollup
+
+    df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"), 1.0)], ["id", "ts", "v"])
+    with pytest.raises(ValueError, match="multiple"):
+        hypertable_rollup(df, "ts", ["1h", "4h", "6h"], aggs={"n": (F.count(F.lit(1)), "sum")})
+    with pytest.raises(ValueError, match="fine-to-coarse"):
+        hypertable_rollup(df, "ts", ["6h", "1h"], aggs={"n": (F.count(F.lit(1)), "sum")})
+
+
+def test_asof_join_tiebreak_fuses_dedup(spark):
+    """tiebreak picks the greatest-tiebreak right row at equal `on` —
+    identical to dedup_last(keys=[on], order=tiebreak) then asof_join."""
+    left = spark.createDataFrame([(5, "q")], ["t", "lv"])
+    right = spark.createDataFrame(
+        [(5, 1, 10), (5, 2, 20), (3, 7, 70), (3, 8, 80)], ["t", "seq", "rv"]
+    )
+    out = asof_join(left, right, on="t", tiebreak=["seq"]).collect()
+    assert len(out) == 1
+    assert out[0]["rv"] == 20  # max seq at t=5, not the t=3 rows
+    assert "seq" not in out[0].asDict()

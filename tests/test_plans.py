@@ -248,3 +248,53 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_range_join_no_cartesian(spark, sf_dir):
+    """range_join's bucketed decomposition must plan as an EQUI join on the
+    bucket id — never CartesianProduct / BroadcastNestedLoopJoin, the scale
+    cliff a bare lo<=p<hi predicate would produce."""
+    from v3_polars_spark.ops import range_join
+    from v3_polars_spark.plans import explain_str
+
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    iv = spark.createDataFrame(
+        [(0, 0.0, 100.0), (1, 100.0, 250.0)], ["band_id", "lo", "hi"]
+    )
+    plan = explain_str(range_join(pts, iv, "value", "lo", "hi", 100.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin / SortMerge ok
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Session windows are one aggregation: a single shuffle Exchange
+    (keyed on by+session), never a window-sort pass plus an agg pass."""
+    from v3_polars_spark.ops import sessionize
+    from v3_polars_spark.plans import count_exchanges
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = sessionize(e.select("user_id", "ts"), "ts", "30m", by=["user_id"])
+    assert count_exchanges(df) <= 1
+
+
+def test_hypertable_rollup_single_scan_single_shuffle(spark, sf_dir):
+    """The grouping-sets rollup computes ALL resolutions in one pass:
+    exactly one parquet scan of the raw events and one shuffle Exchange
+    (Expand + partial agg collapse before the exchange)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from v3_polars_spark.ops import hypertable_rollup
+    from v3_polars_spark.plans import count_exchanges, explain_str
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hypertable_rollup(
+        e, "ts", ["1h", "6h", "1d"], aggs={"n": (F.count(F.lit(1)), "sum")}
+    )
+    plan = explain_str(out)
+    # formatted explain prints each node twice (tree + details)
+    scans = len(re.findall(r"Scan parquet", plan)) // 2
+    assert scans == 1, f"expected 1 raw scan, got {scans}"
+    assert count_exchanges(out) == 1

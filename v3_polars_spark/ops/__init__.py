@@ -10,7 +10,10 @@ from .misc import (
     recode_map,
     segment_bounds,
 )
+from .ranges import range_join
 from .resample import duration_to_interval, resample
+from .rollup import hypertable_rollup
+from .sessions import sessionize
 from .skew import salted_join
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
@@ -25,12 +28,15 @@ __all__ = [
     "duration_to_interval",
     "ffill",
     "first_covering",
+    "hypertable_rollup",
     "is_empty",
     "lead_col",
     "outer_join_coalesced",
+    "range_join",
     "recode_join",
     "recode_map",
     "resample",
     "salted_join",
     "segment_bounds",
+    "sessionize",
 ]

@@ -1,0 +1,65 @@
+"""Bucketed range join (point-in-interval) — the distributed shape for
+joins whose only predicate is ``lo <= point < hi``.
+
+Without an equi key Spark plans such a join as BroadcastNestedLoop or a
+cartesian product — O(|L|·|R|) comparisons, the classic scale cliff. The
+bucketed decomposition manufactures an equi key: every interval is exploded
+into the fixed-width buckets it covers, the point side computes its single
+bucket, and the join runs as an ordinary hash/sort-merge equi-join on the
+bucket id with the exact range predicate as a residual filter. Work is
+O(|L| + |R|·avg_span/width + candidate pairs) — linear, shuffle-partitioned,
+AQE/skew-join compatible. (Same family as the banded LSH joins in
+datapipe.dedup and the bin-based range-join optimization in commercial
+Spark runtimes.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= point < hi`` (closed-open, the standard bucket convention).
+
+    ``bucket_width`` trades replication for candidate precision: intervals
+    are replicated ``~span/width`` times; points are never replicated.
+    Pick width ≈ the typical interval span. ``how`` supports "inner" and
+    "left" (left = points keep a row with null interval columns when no
+    interval covers them). Column names must not overlap across sides.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(f"overlapping column names across sides: {sorted(clash)}")
+    w = float(bucket_width)
+    p = points.withColumn("__rb_p", F.floor(F.col(point_col) / F.lit(w)).cast("long"))
+    # covering buckets floor(lo/w)..floor(hi/w): the last bucket is a
+    # (filtered) false candidate when hi lands exactly on a boundary —
+    # cheaper than an epsilon dance, and robust for float bounds. Malformed
+    # intervals (hi <= lo) get no buckets (sequence would otherwise emit a
+    # DESCENDING range).
+    spans = F.when(
+        F.col(hi_col) > F.col(lo_col),
+        F.sequence(
+            F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+            F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    iv = intervals.withColumn("__rb_i", F.explode(spans))
+    cond = (
+        (p["__rb_p"] == iv["__rb_i"])
+        & (p[point_col] >= iv[lo_col])
+        & (p[point_col] < iv[hi_col])
+    )
+    return p.join(iv, cond, how).drop("__rb_p", "__rb_i")
