@@ -69,15 +69,16 @@ def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one representative (min id) per distinct normalized text.
-    Plan: fingerprint (no shuffle) → groupBy(fp).min(id) → semi join back.
-    The join is on the fingerprint — AQE turns it into a broadcast when the
-    survivor set is small."""
+    Plan: fingerprint (no shuffle) → groupBy(fp).min(id) → semi join back
+    **on the id alone**: ids are unique, so the fp-equality term adds
+    nothing — and keeping fp out of the join means the md5+normalize
+    pipeline runs ONCE (inside the survivor derivation) instead of twice
+    (the raw ``df`` side needs no fingerprint column). The survivor-id set
+    is one long per distinct text — broadcast when small, hash semi join
+    otherwise."""
     fp = fingerprint_md5(df, text_col)
-    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return (
-        fp.join(keep, ["fp", id_col], "left_semi")
-        .drop("fp")
-    )
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, [id_col], "left_semi")
 
 
 # ---------------------------------------------------------------------------
