@@ -1364,6 +1364,22 @@ def q_rollup_multi(spark, sf):
     )
 
 
+def q_rollup_dims(spark, sf):
+    """Classic dimensional ROLLUP (subtotals + grand total in one pass —
+    Expand + single shuffle, same engine machinery as the grouping-sets
+    hypertable rollup): per (returnflag, linestatus), per returnflag, and
+    overall totals, tagged by grouping level."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("level"),
+        )
+    )
+
+
 _PLAN_MEMO: dict = {}
 
 
@@ -1461,6 +1477,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "rollup_multi": q_rollup_multi,
+        "rollup_dims": q_rollup_dims,
     }
 
 
@@ -2942,5 +2959,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_cents,
                    MAX(value) AS max_value
             FROM b GROUP BY 2
+        """,
+        "rollup_dims": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   COUNT(*) AS n,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                        AS BIGINT) AS level
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     }

@@ -254,3 +254,50 @@ def test_stateful_liquidity_resumes_from_checkpoint(spark, tmp_path):
             final[(r.address, r.tick)] = r.liquidity_delta
     assert final[("0xa", -60)] == pytest.approx(70.0)  # 100 - 30: state resumed
     assert final[("0xa", 60)] == pytest.approx(-70.0)
+
+
+def test_streaming_sessionize_matches_batch(spark, landed, tmp_path):
+    """Session windows stream under a watermark: the availableNow result
+    for every emitted (closed) session must equal its batch twin from
+    ops.sessionize."""
+    from v3_polars_spark.ops import sessionize
+    from v3_polars_spark.streaming import streaming_sessionize
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.max("block_number").alias("max_bn")]
+
+    src = stream_table(spark, landed, "pool_swap_events")
+    sessions = streaming_sessionize(
+        src, "block_timestamp", "10m", by=["address"], aggs=aggs
+    )
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = sessionize(
+        spark.read.parquet(os.path.join(landed, "pool_swap_events")),
+        "block_timestamp",
+        "10m",
+        by=["address"],
+        aggs=aggs,
+    )
+    got = {
+        (r["address"], r["session_start"]): (r["session_end"], r["n"], r["max_bn"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["address"], r["session_start"]): (r["session_end"], r["n"], r["max_bn"])
+        for r in batch.collect()
+    }
+    # append mode only emits sessions closed by the watermark; each one
+    # must match its batch twin exactly
+    assert got, "streaming emitted no sessions"
+    for k, v in got.items():
+        assert want[k] == v

@@ -3,6 +3,7 @@ from .ingest_stream import (
     stream_dedup_exact,
     stream_table,
     streaming_resample,
+    streaming_sessionize,
 )
 from .stateful import streaming_liquidity_deltas
 
@@ -11,5 +12,6 @@ __all__ = [
     "stream_dedup_exact",
     "stream_table",
     "streaming_resample",
+    "streaming_sessionize",
     "streaming_liquidity_deltas",
 ]

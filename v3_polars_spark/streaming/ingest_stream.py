@@ -59,6 +59,34 @@ def streaming_resample(
     )
 
 
+def streaming_sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    by: list[str] | None = None,
+    aggs: list | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session windows as a streaming query: the SAME
+    ``F.session_window`` expression as the batch ``ops.sessionize``, under
+    a late-data watermark (the engine merges late events into open
+    per-key sessions in state; a session closes — and is emitted in
+    append mode — once the watermark passes its end)."""
+    from pyspark.sql import functions as F
+
+    from ..ops.resample import duration_to_interval
+    from ..ops.sessions import sessionize as _batch_sessionize
+
+    # reuse the batch op's grouping verbatim on the watermarked stream
+    return _batch_sessionize(
+        df.withWatermark(ts_col, watermark),
+        ts_col,
+        duration_to_interval(gap),
+        by=by,
+        aggs=aggs,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_path: str,
