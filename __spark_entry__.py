@@ -1380,6 +1380,85 @@ def q_rollup_dims(spark, sf):
     )
 
 
+def q_resample_sliding(spark, sf):
+    """Hopping (sliding) windows: width 6h, hop 3h — every event lands in
+    width/hop overlapping buckets (Spark replicates rows pre-agg; one
+    shuffle; streams under a watermark unchanged). Oracle replays the
+    epoch-aligned hop grid with an explicit k-replication."""
+    from v3_polars_spark.ops import resample
+
+    e = _t(spark, sf, "events")
+    out = resample(
+        e,
+        "ts",
+        "6h",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+            _cents_sum("value", "sum_cents"),
+        ],
+        slide="3h",
+    )
+    return out.select(
+        _ts_str("bucket_ts", "bucket_str"), "n_events", "max_value", "sum_cents"
+    )
+
+
+def q_rolling_range(spark, sf):
+    """Range-frame rolling aggregate: per-user trailing 6h sum — a RANGE
+    BETWEEN frame over epoch seconds (value-based, not row-count-based:
+    all peers at the boundary included in both engines)."""
+    e = _t(spark, sf, "events")
+    epoch = F.unix_timestamp(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-21600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .over(w)
+        .alias("rolling_cents"),
+    )
+
+
+def q_pivot(spark, sf):
+    """Pivot (long→wide): per returnflag, one quantity-sum column per
+    linestatus — pinned pivot values so the output schema is static (the
+    scale-safe form: no distinct-values pre-scan)."""
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+def q_semi_anti_join(spark, sf):
+    """Left-semi and left-anti joins (existence filtering): customers with
+    and without orders, counted per nation with a side tag."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_nationkey", F.lit("with_orders").alias("side")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_nationkey", F.lit("no_orders").alias("side")
+    )
+    return (
+        semi.unionByName(anti)
+        .groupBy("c_nationkey", "side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 _PLAN_MEMO: dict = {}
 
 
@@ -1478,6 +1557,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rollup_multi": q_rollup_multi,
         "rollup_dims": q_rollup_dims,
+        "resample_sliding": q_resample_sliding,
+        "rolling_range": q_rolling_range,
+        "pivot": q_pivot,
+        "semi_anti_join": q_semi_anti_join,
     }
 
 
@@ -2968,5 +3051,44 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS level
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "resample_sliding": f"""
+            -- hop grid: starts are multiples of 3h; an event at t belongs
+            -- to the k=0..1 windows starting at floor(t/3h)*3h - k*3h
+            SELECT strftime(to_timestamp(floor(epoch(ts) / 10800) * 10800
+                                         - k * 10800),
+                            '{TS_FMT_DUCK}') AS bucket_str,
+                   COUNT(*) AS n_events,
+                   MAX(value) AS max_value,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events CROSS JOIN (SELECT unnest(range(2)) AS k)
+            GROUP BY 1
+        """,
+        "rolling_range": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS rolling_cents
+            FROM events
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+                   SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+            FROM lineitem GROUP BY 1
+        """,
+        "semi_anti_join": """
+            SELECT c_nationkey, side, COUNT(*) AS n FROM (
+                SELECT c_nationkey, 'with_orders' AS side FROM customer c
+                WHERE EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+                UNION ALL
+                SELECT c_nationkey, 'no_orders' AS side FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey)
+            ) GROUP BY 1, 2
         """,
     }

@@ -41,17 +41,31 @@ def resample(
     every: str,
     aggs: list[Column],
     bucket_alias: str = "bucket_ts",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window aggregate: ``bucket_alias`` is the bucket START
     timestamp (matches Polars group_by_dynamic's bucket label).
+
+    ``slide`` turns the tumbling window into a HOPPING one (width =
+    ``every``, hop = ``slide``; each event lands in every/slide
+    overlapping buckets — Spark's windowing replicates rows before the
+    aggregation, so it remains one ordinary shuffle and streams under a
+    watermark unchanged).
 
     Weekly buckets get startTime="96 hours": Spark aligns tumbling windows
     to the epoch (1970-01-01, a Thursday) while Polars aligns "1w" buckets
     to Monday — the offset shifts the grid to Monday boundaries."""
     interval = duration_to_interval(every)
+    slide_interval = duration_to_interval(slide) if slide else None
     if interval.endswith("weeks"):
         n = int(interval.split()[0])
-        win = F.window(F.col(ts_col), f"{n * 7} days", startTime="96 hours")
+        win = F.window(
+            F.col(ts_col), f"{n * 7} days", slide_interval, startTime="96 hours"
+        ) if slide_interval else F.window(
+            F.col(ts_col), f"{n * 7} days", startTime="96 hours"
+        )
+    elif slide_interval:
+        win = F.window(F.col(ts_col), interval, slide_interval)
     else:
         win = F.window(F.col(ts_col), interval)
     out = df.groupBy(win.alias("__w")).agg(*aggs)
