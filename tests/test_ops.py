@@ -281,3 +281,28 @@ def test_asof_join_tiebreak_fuses_dedup(spark):
     assert len(out) == 1
     assert out[0]["rv"] == 20  # max seq at t=5, not the t=3 rows
     assert "seq" not in out[0].asDict()
+
+
+def test_range_join_timestamps(spark):
+    """Timestamp validity-window join: bucket on µs epochs, width in
+    seconds; exact bounds still closed-open."""
+    from v3_polars_spark.ops import range_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:30:00")),
+            (2, _ts("2024-01-01 02:00:00")),   # == hi of band 10: excluded
+            (3, _ts("2024-01-01 02:00:00.000001")),
+        ],
+        ["pid", "t"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+            (11, _ts("2024-01-01 02:00:00"), _ts("2024-01-01 04:00:00")),
+        ],
+        ["band", "lo", "hi"],
+    )
+    out = {(r["pid"], r["band"]) for r in
+           range_join(pts, iv, "t", "lo", "hi", bucket_width=3600.0).collect()}
+    assert out == {(1, 10), (2, 11), (3, 11)}

@@ -301,3 +301,72 @@ def test_streaming_sessionize_matches_batch(spark, landed, tmp_path):
     assert got, "streaming emitted no sessions"
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Windowed stream-stream inner join (equality key + event-time range,
+    watermarks on both sides for state cleanup): the availableNow drain
+    must produce exactly the batch join's matches."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    clicks = [
+        (u, base + dt.timedelta(minutes=m), f"c{u}_{m}")
+        for u in range(3)
+        for m in (0, 30, 240)
+    ]
+    purchases = [
+        (u, base + dt.timedelta(minutes=m), f"p{u}_{m}")
+        for u in range(3)
+        for m in (45, 75, 600)  # 45/75 match the 0/30 clicks; 600 matches none
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    cdf = spark.createDataFrame(clicks, ["user_id", "cts", "click_id"])
+    pdf = spark.createDataFrame(purchases, ["user_id", "pts", "purchase_id"])
+    cdf.write.parquet(cdir)
+    pdf.write.parquet(pdir)
+
+    cs = (
+        spark.readStream.schema(cdf.schema).parquet(cdir)
+        .withWatermark("cts", "2 hours")
+    )
+    ps = (
+        spark.readStream.schema(pdf.schema).parquet(pdir)
+        .withWatermark("pts", "2 hours")
+        .withColumnRenamed("user_id", "p_user_id")
+    )
+    joined = cs.join(
+        ps,
+        F.expr(
+            "user_id = p_user_id AND "
+            "pts >= cts AND pts < cts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "click_id", "purchase_id")
+
+    sink = str(tmp_path / "join_sink")
+    ckpt = str(tmp_path / "join_ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in cdf.join(
+            pdf.withColumnRenamed("user_id", "p_user_id"),
+            F.expr(
+                "user_id = p_user_id AND pts >= cts AND pts < cts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert want, "batch twin produced no matches — test data broken"
+    assert got == want

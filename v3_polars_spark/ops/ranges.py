@@ -36,6 +36,9 @@ def range_join(
     Pick width ≈ the typical interval span. ``how`` supports "inner" and
     "left" (left = points keep a row with null interval columns when no
     interval covers them). Column names must not overlap across sides.
+    Timestamp columns are supported directly (validity-window joins):
+    bucketing happens on the microsecond epoch and ``bucket_width`` is in
+    SECONDS.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how: {how}")
@@ -43,17 +46,28 @@ def range_join(
     if clash:
         raise ValueError(f"overlapping column names across sides: {sorted(clash)}")
     w = float(bucket_width)
-    p = points.withColumn("__rb_p", F.floor(F.col(point_col) / F.lit(w)).cast("long"))
+
+    # timestamp intervals are the common case (events ↔ validity windows):
+    # bucket on microsecond epochs, bucket_width stays in SECONDS
+    from pyspark.sql import types as T
+
+    def _num(side, c):
+        if isinstance(side.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(c)).cast("double") / F.lit(1e6)
+        return F.col(c)
+
+    p = points.withColumn("__rb_p", F.floor(_num(points, point_col) / F.lit(w)).cast("long"))
     # covering buckets floor(lo/w)..floor(hi/w): the last bucket is a
     # (filtered) false candidate when hi lands exactly on a boundary —
     # cheaper than an epsilon dance, and robust for float bounds. Malformed
     # intervals (hi <= lo) get no buckets (sequence would otherwise emit a
     # DESCENDING range).
+    lo_n, hi_n = _num(intervals, lo_col), _num(intervals, hi_col)
     spans = F.when(
         F.col(hi_col) > F.col(lo_col),
         F.sequence(
-            F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
-            F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
+            F.floor(lo_n / F.lit(w)).cast("long"),
+            F.floor(hi_n / F.lit(w)).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
     iv = intervals.withColumn("__rb_i", F.explode(spans))
