@@ -5,6 +5,7 @@ from .ingest import (
     update_table,
     update_tables,
 )
+from .pyds import WarehouseDataSource
 from .warehouse import NFP_MANAGER, AlliumSource, BigQuerySource
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "rows_to_dataframe",
     "update_table",
     "update_tables",
+    "WarehouseDataSource",
 ]

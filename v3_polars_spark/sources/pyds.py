@@ -1,0 +1,141 @@
+"""Spark 4 Python Data Source for warehouse event tables: the reference's
+segmented ingest loop (reference v3/helpers/data_update.py:191-292 — a
+serial driver-side while-loop pulling ~200k-row block slices) re-expressed
+as a FIRST-CLASS partitioned Spark source.
+
+    spark.dataSource.register(WarehouseDataSource)
+    df = (spark.read.format("v3warehouse")
+          .option("provider", "local")            # or a live binding
+          .option("path", "/data/examples")       # provider-specific
+          .option("table", "pool_swap_events")
+          .option("chain", "ethereum")
+          .option("min_block", "0")
+          .option("max_block", "12376625")
+          .option("rows_per_partition", "200000")
+          .load())
+
+Each InputPartition is one block slice; executors pull their slices IN
+PARALLEL (the reference's loop iterations are independent by construction
+— each is `WHERE block_number BETWEEN lo AND hi`), so a 1000-executor
+cluster backfills a year of history in one wave instead of a serial
+driver loop. Partition boundaries are planned from row-count statistics
+the same way the loop's `findSegment` probe targets ~200k rows/pull
+(reference gbq.py:49-71, state.py:17).
+
+Providers:
+- ``local``: reads a parquet directory with pyarrow inside the executor —
+  the offline test double (same role LocalParquetConnector plays for the
+  control-plane loop), and the proof that the partitioning/read contract
+  works end-to-end without credentials.
+- a live warehouse binding implements ``_open_provider`` with the
+  BigQuery/Allium SQL templates from ``sources.warehouse`` (their string
+  builders are provider-agnostic); the container has no credentials, so
+  that path raises with a pointer rather than pretending to connect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..tables import SCHEMAS
+
+
+class BlockSlice(InputPartition):
+    """One independent block-range pull [lo, hi]."""
+
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class WarehouseDataSource(DataSource):
+    """Partitioned reader over an append-only event-table warehouse."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "v3warehouse"
+
+    def schema(self):
+        table = self.options.get("table", "pool_swap_events")
+        if table not in SCHEMAS:
+            raise ValueError(f"unknown table {table!r}; one of {sorted(SCHEMAS)}")
+        return SCHEMAS[table]
+
+    def reader(self, schema) -> "WarehouseReader":
+        return WarehouseReader(schema, dict(self.options))
+
+
+class WarehouseReader(DataSourceReader):
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.options = options
+        self.table = options.get("table", "pool_swap_events")
+        self.chain = options.get("chain", "ethereum")
+        self.provider = options.get("provider", "local")
+        self.rows_per_partition = int(options.get("rows_per_partition", "200000"))
+        if self.provider != "local":
+            raise NotImplementedError(
+                "only the 'local' provider is wired in this environment; a "
+                "live binding implements the block-slice read with the SQL "
+                "templates in sources.warehouse (BigQuerySource/AlliumSource)"
+            )
+
+    # -- planning (driver side) ---------------------------------------
+    def partitions(self):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        path = self.options["path"]
+        dataset = ds.dataset(f"{path}/{self.table}", format="parquet")
+        tbl = dataset.to_table(
+            columns=["block_number"],
+            filter=pc.field("chain_name") == self.chain,
+        )
+        lo_opt = self.options.get("min_block")
+        hi_opt = self.options.get("max_block")
+        bns = tbl.column("block_number").to_pylist()
+        bns = [
+            b
+            for b in bns
+            if (lo_opt is None or b >= int(lo_opt))
+            and (hi_opt is None or b <= int(hi_opt))
+        ]
+        if not bns:
+            return [BlockSlice(0, -1)]
+        # segment boundaries targeting ~rows_per_partition rows each —
+        # the distributed analog of the findSegment probe: sort the block
+        # numbers, cut every N rows, snap each cut to a block boundary so
+        # slices never split a block
+        bns.sort()
+        slices, start = [], bns[0]
+        i = 0
+        while i < len(bns):
+            j = min(i + self.rows_per_partition, len(bns)) - 1
+            hi = bns[j]
+            # advance past every row of the boundary block
+            while j + 1 < len(bns) and bns[j + 1] == hi:
+                j += 1
+            slices.append(BlockSlice(start, hi))
+            i = j + 1
+            if i < len(bns):
+                start = bns[i]
+        return slices
+
+    # -- execution (executor side) ------------------------------------
+    def read(self, partition: BlockSlice):
+        if partition.hi < partition.lo:
+            return
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        path = self.options["path"]
+        dataset = ds.dataset(f"{path}/{self.table}", format="parquet")
+        filt = (
+            (pc.field("chain_name") == self.chain)
+            & (pc.field("block_number") >= partition.lo)
+            & (pc.field("block_number") <= partition.hi)
+        )
+        tbl = dataset.to_table(
+            columns=[f.name for f in self.schema.fields], filter=filt
+        )
+        yield from tbl.to_batches()
