@@ -134,3 +134,67 @@ def test_asof_join_by_keys_independent(spark, left, right):
         cands = [(tr, v) for (kr, tr, v) in right if kr == k and tr <= t]
         want = max(cands)[1] if cands else None
         assert got[(k, t)] == want, (k, t, got[(k, t)], want)
+
+
+@settings(**SETTINGS)
+@given(
+    points=st.lists(st.integers(-100, 100), min_size=1, max_size=15, unique=True),
+    intervals=st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(0, 60)),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([1.0, 7.0, 25.0, 100.0]),
+)
+def test_range_join_matches_bruteforce(spark, points, intervals, width):
+    """range_join(inner) over any bucket width == the naive all-pairs
+    lo <= p < hi filter (the bucket decomposition must be lossless)."""
+    from v3_polars_spark.ops import range_join
+
+    pts = spark.createDataFrame([(i, float(p)) for i, p in enumerate(points)], ["pid", "p"])
+    ivs = spark.createDataFrame(
+        [(j, float(lo), float(lo + span)) for j, (lo, span) in enumerate(intervals)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "p", "lo", "hi", bucket_width=width).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, span) in enumerate(intervals)
+        if lo <= p < lo + span
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    offsets=st.lists(st.integers(0, 500), min_size=1, max_size=20, unique=True),
+    gap_min=st.sampled_from([1, 7, 30]),
+)
+def test_sessionize_matches_bruteforce(spark, offsets, gap_min):
+    """sessionize == the sequential fold: same session iff the next event
+    starts at or before last_ts + gap (touching windows merge)."""
+    import datetime as dt
+
+    from v3_polars_spark.ops import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    ts = sorted(base + dt.timedelta(minutes=m) for m in offsets)
+    df = spark.createDataFrame([(t,) for t in ts], ["ts"])
+    out = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, "ts", f"{gap_min}m").collect()
+    )
+    gap = dt.timedelta(minutes=gap_min)
+    want, start, last, n = [], ts[0], ts[0], 1
+    for t in ts[1:]:
+        if t <= last + gap:
+            last, n = t, n + 1
+        else:
+            want.append((start, last + gap, n))
+            start, last, n = t, t, 1
+    want.append((start, last + gap, n))
+    assert out == sorted(want)
