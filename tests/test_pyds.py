@@ -95,3 +95,62 @@ def test_pyds_unknown_table_and_provider(registered, spark, ref_examples):
         )
     with pytest.raises(NotImplementedError, match="live binding"):
         WarehouseReader(SCHEMAS["pool_swap_events"], {"provider": "allium"})
+
+
+def test_pyds_filter_pushdown(registered, spark, ref_examples):
+    """Spark filters on chain/block bounds reach the reader: they tighten
+    the slice plan (partition pruning) and the filtered read equals the
+    direct scan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from v3_polars_spark.sources.pyds import WarehouseReader
+    from v3_polars_spark.tables import SCHEMAS
+
+    # unit: consumed vs remaining filters, tightened bounds
+    r = WarehouseReader(
+        SCHEMAS["pool_swap_events"],
+        {"path": ref_examples, "table": "pool_swap_events", "chain": "ethereum",
+         "rows_per_partition": "300"},
+    )
+    other = EqualTo(("address",), "0xabc")
+    rest = r.pushFilters([
+        EqualTo(("chain_name",), "ethereum"),
+        GreaterThanOrEqual(("block_number",), 12370000),
+        LessThanOrEqual(("block_number",), 12373000),
+        other,
+    ])
+    assert list(rest) == [other]
+    assert (r.min_block, r.max_block) == (12370000, 12373000)
+    full = WarehouseReader(
+        SCHEMAS["pool_swap_events"],
+        {"path": ref_examples, "table": "pool_swap_events", "chain": "ethereum",
+         "rows_per_partition": "300"},
+    )
+    assert len(r.partitions()) < len(full.partitions())  # pruned plan
+
+    # end-to-end: .filter() on the loaded frame, results == direct scan
+    df = (
+        spark.read.format("v3warehouse")
+        .option("provider", "local")
+        .option("path", ref_examples)
+        .option("table", "pool_swap_events")
+        .load()
+        .filter(
+            (F.col("chain_name") == "ethereum")
+            & (F.col("block_number") >= 12370000)
+            & (F.col("block_number") <= 12373000)
+        )
+    )
+    direct = (
+        spark.read.parquet(f"{ref_examples}/pool_swap_events")
+        .filter(
+            (F.col("chain_name") == "ethereum")
+            & (F.col("block_number") >= 12370000)
+            & (F.col("block_number") <= 12373000)
+        )
+    )
+    assert df.count() == direct.count() > 0

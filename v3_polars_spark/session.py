@@ -63,6 +63,9 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python Data Sources (sources/pyds.py) receive pushed filters —
+        # chain/block-bound pruning happens at slice-planning time
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
@@ -80,8 +83,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
     session (e.g. the driver's). Only touches confs that are safe to set
     after startup."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass
+    for k, v in [
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     return spark

@@ -73,12 +73,42 @@ class WarehouseReader(DataSourceReader):
         self.chain = options.get("chain", "ethereum")
         self.provider = options.get("provider", "local")
         self.rows_per_partition = int(options.get("rows_per_partition", "200000"))
+        mn, mx = options.get("min_block"), options.get("max_block")
+        self.min_block = int(mn) if mn is not None else None
+        self.max_block = int(mx) if mx is not None else None
         if self.provider != "local":
             raise NotImplementedError(
                 "only the 'local' provider is wired in this environment; a "
                 "live binding implements the block-slice read with the SQL "
                 "templates in sources.warehouse (BigQuerySource/AlliumSource)"
             )
+
+    # -- pushdown (driver side, before planning) ----------------------
+    def pushFilters(self, filters):
+        """Consume chain equality and block-number bounds: they tighten the
+        slice plan (fewer partitions, bounded warehouse pulls) exactly like
+        the reference loop's WHERE clause (gbq.py:73-87). Everything else
+        is returned for Spark to evaluate post-scan. Consumed filters are
+        exact (equality / inclusive bounds), so re-evaluation is skipped."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThanOrEqual,
+            LessThanOrEqual,
+        )
+
+        remaining = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("chain_name",):
+                self.chain = f.value
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("block_number",):
+                v = int(f.value)
+                self.min_block = v if self.min_block is None else max(self.min_block, v)
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("block_number",):
+                v = int(f.value)
+                self.max_block = v if self.max_block is None else min(self.max_block, v)
+            else:
+                remaining.append(f)
+        return remaining
 
     # -- planning (driver side) ---------------------------------------
     def partitions(self):
@@ -91,14 +121,12 @@ class WarehouseReader(DataSourceReader):
             columns=["block_number"],
             filter=pc.field("chain_name") == self.chain,
         )
-        lo_opt = self.options.get("min_block")
-        hi_opt = self.options.get("max_block")
         bns = tbl.column("block_number").to_pylist()
         bns = [
             b
             for b in bns
-            if (lo_opt is None or b >= int(lo_opt))
-            and (hi_opt is None or b <= int(hi_opt))
+            if (self.min_block is None or b >= self.min_block)
+            and (self.max_block is None or b <= self.max_block)
         ]
         if not bns:
             return [BlockSlice(0, -1)]
