@@ -45,6 +45,18 @@ def _prep(spark: SparkSession) -> SparkSession:
 
 _TABLE_CACHE: dict = {}
 
+# Tables big enough that a single-file local read would otherwise cache as
+# ONE partition, pinning every downstream map stage (partial aggs, regex
+# scans, join probes) to one core. On a real cluster the scan has natural
+# splits; locally the working-set cache is split at materialization (the
+# one-time cost the reference pays collecting+sorting its tables into
+# RAM). Capped at 8 ways: full local parallelism (32) makes every
+# shuffle a 32-map-task stage whose scheduling dominates sub-second
+# queries (measured 7.1s vs 4.1s across the headline set), while 8 still
+# unpins the compute-bound map stages (regex scans 0.40->0.26s, partial
+# aggs 0.35->0.19s).
+_WIDE_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table, memoizing the (cached) DataFrame per
@@ -66,6 +78,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    par = min(8, spark.sparkContext.defaultParallelism)
+    if name in _WIDE_TABLES and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     df = df.cache()
     _TABLE_CACHE[key] = df
     return df
