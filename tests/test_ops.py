@@ -306,3 +306,20 @@ def test_range_join_timestamps(spark):
     out = {(r["pid"], r["band"]) for r in
            range_join(pts, iv, "t", "lo", "hi", bucket_width=3600.0).collect()}
     assert out == {(1, 10), (2, 11), (3, 11)}
+
+
+def test_asof_join_nearest(spark):
+    """nearest: min |on_r - on_l|, equidistant prefers the backward match;
+    emit_matched_on exposes the matched key."""
+    left = spark.createDataFrame([(0,), (5,), (7,), (100,)], ["t"])
+    right = spark.createDataFrame([(2, 20), (8, 80)], ["t", "rv"])
+    out = {
+        r["t"]: (r["rv"], r["m"])
+        for r in asof_join(
+            left, right, on="t", strategy="nearest", emit_matched_on="m"
+        ).collect()
+    }
+    assert out[0] == (20, 2)     # only forward exists? no: 2 is forward of 0 -> nearest
+    assert out[5] == (20, 2)     # equidistant (3 vs 3): backward wins
+    assert out[7] == (80, 8)     # forward closer (1 vs 5)
+    assert out[100] == (80, 8)   # only backward exists

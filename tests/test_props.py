@@ -198,3 +198,25 @@ def test_sessionize_matches_bruteforce(spark, offsets, gap_min):
             start, last, n = t, t, 1
     want.append((start, last + gap, n))
     assert out == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(
+    left_ts=keys_st,
+    right=st.lists(
+        st.tuples(st.integers(-50, 50), vals_st),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_join_nearest_matches_bruteforce(spark, left_ts, right):
+    left = spark.createDataFrame([(t,) for t in left_ts], ["t"])
+    rdf = spark.createDataFrame(right, ["t", "v"])
+    got = {
+        r["t"]: r["v"]
+        for r in asof_join(left, rdf, on="t", strategy="nearest").collect()
+    }
+    for t in left_ts:
+        best = min(right, key=lambda p: (abs(p[0] - t), p[0] > t))
+        assert got[t] == best[1], (t, right)

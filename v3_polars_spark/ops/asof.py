@@ -31,13 +31,17 @@ def asof_join(
     by: list[str] | None = None,
     strategy: str = "backward",
     tiebreak: list[str] | None = None,
+    emit_matched_on: str | None = None,
 ) -> DataFrame:
-    """Backward/forward as-of join (J2).
+    """Backward/forward/nearest as-of join (J2; the full Polars
+    ``join_asof`` strategy surface).
 
     Columns of ``right`` other than ``on``/``by``/``tiebreak`` are appended
     to ``left`` rows with the value in force at the left row's ``on``
     (backward: last right value with ``on_r <= on_l``; forward: next with
-    ``on_r >= on_l``).
+    ``on_r >= on_l``; nearest: whichever of the two is closer in ``on``,
+    equidistant ties taking the backward match). ``emit_matched_on`` names
+    an extra output column carrying the matched right row's ``on``.
 
     Determinism: ties between multiple right rows at the same ``on`` take
     the one greatest in ``tiebreak`` order (the row ``dedup_last(keys=[by,
@@ -47,7 +51,13 @@ def asof_join(
     callers needing determinism pass ``tiebreak`` or pre-dedup (the
     reference pre-dedups: group_by(ts).last() before join_asof, reference
     v3/helpers/pool_helpers.py:144-146).
+
+    ``nearest`` composes the backward and forward passes (two window
+    shuffles on the same partitioning) and selects per row by distance —
+    still no range-join explosion.
     """
+    if strategy == "nearest":
+        return _asof_nearest(left, right, on, by, tiebreak, emit_matched_on)
     if strategy not in ("backward", "forward"):
         raise ValueError(f"unsupported asof strategy: {strategy}")
     by = by or []
@@ -88,7 +98,8 @@ def asof_join(
     # rows whenever a right value is null — join_asof semantics take the
     # matched ROW as a unit, nulls included.
     vals = F.when(
-        F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in value_cols])
+        F.col(_SIDE) == 0,
+        F.struct(*[F.col(c) for c in value_cols], F.col(on).alias("__on")),
     ).otherwise(F.lit(None))
     unioned = unioned.withColumn("__vals", vals)
 
@@ -108,16 +119,53 @@ def asof_join(
     filled = F.last(F.col("__vals"), ignorenulls=True).over(w)
 
     keep = [c for c in left.columns]
+    extra = (
+        [filled.getField("__on").alias(emit_matched_on)] if emit_matched_on else []
+    )
     out = (
         unioned.select(
             *keep,
             F.col(_SIDE),
             *[filled.getField(c).alias(c) for c in value_cols],
+            *extra,
         )
         .filter(F.col(_SIDE) == 1)
         .drop(_SIDE)
     )
     return out
+
+
+def _asof_nearest(left, right, on, by, tiebreak, emit_matched_on):
+    """Nearest-strategy composition: backward pass (value cols under
+    internal names) → forward pass → per-row distance pick."""
+    value_cols = [
+        c
+        for c in right.columns
+        if c != on and c not in (by or []) and c not in (tiebreak or [])
+    ]
+    b_names = {c: f"__asof_b_{c}" for c in value_cols}
+    b = asof_join(
+        left, right, on, by, "backward", tiebreak, emit_matched_on="__asof_b_on"
+    )
+    for c, bc in b_names.items():
+        b = b.withColumnRenamed(c, bc)
+    f = asof_join(
+        b, right, on, by, "forward", tiebreak, emit_matched_on="__asof_f_on"
+    )
+    b_on, f_on = F.col("__asof_b_on"), F.col("__asof_f_on")
+    use_b = f_on.isNull() | (
+        b_on.isNotNull() & ((F.col(on) - b_on) <= (f_on - F.col(on)))
+    )
+    picked = [
+        F.when(use_b, F.col(bc)).otherwise(F.col(c)).alias(c)
+        for c, bc in b_names.items()
+    ]
+    extra = (
+        [F.when(use_b, b_on).otherwise(f_on).alias(emit_matched_on)]
+        if emit_matched_on
+        else []
+    )
+    return f.select(*left.columns, *picked, *extra)
 
 
 def asof_lookup(
