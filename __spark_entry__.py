@@ -1474,6 +1474,28 @@ def q_semi_anti_join(spark, sf):
     )
 
 
+def q_upsample_ffill(spark, sf):
+    """Upsample: densify a sparse bucket series onto its full hourly grid
+    (gap rows explicit) and forward-fill the value — the standalone form
+    of the price-series densification (ops.upsample + ops.ffill)."""
+    from v3_polars_spark.ops import resample, upsample
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    hourly = resample(
+        e,
+        "ts",
+        "1h",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        ],
+    )
+    dense = upsample(hourly, "bucket_ts", "1h", fill=["max_value"])
+    return dense.select(
+        _ts_str("bucket_ts", "bucket_str"), "n_events", "max_value"
+    )
+
+
 _PLAN_MEMO: dict = {}
 
 
@@ -1576,6 +1598,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range": q_rolling_range,
         "pivot": q_pivot,
         "semi_anti_join": q_semi_anti_join,
+        "upsample_ffill": q_upsample_ffill,
     }
 
 
@@ -3105,5 +3128,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE NOT EXISTS (SELECT 1 FROM orders o
                                   WHERE o.o_custkey = c.c_custkey)
             ) GROUP BY 1, 2
+        """,
+        "upsample_ffill": f"""
+            WITH hourly AS (
+                SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket_ts,
+                       COUNT(*) AS n_events,
+                       MAX(value) AS max_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), grid AS (
+                SELECT unnest(generate_series(MIN(bucket_ts), MAX(bucket_ts),
+                                              INTERVAL 1 HOUR)) AS bucket_ts
+                FROM hourly
+            )
+            SELECT strftime(g.bucket_ts, '{TS_FMT_DUCK}') AS bucket_str,
+                   h.n_events,
+                   LAST_VALUE(h.max_value IGNORE NULLS)
+                     OVER (ORDER BY g.bucket_ts
+                           ROWS UNBOUNDED PRECEDING) AS max_value
+            FROM grid g LEFT JOIN hourly h USING (bucket_ts)
         """,
     }

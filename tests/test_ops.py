@@ -323,3 +323,27 @@ def test_asof_join_nearest(spark):
     assert out[5] == (20, 2)     # equidistant (3 vs 3): backward wins
     assert out[7] == (80, 8)     # forward closer (1 vs 5)
     assert out[100] == (80, 8)   # only backward exists
+
+
+def test_upsample_fills_gaps(spark):
+    from v3_polars_spark.ops import upsample
+
+    rows = [
+        ("a", _ts("2024-01-01 00:00:00"), 1.0),
+        ("a", _ts("2024-01-01 03:00:00"), 4.0),   # 01:00, 02:00 missing
+        ("b", _ts("2024-01-01 05:00:00"), 9.0),   # singleton group
+    ]
+    df = spark.createDataFrame(rows, ["g", "bucket_ts", "v"])
+    out = upsample(df, "bucket_ts", "1h", by=["g"], fill=["v"])
+    got = {(r["g"], r["bucket_ts"]): r["v"] for r in out.collect()}
+    assert got == {
+        ("a", _ts("2024-01-01 00:00:00")): 1.0,
+        ("a", _ts("2024-01-01 01:00:00")): 1.0,   # forward-filled
+        ("a", _ts("2024-01-01 02:00:00")): 1.0,
+        ("a", _ts("2024-01-01 03:00:00")): 4.0,
+        ("b", _ts("2024-01-01 05:00:00")): 9.0,
+    }
+    # without fill, gap rows stay NULL
+    sparse = upsample(df, "bucket_ts", "1h", by=["g"])
+    nulls = [r for r in sparse.collect() if r["v"] is None]
+    assert len(nulls) == 2

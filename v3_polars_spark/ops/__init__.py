@@ -15,6 +15,7 @@ from .resample import duration_to_interval, resample
 from .rollup import hypertable_rollup
 from .sessions import sessionize
 from .skew import salted_join
+from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "salted_join",
     "segment_bounds",
     "sessionize",
+    "upsample",
 ]
