@@ -1496,6 +1496,23 @@ def q_upsample_ffill(spark, sf):
     )
 
 
+def dp_boilerplate(spark, sf):
+    """Global line-level dedup (MassiveText/RefinedWeb boilerplate
+    removal): lines recurring across >= 3 distinct docs are stripped from
+    every document; cleaned text fingerprinted for the compare (order-
+    preserving reassembly via sort_array(collect_list(struct(pos,line))))."""
+    from v3_polars_spark.datapipe import strip_boilerplate
+
+    d = _t(spark, sf, "documents")
+    out = strip_boilerplate(d, min_docs=3)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_lines_removed",
+        F.md5(F.col("text")).alias("clean_fp"),
+    )
+
+
 _PLAN_MEMO: dict = {}
 
 
@@ -1599,6 +1616,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "semi_anti_join": q_semi_anti_join,
         "upsample_ffill": q_upsample_ffill,
+        "dp_boilerplate": dp_boilerplate,
     }
 
 
@@ -3146,5 +3164,30 @@ def oracle_sql() -> dict[str, str]:
                      OVER (ORDER BY g.bucket_ts
                            ROWS UNBOUNDED PRECEDING) AS max_value
             FROM grid g LEFT JOIN hourly h USING (bucket_ts)
+        """,
+        "dp_boilerplate": """
+            WITH s AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+            ), lines AS (
+                SELECT doc_id, i AS pos, ls[i] AS raw,
+                       trim(regexp_replace(lower(ls[i]), '\\s+', ' ', 'g')) AS line
+                FROM s, unnest(generate_series(1, len(ls))) AS t(i)
+            ), bp AS (
+                SELECT line FROM lines WHERE line <> ''
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+            ), tagged AS (
+                SELECT l.doc_id, l.pos, l.raw,
+                       (b.line IS NOT NULL OR l.line = '') AS drop_it
+                FROM lines l LEFT JOIN bp b USING (line)
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN NOT drop_it THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_lines_kept,
+                   CAST(SUM(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_lines_removed,
+                   md5(COALESCE(string_agg(
+                       CASE WHEN NOT drop_it THEN raw END, chr(10)
+                       ORDER BY pos), '')) AS clean_fp
+            FROM tagged GROUP BY doc_id
         """,
     }

@@ -418,3 +418,29 @@ def test_vocabulary(spark):
     assert out["b"]["count"] == 2 and out["b"]["n_docs"] == 2
     assert out["c"]["count"] == 1 and out["c"]["n_docs"] == 1
     assert vocabulary(d, min_count=2).count() == 2
+
+
+def test_strip_boilerplate(spark):
+    """Lines recurring across >= min_docs distinct docs are stripped from
+    every doc; order preserved; all-boilerplate docs survive empty."""
+    from v3_polars_spark.datapipe import boilerplate_lines, strip_boilerplate
+
+    footer = "(c) example corp"
+    docs = [
+        (1, f"alpha\n{footer}\nbeta"),
+        (2, f"gamma\n{footer.upper()}"),      # normalization: case-insensitive
+        (3, f"delta\n  (c)   example   corp "),  # whitespace-normalized
+        (4, footer),                           # only boilerplate -> empty
+        (5, "unique line\nanother unique"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bp = {r["line"] for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert bp == {footer}
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=3).collect()}
+    assert out[1]["text"] == "alpha\nbeta"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[2]["text"] == "gamma"
+    assert out[3]["text"] == "delta"
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[5]["text"] == "unique line\nanother unique"
+    assert out[5]["n_lines_removed"] == 0

@@ -233,3 +233,80 @@ def vocabulary(
         )
         .filter(F.col("count") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate (global line-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Lines that recur across >= ``min_docs`` DISTINCT documents —
+    headers, footers, nav chrome (the MassiveText/RefinedWeb global
+    line-dedup signal; within-doc repetition is ``repetition_signals``).
+
+    Output: (line, n_docs). Lines are compared whitespace-normalized and
+    lowercased. One explode + one hash aggregate — the count per line is
+    map-side combinable; no window over the corpus."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__raw"),
+    ).select(
+        F.col(id_col),
+        F.trim(F.regexp_replace(F.lower(F.col("__raw")), "\\s+", " ")).alias("line"),
+    ).filter(F.col("line") != "")
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove cross-document boilerplate lines from every document.
+
+    Plan: posexplode lines (keeping each line's position) → left-anti
+    join against ``boilerplate_lines`` (the boilerplate set is tiny and
+    broadcasts) → reassemble with sort_array(collect_list(struct(pos,
+    line))) + array_join — deterministic, order-preserving, one shuffle
+    on the doc id. Documents whose every line is boilerplate survive with
+    empty text. Output: (id_col, ``text_col`` cleaned, n_lines_kept,
+    n_lines_removed)."""
+    bp = boilerplate_lines(df, text_col, id_col, min_docs).select("line")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
+    ).withColumn(
+        "line",
+        F.trim(F.regexp_replace(F.lower(F.col("__raw")), "\\s+", " ")),
+    )
+    tagged = lines.join(bp.withColumn("__bp", F.lit(1)), "line", "left")
+    keep_flag = F.col("__bp").isNull() & (F.col("line") != "")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep_flag, F.struct("__pos", "__raw"))
+                        )
+                    ),
+                    lambda s: s.getField("__raw"),
+                ),
+                "\n",
+            ).alias(text_col),
+            F.sum(F.when(keep_flag, 1).otherwise(0)).alias("n_lines_kept"),
+            F.sum(F.when(~keep_flag, 1).otherwise(0)).alias("n_lines_removed"),
+        )
+    )
