@@ -111,3 +111,35 @@ def test_pool_works_on_landed_data(spark, ref_examples, landed):
     liq = pool.create_liq(12376626).orderBy("tick").collect()
     assert len(liq) == 123
     assert liq[0]["liquidity"] == pytest.approx(2.1615743339306317e20, rel=1e-9)
+
+
+def test_compact_segments(spark, ref_examples, tmp_path):
+    """Many small appended segments compact into few right-sized files,
+    preserving every row and the total-order sort for pruning."""
+    from v3_polars_spark import tables as T
+    from v3_polars_spark.sources import LocalParquetConnector, update_table
+
+    data_path = str(tmp_path / "landed")
+    conn = LocalParquetConnector(spark, ref_examples)
+    update_table(
+        spark, conn, data_path, "pool_swap_events", "ethereum",
+        tgt_max_rows=200, max_block_cap=12376625,
+    )  # small pulls -> many files
+    before = T.read_table(spark, data_path, "pool_swap_events")
+    rows_before = before.count()
+    key = ["block_number", "transaction_index", "log_index"]
+    sum_before = before.select(F.md5(F.concat_ws("|", *key)).alias("h")).agg(
+        F.count(F.lit(1)), F.min("h"), F.max("h")
+    ).collect()
+
+    stats = T.compact_segments(spark, data_path, "pool_swap_events",
+                               target_rows_per_file=10_000)
+    b, a = stats["ethereum"]
+    assert b > 1 and a == 1  # 1001 rows -> one file
+
+    after = T.read_table(spark, data_path, "pool_swap_events")
+    assert after.count() == rows_before
+    sum_after = after.select(F.md5(F.concat_ws("|", *key)).alias("h")).agg(
+        F.count(F.lit(1)), F.min("h"), F.max("h")
+    ).collect()
+    assert sum_before == sum_after

@@ -196,3 +196,61 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(name)
+
+
+def compact_segments(
+    spark: SparkSession,
+    data_path: str,
+    table: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Compact a segmented table directory: rewrite each chain partition's
+    accumulation of small per-pull files (the sink appends one ~200k-row
+    file per ingest iteration, reference data_update.py:51-59) into
+    ``ceil(rows/target)`` right-sized files.
+
+    Small files are the classic long-lived-ingest pathology — every scan
+    pays per-file open/footer costs and planning overhead grows with the
+    manifest. Compaction is per chain partition (write new files →
+    atomically swap the partition directory), ordered by the event total
+    order so parquet row-group min/max stats keep block-range pruning
+    effective after the rewrite.
+
+    Not transactional across partitions: a concurrent reader sees each
+    chain partition either fully old or fully new (POSIX rename), never a
+    mix within one chain. Returns {chain: (files_before, files_after)}.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    base = os.path.join(data_path, table)
+    order = [
+        c
+        for c in ("block_number", "transaction_index", "log_index")
+        if c in {f.name for f in SCHEMAS[table].fields}
+    ]
+    out: dict = {}
+    for entry in sorted(os.listdir(base)):
+        part_dir = os.path.join(base, entry)
+        if not (entry.startswith("chain_name=") and os.path.isdir(part_dir)):
+            continue
+        files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        df = spark.read.parquet(part_dir)
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        tmp_dir = os.path.join(base, f".compact-{uuid.uuid4().hex}")
+        (
+            df.repartitionByRange(n_files, *[F.col(c) for c in order])
+            .sortWithinPartitions(*order)
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        old_dir = part_dir + ".old"
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
+        files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        out[entry.split("=", 1)[1]] = (len(files_before), len(files_after))
+    return out
