@@ -220,3 +220,38 @@ def test_asof_join_nearest_matches_bruteforce(spark, left_ts, right):
     for t in left_ts:
         best = min(right, key=lambda p: (abs(p[0] - t), p[0] > t))
         assert got[t] == best[1], (t, right)
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(st.tuples(st.integers(-50, 50), st.integers(0, 30)),
+                   min_size=1, max_size=10),
+    rights=st.lists(st.tuples(st.integers(-50, 50), st.integers(0, 30)),
+                    min_size=1, max_size=10),
+    width=st.sampled_from([1.0, 9.0, 40.0]),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights, width):
+    from v3_polars_spark.ops import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(i, float(lo), float(lo + sp)) for i, (lo, sp) in enumerate(lefts)],
+        ["lid", "a_lo", "a_hi"],
+    )
+    b = spark.createDataFrame(
+        [(j, float(lo), float(lo + sp)) for j, (lo, sp) in enumerate(rights)],
+        ["rid", "b_lo", "b_hi"],
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (llo, lsp) in enumerate(lefts)
+        for j, (rlo, rsp) in enumerate(rights)
+        # empty intervals (span 0) overlap nothing
+        if lsp > 0 and rsp > 0 and llo < rlo + rsp and rlo < llo + lsp
+    }
+    assert got == want

@@ -10,7 +10,7 @@ from .misc import (
     recode_map,
     segment_bounds,
 )
-from .ranges import range_join
+from .ranges import interval_overlap_join, range_join
 from .resample import duration_to_interval, resample
 from .rollup import hypertable_rollup
 from .sessions import sessionize
@@ -30,6 +30,7 @@ __all__ = [
     "ffill",
     "first_covering",
     "hypertable_rollup",
+    "interval_overlap_join",
     "is_empty",
     "lead_col",
     "outer_join_coalesced",

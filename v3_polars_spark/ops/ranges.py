@@ -77,3 +77,55 @@ def range_join(
         & (p[point_col] < iv[hi_col])
     )
     return p.join(iv, cond, how).drop("__rb_p", "__rb_i")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner join of interval pairs that OVERLAP: ``l.lo < r.hi AND
+    r.lo < l.hi`` (closed-open intervals; touching intervals don't
+    overlap). The interval×interval generalization of ``range_join``.
+
+    Both sides explode into their covering buckets; a pair that overlaps
+    shares at least one bucket, so the bucket equi-join bounds the
+    candidates, the exact predicate filters residually, and a distinct on
+    the joined rows collapses multi-bucket matches. Replication is
+    ``~span/width`` per row on each side. Column names must not overlap
+    across sides; empty intervals (hi <= lo) match nothing.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"overlapping column names across sides: {sorted(clash)}")
+    w = float(bucket_width)
+
+    def _explode(df, lo, hi, bname):
+        from pyspark.sql import types as T
+
+        def _num(c):
+            if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)):
+                return F.unix_micros(F.col(c)).cast("double") / F.lit(1e6)
+            return F.col(c)
+
+        spans = F.when(
+            F.col(hi) > F.col(lo),
+            F.sequence(
+                F.floor(_num(lo) / F.lit(w)).cast("long"),
+                F.floor(_num(hi) / F.lit(w)).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return df.withColumn(bname, F.explode(spans))
+
+    a = _explode(left, left_lo, left_hi, "__ob_l")
+    b = _explode(right, right_lo, right_hi, "__ob_r")
+    cond = (
+        (a["__ob_l"] == b["__ob_r"])
+        & (a[left_lo] < b[right_hi])
+        & (b[right_lo] < a[left_hi])
+    )
+    return a.join(b, cond, "inner").drop("__ob_l", "__ob_r").distinct()
