@@ -1516,6 +1516,103 @@ def dp_boilerplate(spark, sf):
 _PLAN_MEMO: dict = {}
 
 
+def q_approx_distinct(spark, sf):
+    """Per-type approximate user cardinality (HLL++) with the accuracy
+    contract emitted as a column: sketch estimates are engine-specific,
+    so the oracle checks the within-tolerance boolean against exact
+    counts rather than the estimate itself (ops/sketches.py)."""
+    from v3_polars_spark.ops import approx_distinct_by
+
+    ev = _t(spark, sf, "events")
+    return approx_distinct_by(ev, "user_id", ["event_type"], rsd=0.05).select(
+        "event_type", "exact_distinct", "within_tol"
+    )
+
+
+def q_hll_rollup(spark, sf):
+    """The mergeable-sketch rollup pattern: per-day HLL sketches of
+    user_id unioned into a global estimate WITHOUT re-reading raw data,
+    checked against the exact global distinct. At 100 TB the daily
+    sketch table is KBs/day and the rollup never touches the events."""
+    from v3_polars_spark.ops import hll_rollup, hll_sketches
+
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    sketches = hll_sketches(ev, "user_id", ["day"], lg_config_k=14)
+    glob = hll_rollup(sketches, [])
+    exact = _t(spark, sf, "events").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return glob.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+
+
+def q_approx_quantile(spark, sf):
+    """Approximate percentiles with the rank-error bound proven in-plan
+    (ops/sketches.approx_quantile_check); oracle checks exact values +
+    the rank_ok contract."""
+    from v3_polars_spark.ops import approx_quantile_check
+
+    li = _t(spark, sf, "lineitem")
+    return approx_quantile_check(li, "l_quantity", [0.25, 0.5, 0.9], accuracy=10_000)
+
+
+def dp_chunk(spark, sf):
+    """Overlapping character-window chunking of every document
+    (datapipe/chunking.py); content verified via md5 per chunk."""
+    from v3_polars_spark.datapipe import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    ch = chunk_documents(d, chunk_size=200, overlap=50, unit="chars")
+    return ch.select(
+        "doc_id", "chunk_idx", "chunk_len", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+def dp_url_dedup(spark, sf):
+    """URL canonicalization + keep-best-per-canonical-URL dedup
+    (datapipe/urls.py). URLs are synthesized deterministically from
+    (source, doc_id) — mixed case, default ports, tracking params,
+    fragments, unsorted query params — so canonicalization has real work
+    to do; winner = longest doc, ties to lowest doc_id."""
+    from v3_polars_spark.datapipe import dedup_by_url
+
+    d = _t(spark, sf, "documents")
+    http = (F.col("doc_id") % 3) == 0
+    url = F.concat(
+        F.when(http, F.lit("HTTP://")).otherwise(F.lit("HTTPS://")),
+        F.upper("source"),
+        F.lit(".Example.com"),
+        F.when(http, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when((F.col("doc_id") % 2) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=tw&b=2&a=1"),
+        F.when((F.col("doc_id") % 5) == 0, F.lit("&fbclid=x")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    with_url = d.select("doc_id", "n_chars", url.alias("url"))
+    return dedup_by_url(with_url, "url", "doc_id", prefer_col="n_chars").select(
+        "url_canon", "doc_id", "n_chars"
+    )
+
+
+def dp_outlier(spark, sf):
+    """Per-(lang, source) z-scores of document length
+    (datapipe/outliers.py). Moments from exact integer sums with explicit
+    IEEE derivation, so z-scores hash-match the oracle bit-exactly."""
+    from v3_polars_spark.datapipe import zscore_outliers
+
+    d = _t(spark, sf, "documents")
+    return zscore_outliers(d, "n_chars", ["lang", "source"], z=3.0).select(
+        "doc_id", "lang", "source", "group_mean", "group_std", "zscore", "is_outlier"
+    )
+
+
 def _memo_query(name: str, fn):
     """Memoize the BUILT DataFrame per (session, sf_dir): query plans here
     are pure functions of (session, data dir), so repeated calls (bench
@@ -1571,23 +1668,24 @@ _DRIVER_WINDOW = [
     "dp_tfidf",
     "dp_vocab",
     "dp_boilerplate",
+    # round-3 additions: sketches, chunking, URL dedup, outlier scoring
+    "approx_distinct",
+    "hll_rollup",
+    "approx_quantile",
+    "dp_chunk",
+    "dp_url_dedup",
+    "dp_outlier",
     # core §2 anchors + bench headline set (stay inside the window)
     "scan_project",
-    "filter_pred",
     "derived_math",
-    "json_extract",
     "outer_join_coalesce",
     "theta_join",
     "asof_join",
-    "asof_lookup",
     "groupby_having",
     "dedup_last",
     "resample_6h",
     "cumsum",
-    "ffill",
     "topk",
-    "union",
-    "scalar_funcs",
     "series_pipeline",
     "liquidity_dist",
     "liquidity_timeline",
@@ -1684,6 +1782,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "upsample_ffill": q_upsample_ffill,
         "dp_boilerplate": dp_boilerplate,
+        "approx_distinct": q_approx_distinct,
+        "hll_rollup": q_hll_rollup,
+        "approx_quantile": q_approx_quantile,
+        "dp_chunk": dp_chunk,
+        "dp_url_dedup": dp_url_dedup,
+        "dp_outlier": dp_outlier,
     }
 
 
@@ -3256,5 +3360,117 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN NOT drop_it THEN raw END, chr(10)
                        ORDER BY pos), '')) AS clean_fp
             FROM tagged GROUP BY doc_id
+        """,
+        # sketch queries: estimates are engine-specific, so the oracle
+        # pins the exact values and asserts the accuracy-contract
+        # booleans the Spark plan computed from the same data (see
+        # ops/sketches.py docstring)
+        "approx_distinct": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS within_tol
+            FROM events GROUP BY event_type
+        """,
+        "hll_rollup": """
+            SELECT COUNT(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS within_tol
+            FROM events
+        """,
+        "approx_quantile": """
+            SELECT 0.25 AS p, quantile_cont(l_quantity, 0.25) AS exact_val,
+                   TRUE AS rank_ok FROM lineitem
+            UNION ALL
+            SELECT 0.5, quantile_cont(l_quantity, 0.5), TRUE FROM lineitem
+            UNION ALL
+            SELECT 0.9, quantile_cont(l_quantity, 0.9), TRUE FROM lineitem
+        """,
+        "dp_chunk": """
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(length(substring(text, i * 150 + 1, 200)) AS INTEGER)
+                     AS chunk_len,
+                   md5(substring(text, i * 150 + 1, 200)) AS chunk_md5
+            FROM documents,
+                 unnest(generate_series(
+                     0, CAST(floor(greatest(length(text) - 1, 0) / 150.0) AS BIGINT)
+                 )) AS t(i)
+        """,
+        "dp_url_dedup": f"""
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END)
+                       || upper(source) || '.Example.com'
+                       || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+                       || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+                       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                       || '?utm_source=tw&b=2&a=1'
+                       || (CASE WHEN doc_id % 5 = 0 THEN '&fbclid=x' ELSE '' END)
+                       || '#frag' AS url
+                FROM documents
+            ), canon AS (
+                SELECT doc_id, n_chars,
+                       lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                       || '://'
+                       || regexp_replace(
+                            lower(regexp_extract(
+                                url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)),
+                            ':(80|443)$', '')
+                       || regexp_replace(
+                            regexp_extract(
+                                url,
+                                '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
+                            '/$', '')
+                       || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
+                         AS url_canon
+                FROM (
+                    SELECT *,
+                           array_to_string(list_sort(list_filter(
+                               string_split(
+                                   coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''),
+                                   '&'),
+                               x -> x <> ''
+                                    AND NOT starts_with(x, 'utm_')
+                                    AND NOT starts_with(x, 'fbclid')
+                                    AND NOT starts_with(x, 'gclid')
+                                    AND NOT starts_with(x, 'msclkid')
+                                    AND NOT starts_with(x, 'ref_src'))),
+                               '&') AS qstr
+                    FROM u
+                )
+            )
+            SELECT url_canon, doc_id, n_chars FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY url_canon
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM canon
+            ) WHERE rn = 1
+        """,
+        "dp_outlier": """
+            WITH stats AS (
+                SELECT lang, source,
+                       SUM(n_chars) AS s1,
+                       SUM(n_chars * n_chars) AS s2,
+                       COUNT(n_chars) AS n
+                FROM documents GROUP BY lang, source
+            ), derived AS (
+                SELECT lang, source,
+                       CAST(s1 AS DOUBLE) / n AS group_mean,
+                       CASE WHEN n > 1 THEN
+                           sqrt(greatest(
+                               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                                   / (n - 1),
+                               0.0))
+                       END AS group_std
+                FROM stats
+            )
+            SELECT d.doc_id, d.lang, d.source, v.group_mean, v.group_std,
+                   CASE WHEN v.group_std > 0 THEN
+                       (CAST(d.n_chars AS DOUBLE) - v.group_mean) / v.group_std
+                   END AS zscore,
+                   coalesce(CASE WHEN v.group_std > 0 THEN
+                       abs((CAST(d.n_chars AS DOUBLE) - v.group_mean) / v.group_std)
+                           > 3.0
+                   END, FALSE) AS is_outlier
+            FROM documents d JOIN derived v USING (lang, source)
         """,
     }

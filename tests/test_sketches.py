@@ -1,0 +1,66 @@
+"""Sketch operators (ops/sketches.py): accuracy contracts and — the part
+that matters at scale — lossless mergeability of pre-aggregated sketches."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from v3_polars_spark.ops import (
+    approx_distinct_by,
+    approx_quantile_check,
+    hll_rollup,
+    hll_sketches,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_approx_distinct_within_tolerance(events):
+    rows = approx_distinct_by(events, "user_id", ["event_type"], rsd=0.05).collect()
+    assert rows
+    assert all(r.within_tol for r in rows)
+
+
+def test_hll_daily_rollup_equals_direct_sketch(events, spark):
+    """Union of per-day sketches must give the IDENTICAL estimate as one
+    sketch over the raw data — HLL merge is lossless at equal precision.
+    This is the invariant that makes sketch tables safe to materialize."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    daily = hll_sketches(ev, "user_id", ["day"], lg_config_k=14)
+    merged = hll_rollup(daily, []).collect()[0].approx_distinct
+    direct = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).alias("e")
+    ).collect()[0].e
+    assert merged == direct
+
+
+def test_hll_rollup_partial_groups(events):
+    """Rolling daily sketches up to week grain: estimates stay within 5%
+    of exact per-week distincts."""
+    ev = events.withColumn("day", F.to_date("ts")).withColumn(
+        "week", F.weekofyear("day")
+    )
+    daily = hll_sketches(ev, "user_id", ["week", "day"], lg_config_k=14)
+    weekly = hll_rollup(daily, ["week"])
+    exact = ev.groupBy("week").agg(F.countDistinct("user_id").alias("exact"))
+    joined = weekly.join(exact, "week").collect()
+    assert joined
+    for r in joined:
+        assert abs(r.approx_distinct - r.exact) <= 0.05 * r.exact + 1
+
+
+def test_approx_quantile_rank_bound(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = approx_quantile_check(
+        li, "l_extendedprice", [0.1, 0.5, 0.95], accuracy=1000
+    ).collect()
+    assert [r.p for r in rows] == [0.1, 0.5, 0.95]
+    assert all(r.rank_ok for r in rows)

@@ -14,12 +14,22 @@ from .ranges import interval_overlap_join, range_join
 from .resample import duration_to_interval, resample
 from .rollup import hypertable_rollup
 from .sessions import sessionize
+from .sketches import (
+    approx_distinct_by,
+    approx_quantile_check,
+    hll_rollup,
+    hll_sketches,
+)
 from .skew import salted_join
 from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "approx_distinct_by",
+    "approx_quantile_check",
     "asof_join",
+    "hll_rollup",
+    "hll_sketches",
     "asof_lookup",
     "asof_lookup_scalar",
     "cumsum",
