@@ -56,9 +56,17 @@ def _force(df) -> int:
 
 def main() -> None:
     import __spark_entry__ as entrymod
-    from v3_polars_spark.session import get_spark
+    from v3_polars_spark.session import get_spark, tune_shuffle_partitions
 
     spark = get_spark(app_name="bench")
+    # size shuffle partitions to the benchmark working set (the same rule
+    # that yields thousands of partitions at 100 TB yields the floor here)
+    input_bytes = sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR)
+        if f.endswith(".parquet")
+    )
+    tune_shuffle_partitions(spark, input_bytes)
 
     from v3_polars_spark.datapipe import release_intermediates
 
@@ -79,7 +87,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):  # min of 2 at steady state
+        for _ in range(3):  # min of 3 at steady state (absorbs one noisy run)
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -135,7 +143,7 @@ def _duckdb_yardstick(oracles: dict[str, str]) -> dict[str, float]:
         if not sql:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)

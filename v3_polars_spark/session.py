@@ -78,6 +78,30 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def tune_shuffle_partitions(
+    spark: SparkSession,
+    input_bytes: int,
+    per_partition_bytes: int = 64 * 1024 * 1024,
+    expansion: float = 4.0,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` to the working set.
+
+    The rule is scale-invariant: partitions = working set / 64 MB target,
+    where the working set is the on-disk input times a decompression/
+    decode ``expansion`` factor. At 100 TB that yields the thousands of
+    partitions a 1000-executor cluster needs; at bench SF (tens of MB) it
+    yields the floor — a fixed count is wrong in both directions (tiny
+    tasks whose scheduling dominates sub-second queries, or giant spilling
+    tasks at scale). Floor = the working-set cache's split width (8), so
+    reduce stages are never narrower than the cached map stages feeding
+    them. AQE still adapts per-stage on top of this static default.
+    """
+    floor = min(8, spark.sparkContext.defaultParallelism)
+    parts = max(floor, int(input_bytes * expansion) // per_partition_bytes)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an externally created
     session (e.g. the driver's). Only touches confs that are safe to set
