@@ -1613,6 +1613,96 @@ def dp_outlier(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# SQL-surface queries: ONE portable SQL template per query, executed
+# verbatim by spark.sql over registered views AND by DuckDB over its views
+# (sql.register_testdata). Money sums use exact integer cents so the
+# aggregates hash-match across engines regardless of summation order.
+# --------------------------------------------------------------------------
+
+_REV_C4 = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+)
+
+_SQL_PRICING = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_c,
+           CAST(SUM({_REV_C4}) AS BIGINT) AS sum_disc_c4,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM {{lineitem}}
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_SHIPPING = f"""
+    SELECT l_orderkey,
+           CAST(SUM({_REV_C4}) AS BIGINT) AS revenue_c4,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate_str
+    FROM {{customer}} c
+    JOIN {{orders}} o ON c.c_custkey = o.o_custkey
+    JOIN {{lineitem}} l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING)
+    ORDER BY revenue_c4 DESC, l_orderkey
+    LIMIT 10
+"""
+
+_SQL_REGION_VOLUME = f"""
+    SELECT n_name,
+           CAST(SUM({_REV_C4}) AS BIGINT) AS revenue_c4
+    FROM {{customer}} c
+    JOIN {{orders}} o ON c.c_custkey = o.o_custkey
+    JOIN {{lineitem}} l ON l.l_orderkey = o.o_orderkey
+    JOIN {{supplier}} s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+    JOIN {{nation}} n ON s.s_nationkey = n.n_nationkey
+    JOIN {{region}} r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+_IDENT = {t: t for t in [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]}
+
+
+def _sql_query(template: str):
+    """Build a driver query that runs `template` through the SQL surface:
+    register the (cached) testdata frames as views once per (session,
+    sf_dir), then spark.sql the formatted template. Same Catalyst plans
+    as the DataFrame API — the engine is fully SQL-reachable."""
+    def run(spark, sf):
+        from v3_polars_spark.sql import register_testdata
+
+        key = (id(spark), sf, "__views__")
+        views = _TABLE_CACHE.get(key)
+        if views is None:
+            views = register_testdata(spark, sf, _t)
+            _TABLE_CACHE[key] = views
+        return spark.sql(template.format(**views))
+
+    return run
+
+
+q_sql_pricing = _sql_query(_SQL_PRICING)
+q_sql_pricing.__doc__ = "TPC-H Q1-shape pricing summary via the SQL surface."
+q_sql_shipping = _sql_query(_SQL_SHIPPING)
+q_sql_shipping.__doc__ = "TPC-H Q3-shape top-revenue orders via the SQL surface."
+q_sql_region_volume = _sql_query(_SQL_REGION_VOLUME)
+q_sql_region_volume.__doc__ = (
+    "TPC-H Q5-shape regional supplier volume (6-table join) via the SQL surface."
+)
+
+
 def _memo_query(name: str, fn):
     """Memoize the BUILT DataFrame per (session, sf_dir): query plans here
     are pure functions of (session, data dir), so repeated calls (bench
@@ -1675,10 +1765,11 @@ _DRIVER_WINDOW = [
     "dp_chunk",
     "dp_url_dedup",
     "dp_outlier",
+    "sql_pricing",
+    "sql_shipping",
+    "sql_region_volume",
     # core §2 anchors + bench headline set (stay inside the window)
-    "scan_project",
     "derived_math",
-    "outer_join_coalesce",
     "theta_join",
     "asof_join",
     "groupby_having",
@@ -1698,7 +1789,6 @@ _DRIVER_WINDOW = [
     "dp_dedup_near",
     "dp_text_stats",
     "dp_embed_topk_ivf",
-    "mm_decode_features",
 ]
 
 
@@ -1788,6 +1878,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_chunk": dp_chunk,
         "dp_url_dedup": dp_url_dedup,
         "dp_outlier": dp_outlier,
+        "sql_pricing": q_sql_pricing,
+        "sql_shipping": q_sql_shipping,
+        "sql_region_volume": q_sql_region_volume,
     }
 
 
@@ -3445,6 +3538,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM canon
             ) WHERE rn = 1
         """,
+        "sql_pricing": _SQL_PRICING.format(**_IDENT),
+        "sql_shipping": _SQL_SHIPPING.format(**_IDENT),
+        "sql_region_volume": _SQL_REGION_VOLUME.format(**_IDENT),
         "dp_outlier": """
             WITH stats AS (
                 SELECT lang, source,

@@ -9,7 +9,10 @@ their SQL form (same plans as the DataFrame builders, verified in tests).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import hashlib
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 
 from . import tables as T
 
@@ -65,3 +68,31 @@ def register_tables(
         df.createOrReplaceTempView(name)
         names.append(name)
     return names
+
+
+def register_testdata(
+    spark: SparkSession,
+    sf_dir: str,
+    loader: Callable[[SparkSession, str, str], DataFrame],
+    table_names: tuple[str, ...] = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ),
+) -> dict[str, str]:
+    """Register the analytics tables as temp views so any portable SQL
+    string runs through ``spark.sql`` against the same (cached) frames
+    the DataFrame queries use.
+
+    View names are suffixed with a hash of ``sf_dir`` so one session can
+    serve several data directories without view collisions; returns the
+    {logical name -> view name} mapping for ``str.format`` substitution
+    into SQL templates.
+    """
+    sfx = "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = {}
+    for t in table_names:
+        df = loader(spark, sf_dir, t)
+        view = f"{t}{sfx}"
+        df.createOrReplaceTempView(view)
+        out[t] = view
+    return out
