@@ -1613,6 +1613,54 @@ def dp_outlier(spark, sf):
     )
 
 
+def dp_unigram(spark, sf):
+    """Unigram-LM familiarity stats (datapipe/text.unigram_stats): the
+    oracle checks the integer-exact columns (token/OOV counts, corpus
+    frequency sums) plus the one-division mean; the float lm_logprob is
+    library-only (log sums are not bit-portable across engines)."""
+    from v3_polars_spark.datapipe import unigram_stats
+
+    d = _t(spark, sf, "documents")
+    return unigram_stats(d, min_count=5).select(
+        "doc_id", "n_tokens", "n_oov", "sum_freq", "mean_freq"
+    )
+
+
+def q_stream_dedup(spark, sf):
+    """§2.8 dedup as an oracle-checked query: streaming dropDuplicates
+    over the events file source (AvailableNow drain into a memory sink),
+    emitting the distinct (user_id, event_type) key set — deterministic
+    regardless of which physical row each key's survivor came from.
+    Batch equivalence is the oracle: SELECT DISTINCT. The watermarked
+    dropDuplicatesWithinWatermark variant is pinned in test_streaming."""
+    import uuid
+
+    _prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return spark.table(qname)
+
+
 # --------------------------------------------------------------------------
 # SQL-surface queries: ONE portable SQL template per query, executed
 # verbatim by spark.sql over registered views AND by DuckDB over its views
@@ -1768,6 +1816,8 @@ _DRIVER_WINDOW = [
     "sql_pricing",
     "sql_shipping",
     "sql_region_volume",
+    "dp_unigram",
+    "stream_dedup",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
@@ -1776,12 +1826,10 @@ _DRIVER_WINDOW = [
     "dedup_last",
     "resample_6h",
     "cumsum",
-    "topk",
     "series_pipeline",
     "liquidity_dist",
     "liquidity_timeline",
     "quote_ladder",
-    "nfp_positions",
     "quote_fees",
     "quote_multi",
     "dp_dedup_exact",
@@ -1881,6 +1929,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pricing": q_sql_pricing,
         "sql_shipping": q_sql_shipping,
         "sql_region_volume": q_sql_region_volume,
+        "dp_unigram": dp_unigram,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -3538,6 +3588,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM canon
             ) WHERE rn = 1
         """,
+        "dp_unigram": f"""
+            WITH toks AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            ), vocab AS (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov,
+                   CAST(SUM(c) AS BIGINT) AS sum_freq,
+                   CAST(SUM(c) AS DOUBLE) / count(*) AS mean_freq
+            FROM toks JOIN vocab USING (tok)
+            GROUP BY doc_id
+        """,
+        "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
         "sql_pricing": _SQL_PRICING.format(**_IDENT),
         "sql_shipping": _SQL_SHIPPING.format(**_IDENT),
         "sql_region_volume": _SQL_REGION_VOLUME.format(**_IDENT),

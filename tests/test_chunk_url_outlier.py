@@ -155,3 +155,21 @@ def test_zscore_singleton_group_not_flagged(spark):
     out = {r.id: r for r in zscore_outliers(df, "v", ["g"]).collect()}
     assert out[1].group_std is None
     assert out[1].is_outlier is False
+
+
+# -- unigram LM stats -------------------------------------------------------
+
+
+def test_unigram_stats_tiny_corpus(spark):
+    from v3_polars_spark.datapipe import unigram_stats
+
+    rows = [(1, "a a b"), (2, "a b c"), (3, "A  a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_stats(df, min_count=2).collect()}
+    # corpus counts: a=5 (case-folded), b=2, c=1
+    assert out[1].n_tokens == 3 and out[1].sum_freq == 5 + 5 + 2
+    assert out[1].n_oov == 0
+    assert out[2].n_oov == 1  # c below min_count
+    assert out[3].n_tokens == 2 and out[3].sum_freq == 10
+    # logprob is a ranking signal: all-common doc 3 beats rare-token doc 2
+    assert out[3].lm_logprob / out[3].n_tokens > out[2].lm_logprob / out[2].n_tokens

@@ -154,3 +154,54 @@ def fingerprint_rolling(
         lambda acc, c: (acc * F.lit(131) + F.ascii(c)) % F.lit(mod),
     )
     return df.withColumn(out, h)
+
+
+def unigram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Unigram-LM familiarity signals per document — the log-prob-free
+    core of an LM-based quality filter.
+
+    Tokens (whitespace words of the normalized text) join against the
+    corpus unigram table built from the same frame; per document:
+
+    - ``n_tokens``; ``n_oov`` — tokens whose corpus count < ``min_count``;
+    - ``sum_freq`` — sum of corpus counts over tokens (exact int64);
+    - ``mean_freq`` — ``sum_freq / n_tokens`` (one exact-int division);
+    - ``lm_logprob`` — add-one-smoothed unigram log-probability
+      ``sum(ln((c+1)/(N+V)))``. NOTE: float log sums are NOT
+      bit-reproducible across engines/summation orders; use the exact
+      integer columns for cross-engine verification and treat
+      ``lm_logprob`` as a ranking signal.
+
+    Two shuffles total (corpus vocab agg, per-doc re-agg); the
+    token→vocab join broadcasts under the session cap and degrades to a
+    shuffle join when the vocabulary outgrows it — the 100 TB shape.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    scored = (
+        toks.join(vocab, "__tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("__c") < min_count).cast("long")).alias("n_oov"),
+            F.sum("__c").alias("sum_freq"),
+            F.sum(
+                F.log((F.col("__c") + 1).cast("double") / (F.col("__n") + F.col("__v")))
+            ).alias("lm_logprob"),
+        )
+        .withColumn(
+            "mean_freq", F.col("sum_freq").cast("double") / F.col("n_tokens")
+        )
+    )
+    return scored
