@@ -298,3 +298,48 @@ def test_hypertable_rollup_single_scan_single_shuffle(spark, sf_dir):
     scans = len(re.findall(r"Scan parquet", plan)) // 2
     assert scans == 1, f"expected 1 raw scan, got {scans}"
     assert count_exchanges(out) == 1
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is a pure map stage — zero exchanges, runs at scan speed."""
+    from v3_polars_spark.datapipe import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_size=200, overlap=50)
+    assert count_exchanges(out) == 0
+
+
+def test_zscore_stats_broadcast_join(spark, sf_dir):
+    """Outlier scoring = one stats aggregate + a broadcast join back;
+    the full table is never shuffled or windowed."""
+    from v3_polars_spark.datapipe import zscore_outliers
+    from v3_polars_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = zscore_outliers(docs, "n_chars", ["lang", "source"])
+    assert has_broadcast_hash_join(out)
+    assert "Window" not in explain_str(out)
+
+
+def test_dedup_by_url_single_shuffle_no_window(spark, sf_dir):
+    from v3_polars_spark.datapipe import dedup_by_url
+    from v3_polars_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lit("https://h.io/"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    out = dedup_by_url(docs, "url", "doc_id", prefer_col="n_chars")
+    assert "Window" not in explain_str(out)
+    assert count_exchanges(out) == 1
+
+
+def test_hll_sketches_partial_aggregation(spark, sf_dir):
+    """Sketch build is a hash aggregate with map-side partials — exactly
+    one exchange carries the (tiny) per-group sketch state."""
+    from v3_polars_spark.ops import hll_sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hll_sketches(ev, "user_id", ["event_type"])
+    assert count_exchanges(out) == 1
