@@ -254,3 +254,70 @@ def compact_segments(
         files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         out[entry.split("=", 1)[1]] = (len(files_before), len(files_after))
     return out
+
+
+def zorder_key(
+    cols: list[str],
+    bounds: dict[str, tuple[int, int]],
+    bits: int = 16,
+):
+    """Morton (Z-order) key over up to 3 integer columns: each value is
+    scaled to a ``bits``-bit bucket inside its [min, max] bounds and the
+    bucket bits are interleaved, so rows close in the key are close in
+    EVERY dimension. Pure column expressions (shift/mask terms unrolled at
+    plan-build time) — no UDF.
+    """
+    k = len(cols)
+    if not 1 <= k <= 3 or bits * k > 63:
+        raise ValueError("zorder_key supports 1-3 columns with bits*k <= 63")
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = bounds[c]
+        span = max(hi - lo, 1)
+        # double-domain scaling: immune to (v-lo)*top int64 overflow on
+        # wide ranges; bucket assignment does not need exact integer math
+        b = (
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit(float(top))
+        ).cast("long")
+        b = F.greatest(F.lit(0), F.least(F.lit(top), b))
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j)
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` laid out in Z-order over ``cols`` so parquet
+    row-group/file min-max stats prune scans on ANY of the dimensions,
+    not just a sort prefix.
+
+    A linear sort gives perfect pruning on the first column and none on
+    the second; the Morton layout gives ~sqrt-of-files pruning on each —
+    the right trade for the two-predicate access paths here (block range
+    x tenant, day x user, tick x timestamp). One global min/max aggregate
+    for the bounds, one range partitioning by the interleaved key, one
+    in-partition sort; files then carry tight per-dimension stats
+    (pruning factor pinned in tests/test_zorder.py).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).first()
+    bounds = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+    z = zorder_key(cols, bounds, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
