@@ -1626,6 +1626,23 @@ def dp_unigram(spark, sf):
     )
 
 
+def q_merge_upsert(spark, sf):
+    """MERGE semantics as one full-outer join (ops/merge.py): a CDC-style
+    batch (updated status+price, every 10th key a delete) applied onto an
+    orders snapshot; oracle is the equivalent FULL OUTER JOIN SQL."""
+    from v3_polars_spark.ops import merge_upsert
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        ((F.round(F.col("o_totalprice") * 100) + 7) / 100.0).alias("o_totalprice"),
+        (F.col("o_orderkey") % 10 == 0).alias("__delete"),
+    )
+    return merge_upsert(target, updates, ["o_orderkey"], delete_col="__delete")
+
+
 def q_stream_dedup(spark, sf):
     """§2.8 dedup as an oracle-checked query: streaming dropDuplicates
     over the events file source (AvailableNow drain into a memory sink),
@@ -1818,6 +1835,7 @@ _DRIVER_WINDOW = [
     "sql_region_volume",
     "dp_unigram",
     "stream_dedup",
+    "merge_upsert",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
@@ -1834,7 +1852,6 @@ _DRIVER_WINDOW = [
     "quote_multi",
     "dp_dedup_exact",
     "dp_minhash_lsh",
-    "dp_dedup_near",
     "dp_text_stats",
     "dp_embed_topk_ivf",
 ]
@@ -1931,6 +1948,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_region_volume": q_sql_region_volume,
         "dp_unigram": dp_unigram,
         "stream_dedup": q_stream_dedup,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -3607,6 +3625,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "merge_upsert": """
+            WITH t AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 3 <> 0
+            ), u AS (
+                SELECT o_orderkey,
+                       'U' AS o_orderstatus,
+                       (ROUND(o_totalprice * 100) + 7) / 100.0 AS o_totalprice,
+                       (o_orderkey % 10 = 0) AS del
+                FROM orders WHERE o_orderkey % 2 = 0
+            )
+            SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+                   CASE WHEN u.o_orderkey IS NOT NULL
+                        THEN u.o_orderstatus ELSE t.o_orderstatus END
+                     AS o_orderstatus,
+                   CASE WHEN u.o_orderkey IS NOT NULL
+                        THEN u.o_totalprice ELSE t.o_totalprice END
+                     AS o_totalprice
+            FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+            WHERE NOT COALESCE(u.del, FALSE)
+        """,
         "sql_pricing": _SQL_PRICING.format(**_IDENT),
         "sql_shipping": _SQL_SHIPPING.format(**_IDENT),
         "sql_region_volume": _SQL_REGION_VOLUME.format(**_IDENT),

@@ -347,3 +347,47 @@ def test_upsample_fills_gaps(spark):
     sparse = upsample(df, "bucket_ts", "1h", by=["g"])
     nulls = [r for r in sparse.collect() if r["v"] is None]
     assert len(nulls) == 2
+
+
+# -- merge upsert -----------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from v3_polars_spark.ops import merge_upsert
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 22.0, False),   # matched -> update
+         (4, "d", 40.0, False),   # unmatched -> insert
+         (3, "x", 0.0, True)],    # matched + delete flag -> drop
+        ["k", "s", "v", "del"],
+    )
+    out = {r.k: r for r in
+           merge_upsert(target, updates, ["k"], delete_col="del").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].s == "a" and out[1].v == 10.0    # passthrough
+    assert out[2].s == "B" and out[2].v == 22.0    # updated
+    assert out[4].s == "d" and out[4].v == 40.0    # inserted
+
+
+def test_merge_upsert_idempotent(spark):
+    from v3_polars_spark.ops import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    updates = spark.createDataFrame([(2, 21.0), (3, 30.0)], ["k", "v"])
+    once = merge_upsert(target, updates, ["k"])
+    twice = merge_upsert(once, updates, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest
+    from v3_polars_spark.ops import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0)], ["k", "v"])
+    updates = spark.createDataFrame([(1, "x")], ["k", "other"])
+    with pytest.raises(ValueError):
+        merge_upsert(target, updates, ["k"])

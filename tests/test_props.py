@@ -255,3 +255,60 @@ def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights, width):
         if lsp > 0 and rsp > 0 and llo < rlo + rsp and rlo < llo + lsp
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60), min_size=1, max_size=6
+    ),
+    chunk_size=st.integers(min_value=2, max_value=20),
+    overlap_frac=st.integers(min_value=0, max_value=3),
+)
+def test_chunk_documents_reassembles(spark, texts, chunk_size, overlap_frac):
+    """Chunk boundaries never lose or duplicate characters: dropping the
+    overlap prefix of every non-first chunk and concatenating in
+    chunk_idx order reproduces the input text exactly."""
+    from v3_polars_spark.datapipe import chunk_documents
+
+    overlap = min(overlap_frac, chunk_size - 1)
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = chunk_documents(
+        df, chunk_size=chunk_size, overlap=overlap, unit="chars"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+    for i, text in enumerate(texts):
+        chunks = [by_doc[i][j] for j in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == text
+        assert all(len(c) <= chunk_size for c in chunks)
+
+
+@settings(**SETTINGS)
+@given(
+    host=st.text(alphabet="abz.", min_size=1, max_size=10),
+    path=st.text(alphabet="abz/", min_size=0, max_size=10),
+    params=st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=9", "z=3"]),
+        max_size=4,
+    ),
+)
+def test_canonicalize_url_idempotent(spark, host, path, params):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form is a fixed point, so re-ingesting already-clean URLs is safe."""
+    from pyspark.sql import functions as F
+
+    from v3_polars_spark.datapipe import canonicalize_url
+
+    url = f"https://{host}/{path}" + ("?" + "&".join(params) if params else "")
+    df = spark.createDataFrame([(url,)], ["u"])
+    once, twice = (
+        df.select(
+            canonicalize_url(F.col("u")).alias("c1"),
+            canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+        )
+        .collect()[0]
+    )
+    assert once == twice

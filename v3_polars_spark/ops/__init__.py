@@ -3,6 +3,7 @@ lacks a literal primitive; stock DataFrame API everywhere else."""
 
 from .asof import asof_join, asof_lookup, asof_lookup_scalar
 from .dedup import dedup_first, dedup_last
+from .merge import merge_upsert
 from .misc import (
     is_empty,
     outer_join_coalesced,
@@ -43,6 +44,7 @@ __all__ = [
     "interval_overlap_join",
     "is_empty",
     "lead_col",
+    "merge_upsert",
     "outer_join_coalesced",
     "range_join",
     "recode_join",
