@@ -370,3 +370,41 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert want, "batch twin produced no matches — test data broken"
     assert got == want
+
+
+def test_streaming_snapshot_upsert_matches_batch(spark, tmp_path):
+    """Stream-maintained latest-state snapshot (foreachBatch dedup_last +
+    MERGE per micro-batch) must equal the batch derivation (dedup_last
+    over the whole log) — including keys updated across batches."""
+    from v3_polars_spark.ops import dedup_last
+    from v3_polars_spark.streaming import streaming_snapshot_upsert
+
+    src = str(tmp_path / "log")
+    # three segments with overlapping keys; later segments win
+    batches = [
+        [(1, 1, "a1"), (2, 1, "b1"), (3, 1, "c1")],
+        [(1, 2, "a2"), (4, 1, "d1")],
+        [(2, 2, "b2"), (4, 2, "d2"), (5, 1, "e1")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["k", "seq", "payload"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    snap = str(tmp_path / "snapshot")
+    streaming_snapshot_upsert(
+        stream, snap, str(tmp_path / "ckpt"), keys=["k"], order=["seq"]
+    )
+
+    got = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    want = sorted(
+        map(tuple, dedup_last(spark.read.parquet(src), keys=["k"], order=["seq"]).collect())
+    )
+    assert got == want
+    assert len(got) == 5

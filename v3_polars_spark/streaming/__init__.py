@@ -6,8 +6,10 @@ from .ingest_stream import (
     streaming_sessionize,
 )
 from .stateful import streaming_liquidity_deltas
+from .upsert_stream import streaming_snapshot_upsert
 
 __all__ = [
+    "streaming_snapshot_upsert",
     "run_available_now",
     "stream_dedup_exact",
     "stream_table",
