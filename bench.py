@@ -46,6 +46,8 @@ HEADLINE = [
     "dp_minhash_lsh",
     "dp_embed_topk_ivf",
     "dp_text_stats",
+    "dp_chunk",
+    "dp_unigram",
 ]
 
 
