@@ -5,14 +5,16 @@ Prints ONE JSON line:
 
 Each query is forced with a noop write (full computation, no driver
 collect overhead). Both engines are measured at steady state: one full
-UNTIMED pass over the headline set first, then min-of-2 timed runs.
-The warm-up pass is what amortizes one-time process costs that are not
-per-query costs on any long-lived cluster — JVM C2 compilation of the
-Spark scan/agg/join/exchange operators themselves and whole-stage-codegen
-class compilation (measured ~3 s across the 16 queries on a cold JVM,
-i.e. ~35% of the cold total was compiler time, not query time). DuckDB's
-yardstick identically times min-of-2 on a warm connection, so the
-comparison is steady-state vs steady-state.
+UNTIMED pass over the headline set first (per engine), then min-of-3
+timed trials with the two engines ALTERNATING per trial of the same
+query — paired measurement, so a transient load spike on a shared
+machine degrades both engines alike instead of landing entirely on
+whichever ran during it. The warm-up pass amortizes one-time process
+costs that are not per-query costs on any long-lived cluster — JVM C2
+compilation of the Spark scan/agg/join/exchange operators themselves and
+whole-stage-codegen class compilation (measured ~3 s across the headline
+set on a cold JVM, i.e. ~35% of the cold total was compiler time, not
+query time). The comparison is steady-state vs steady-state.
 """
 
 from __future__ import annotations
@@ -85,22 +87,37 @@ def main() -> None:
     for name in HEADLINE:
         _force(qs[name](spark, SF_DIR))
 
+    # PAIRED measurement: the two engines alternate per trial of the SAME
+    # query, so a transient load spike (another process on a shared
+    # machine) hits both engines alike instead of landing entirely on
+    # whichever engine happened to run during it. min-of-3 per engine.
+    oracles = entrymod.oracle_sql()
+    con = _duckdb_connection()
+    if con is not None:
+        for name in HEADLINE:  # symmetric untimed warm-up (see docstring)
+            if oracles.get(name):
+                con.execute(oracles[name]).fetchall()
+
     timings: dict[str, float] = {}
+    duck_timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(3):  # min of 3 at steady state (absorbs one noisy run)
+        sql = oracles.get(name)
+        s_best = d_best = float("inf")
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            s_best = min(s_best, time.perf_counter() - t0)
+            if con is not None and sql:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                d_best = min(d_best, time.perf_counter() - t0)
+        timings[name] = round(s_best, 4)
+        if con is not None and sql:
+            duck_timings[name] = round(d_best, 4)
     release_intermediates()
 
     total = round(sum(timings.values()), 4)
-
-    # DuckDB yardstick (BASELINE.md: "within 2x of baseline at same SF",
-    # baseline = duckdb executing the equivalent SQL on the same machine).
-    duck_timings = _duckdb_yardstick(entrymod.oracle_sql())
     duck_total = round(sum(duck_timings.values()), 4) if duck_timings else None
 
     print(
@@ -119,14 +136,15 @@ def main() -> None:
     )
 
 
-def _duckdb_yardstick(oracles: dict[str, str]) -> dict[str, float]:
-    """Time the oracle SQL for each headline query in DuckDB 1.x over the
-    same parquet at the same SF (threads left at DuckDB's default = all
-    cores, matching local[N] Spark). min-of-2, results drained."""
+def _duckdb_connection():
+    """DuckDB yardstick connection with the same parquet registered as
+    views (BASELINE.md: baseline = duckdb executing the equivalent SQL on
+    the same machine; threads left at DuckDB's default = all cores,
+    matching local[N] Spark). Returns None if duckdb is unavailable."""
     try:
         import duckdb
     except ImportError:
-        return {}
+        return None
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -135,22 +153,7 @@ def _duckdb_yardstick(oracles: dict[str, str]) -> dict[str, float]:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
-    # symmetric untimed warm-up pass (see module docstring)
-    for name in HEADLINE:
-        if oracles.get(name):
-            con.execute(oracles[name]).fetchall()
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        sql = oracles.get(name)
-        if not sql:
-            continue
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 4)
-    return out
+    return con
 
 
 if __name__ == "__main__":
