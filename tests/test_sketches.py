@@ -64,3 +64,44 @@ def test_approx_quantile_rank_bound(spark):
     ).collect()
     assert [r.p for r in rows] == [0.1, 0.5, 0.95]
     assert all(r.rank_ok for r in rows)
+
+
+def test_hll_intersect_estimate(events):
+    from v3_polars_spark.ops import hll_intersect_estimate
+
+    sk = hll_sketches(events, "user_id", ["event_type"], lg_config_k=14)
+    got = hll_intersect_estimate(sk, "event_type", "view", "purchase").collect()[0]
+    exact = (
+        events.filter("event_type = 'view'")
+        .select("user_id")
+        .intersect(events.filter("event_type = 'purchase'").select("user_id"))
+        .count()
+    )
+    assert abs(got.approx_intersection - exact) <= 0.1 * max(exact, 10)
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from v3_polars_spark.ops import ewma
+
+    rows = [(k, t, float((t * 7 + k * 3) % 11)) for k in range(3) for t in range(40)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = ewma(df, "v", "t", by=["k"], alpha=0.25).toPandas()
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"]).sort_values(["k", "t"])
+    want = (
+        pdf.groupby("k")["v"].apply(lambda s: s.ewm(alpha=0.25, adjust=False).mean())
+        .reset_index(drop=True)
+    )
+    merged = got.sort_values(["k", "t"]).reset_index(drop=True)
+    assert (merged["ewma"] - want.reset_index(drop=True)).abs().max() < 1e-12
+
+
+def test_ewma_requires_keys(spark):
+    import pytest
+
+    from v3_polars_spark.ops import ewma
+
+    df = spark.createDataFrame([(1, 1.0)], ["t", "v"])
+    with pytest.raises(ValueError):
+        ewma(df, "v", "t", by=[])

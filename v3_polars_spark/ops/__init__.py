@@ -3,6 +3,7 @@ lacks a literal primitive; stock DataFrame API everywhere else."""
 
 from .asof import asof_join, asof_lookup, asof_lookup_scalar
 from .dedup import dedup_first, dedup_last
+from .ewma import ewma
 from .merge import merge_upsert
 from .misc import (
     is_empty,
@@ -18,6 +19,7 @@ from .sessions import sessionize
 from .sketches import (
     approx_distinct_by,
     approx_quantile_check,
+    hll_intersect_estimate,
     hll_rollup,
     hll_sketches,
 )
@@ -38,7 +40,9 @@ __all__ = [
     "dedup_first",
     "dedup_last",
     "duration_to_interval",
+    "ewma",
     "ffill",
+    "hll_intersect_estimate",
     "first_covering",
     "hypertable_rollup",
     "interval_overlap_join",

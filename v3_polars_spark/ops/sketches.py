@@ -146,3 +146,39 @@ def approx_quantile_check(
     return ranks.select(
         "p", "exact_val", rank_ok.alias("rank_ok")
     ).orderBy("p")
+
+
+def hll_intersect_estimate(
+    sketch_df: DataFrame,
+    group_col: str,
+    a,
+    b,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Estimate |A ∩ B| for two sketched groups by inclusion-exclusion:
+    est(A) + est(B) - est(A ∪ B), all from the stored sketches — overlap
+    questions ("users active in BOTH event types") answered without
+    re-reading raw data. Error compounds across the three estimates;
+    treat small intersections of large sets as noisy (standard HLL
+    caveat, documented here rather than hidden)."""
+    pair = sketch_df.filter(F.col(group_col).isin([a, b]))
+    est = pair.select(
+        F.col(group_col),
+        F.hll_sketch_estimate(sketch_col).alias("__e"),
+        F.col(sketch_col),
+    )
+    union = pair.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("__u")
+    )
+    return (
+        est.groupBy()
+        .agg(F.sum("__e").alias("__sum_ab"))
+        .crossJoin(union)
+        .select(
+            F.lit(str(a)).alias("group_a"),
+            F.lit(str(b)).alias("group_b"),
+            F.greatest(
+                F.col("__sum_ab") - F.col("__u"), F.lit(0)
+            ).alias("approx_intersection"),
+        )
+    )
