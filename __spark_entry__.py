@@ -1626,6 +1626,18 @@ def dp_unigram(spark, sf):
     )
 
 
+def dp_dedup_cross(spark, sf):
+    """Cross-corpus exact dedup (datapipe/dedup.dedup_against): odd-id
+    docs are the 'fresh crawl', even-id docs the existing corpus; rows
+    whose normalized text already exists in the corpus are dropped."""
+    from v3_polars_spark.datapipe import dedup_against
+
+    d = _t(spark, sf, "documents")
+    fresh = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup_against(fresh, corpus)
+
+
 def q_merge_upsert(spark, sf):
     """MERGE semantics as one full-outer join (ops/merge.py): a CDC-style
     batch (updated status+price, every 10th key a delete) applied onto an
@@ -1949,6 +1961,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_unigram": dp_unigram,
         "stream_dedup": q_stream_dedup,
         "merge_upsert": q_merge_upsert,
+        "dp_dedup_cross": dp_dedup_cross,
     }
 
 
@@ -3625,6 +3638,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "dp_dedup_cross": f"""
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents d1
+            WHERE doc_id % 2 = 1
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents d2
+                  WHERE d2.doc_id % 2 = 0
+                    AND trim(regexp_replace(lower(d2.text), '\\s+', ' ', 'g'))
+                      = trim(regexp_replace(lower(d1.text), '\\s+', ' ', 'g'))
+              )
+        """,
         "merge_upsert": """
             WITH t AS (
                 SELECT o_orderkey, o_orderstatus, o_totalprice

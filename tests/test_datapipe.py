@@ -444,3 +444,20 @@ def test_strip_boilerplate(spark):
     assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
     assert out[5]["text"] == "unique line\nanother unique"
     assert out[5]["n_lines_removed"] == 0
+
+
+def test_dedup_against_drops_known_texts(spark):
+    from v3_polars_spark.datapipe import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also   SEEN  before")], ["doc_id", "text"]
+    )
+    fresh = spark.createDataFrame(
+        [(10, "seen before"),          # exact duplicate -> dropped
+         (11, "Also seen BEFORE"),     # normalized duplicate -> dropped
+         (12, "genuinely new")],
+        ["doc_id", "text"],
+    )
+    out = dedup_against(fresh, corpus)
+    assert [r.doc_id for r in out.collect()] == [12]
+    assert out.columns == ["doc_id", "text"]  # fp column not leaked

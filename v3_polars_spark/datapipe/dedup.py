@@ -81,6 +81,30 @@ def dedup_exact(
     return df.join(keep, [id_col], "left_semi")
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop rows of ``df`` whose normalized text
+    already exists in ``reference`` (dedup a fresh crawl against the
+    corpus already trained on). One anti join on the md5 fingerprint —
+    the reference side reduces to its distinct fingerprint set (one
+    column), which broadcasts while small and hash-joins at scale; the
+    new-data side is never shuffled beyond that join. Content-level
+    (n-gram) decontamination is ``quality.contamination_check``; this is
+    the cheap whole-document pass that runs first.
+    """
+    fp = fingerprint_md5(df, text_col)
+    ref_fp = (
+        fingerprint_md5(reference, ref_text_col or text_col)
+        .select("fp")
+        .distinct()
+    )
+    return fp.join(ref_fp, ["fp"], "left_anti").drop("fp")
+
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
