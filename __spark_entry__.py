@@ -1626,6 +1626,19 @@ def dp_unigram(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    """view → click → purchase funnel per user (ops/funnel.py): furthest
+    strictly-ordered stage + per-step epoch-micros completion times, in
+    ONE shuffle (sorted-array fold); the oracle is the k-join min-per-step
+    formulation — same semantics, the spec rather than the plan."""
+    from v3_polars_spark.ops import funnel
+
+    ev = _t(spark, sf, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], "ts", "event_type", by=["user_id"]
+    )
+
+
 def dp_dedup_cross(spark, sf):
     """Cross-corpus exact dedup (datapipe/dedup.dedup_against): odd-id
     docs are the 'fresh crawl', even-id docs the existing corpus; rows
@@ -1848,6 +1861,7 @@ _DRIVER_WINDOW = [
     "dp_unigram",
     "stream_dedup",
     "merge_upsert",
+    "funnel",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
@@ -1860,7 +1874,6 @@ _DRIVER_WINDOW = [
     "liquidity_dist",
     "liquidity_timeline",
     "quote_ladder",
-    "quote_fees",
     "quote_multi",
     "dp_dedup_exact",
     "dp_minhash_lsh",
@@ -1962,6 +1975,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "merge_upsert": q_merge_upsert,
         "dp_dedup_cross": dp_dedup_cross,
+        "funnel": q_funnel,
     }
 
 
@@ -3648,6 +3662,33 @@ def oracle_sql() -> dict[str, str]:
                     AND trim(regexp_replace(lower(d2.text), '\\s+', ' ', 'g'))
                       = trim(regexp_replace(lower(d1.text), '\\s+', ' ', 'g'))
               )
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(epoch_us(ts)) AS t_0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t_1
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_0
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t_2
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_1
+                GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CAST(CASE WHEN t_2 IS NOT NULL THEN 3
+                             WHEN t_1 IS NOT NULL THEN 2
+                             WHEN t_0 IS NOT NULL THEN 1
+                             ELSE 0 END AS INTEGER) AS stage,
+                   t_0, t_1, t_2
+            FROM (SELECT DISTINCT user_id FROM events
+                  WHERE event_type IN ('view', 'click', 'purchase')) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "merge_upsert": """
             WITH t AS (

@@ -391,3 +391,62 @@ def test_merge_upsert_rejects_schema_mismatch(spark):
     updates = spark.createDataFrame([(1, "x")], ["k", "other"])
     with pytest.raises(ValueError):
         merge_upsert(target, updates, ["k"])
+
+
+# -- funnel -----------------------------------------------------------------
+
+
+def test_funnel_ordering_and_ties(spark):
+    from datetime import datetime as dt
+
+    from v3_polars_spark.ops import funnel
+
+    rows = [
+        # u1: completes all three in order
+        (1, dt(2024, 1, 1, 0), "view"), (1, dt(2024, 1, 1, 1), "click"),
+        (1, dt(2024, 1, 1, 2), "purchase"),
+        # u2: purchase BEFORE view/click -> only stage 2
+        (2, dt(2024, 1, 1, 0), "purchase"), (2, dt(2024, 1, 1, 1), "view"),
+        (2, dt(2024, 1, 1, 2), "click"),
+        # u3: click at the SAME instant as view -> strict order, stage 1
+        (3, dt(2024, 1, 1, 0), "view"), (3, dt(2024, 1, 1, 0), "click"),
+        # u4: noise events only
+        (4, dt(2024, 1, 1, 0), "error"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r.user_id: r for r in funnel(
+        df, ["view", "click", "purchase"], "ts", "event_type", by=["user_id"]
+    ).collect()}
+    assert out[1].stage == 3 and out[1].t_2 is not None
+    assert out[2].stage == 2 and out[2].t_2 is None
+    assert out[3].stage == 1 and out[3].t_1 is None
+    assert 4 not in out  # no step events at all -> no row (filtered input)
+
+
+def test_funnel_takes_earliest_valid_completion(spark):
+    from datetime import datetime as dt
+
+    from v3_polars_spark.ops import funnel
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), "view"),
+        (1, dt(2024, 1, 1, 1), "click"),
+        (1, dt(2024, 1, 1, 5), "click"),   # later click must not win
+        (1, dt(2024, 1, 1, 6), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    r = funnel(df, ["view", "click", "purchase"], "ts", "event_type",
+               by=["user_id"]).collect()[0]
+    assert r.t_1 == int(dt(2024, 1, 1, 1).timestamp() * 1_000_000)
+
+
+def test_funnel_single_shuffle(spark):
+    from v3_polars_spark.ops import funnel
+    from v3_polars_spark.plans import count_exchanges
+
+    df = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), "view")],
+        ["user_id", "ts", "event_type"],
+    )
+    out = funnel(df, ["view", "click"], "ts", "event_type", by=["user_id"])
+    assert count_exchanges(out) == 1

@@ -4,6 +4,7 @@ lacks a literal primitive; stock DataFrame API everywhere else."""
 from .asof import asof_join, asof_lookup, asof_lookup_scalar
 from .dedup import dedup_first, dedup_last
 from .ewma import ewma
+from .funnel import funnel
 from .merge import merge_upsert
 from .misc import (
     is_empty,
@@ -42,6 +43,7 @@ __all__ = [
     "duration_to_interval",
     "ewma",
     "ffill",
+    "funnel",
     "hll_intersect_estimate",
     "first_covering",
     "hypertable_rollup",
