@@ -1639,6 +1639,16 @@ def q_funnel(spark, sf):
     )
 
 
+def q_retention(spark, sf):
+    """Weekly cohort retention matrix (ops/cohort.py): users bucketed by
+    first-active week, counted per (cohort, offset) — two hash aggregates
+    and one join, no per-period re-scans."""
+    from v3_polars_spark.ops import retention_matrix
+
+    ev = _t(spark, sf, "events")
+    return retention_matrix(ev, "ts", "user_id", period="week")
+
+
 def dp_dedup_cross(spark, sf):
     """Cross-corpus exact dedup (datapipe/dedup.dedup_against): odd-id
     docs are the 'fresh crawl', even-id docs the existing corpus; rows
@@ -1862,6 +1872,7 @@ _DRIVER_WINDOW = [
     "stream_dedup",
     "merge_upsert",
     "funnel",
+    "retention",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
@@ -1873,7 +1884,6 @@ _DRIVER_WINDOW = [
     "series_pipeline",
     "liquidity_dist",
     "liquidity_timeline",
-    "quote_ladder",
     "quote_multi",
     "dp_dedup_exact",
     "dp_minhash_lsh",
@@ -1976,6 +1986,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "dp_dedup_cross": dp_dedup_cross,
         "funnel": q_funnel,
+        "retention": q_retention,
     }
 
 
@@ -3662,6 +3673,19 @@ def oracle_sql() -> dict[str, str]:
                     AND trim(regexp_replace(lower(d2.text), '\\s+', ' ', 'g'))
                       = trim(regexp_replace(lower(d1.text), '\\s+', ' ', 'g'))
               )
+        """,
+        "retention": """
+            WITH acts AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS b
+                FROM events
+            ), first AS (
+                SELECT user_id, min(b) AS cohort FROM acts GROUP BY user_id
+            )
+            SELECT cohort, a.b - f.cohort AS offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM acts a JOIN first f USING (user_id)
+            GROUP BY cohort, a.b - f.cohort
         """,
         "funnel": """
             WITH s1 AS (

@@ -450,3 +450,57 @@ def test_funnel_single_shuffle(spark):
     )
     out = funnel(df, ["view", "click"], "ts", "event_type", by=["user_id"])
     assert count_exchanges(out) == 1
+
+
+# -- cohort retention -------------------------------------------------------
+
+
+def test_retention_matrix_hand_case(spark):
+    from datetime import datetime as dt
+
+    from v3_polars_spark.ops import retention_matrix
+
+    W = 7  # days per week
+    def day(n):
+        return dt(2024, 1, 4 + n)  # 2024-01-04 is a Thursday = epoch-week boundary
+
+    rows = [
+        # u1 joins week 0, active weeks 0,1,2 ; u2 joins week 0, active 0,2
+        (1, day(0)), (1, day(W)), (1, day(2 * W)),
+        (2, day(1)), (2, day(2 * W + 1)),
+        # u3 joins week 1 only
+        (3, day(W + 2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    cells = {(r.cohort, r.offset): r.n_active
+             for r in retention_matrix(df, "ts", "user_id").collect()}
+    cohorts = sorted({c for c, _ in cells})
+    w0, w1 = cohorts[0], cohorts[0] + 1
+    assert cells[(w0, 0)] == 2      # u1, u2
+    assert cells[(w0, 1)] == 1      # u1 only
+    assert cells[(w0, 2)] == 2      # u1, u2
+    assert cells[(w1, 0)] == 1      # u3
+    assert (w1, 1) not in cells
+
+
+def test_retention_every_key_in_offset_zero(spark, sf_dir):
+    from v3_polars_spark.ops import retention_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    m = retention_matrix(ev, "ts", "user_id")
+    total_joiners = m.filter("offset = 0").agg({"n_active": "sum"}).first()[0]
+    assert total_joiners == ev.select("user_id").distinct().count()
+
+
+def test_retention_rejects_unknown_period(spark, sf_dir):
+    import pytest
+
+    from v3_polars_spark.ops import retention_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        retention_matrix(ev, "ts", "user_id", period="month")

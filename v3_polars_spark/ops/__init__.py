@@ -2,6 +2,7 @@
 lacks a literal primitive; stock DataFrame API everywhere else."""
 
 from .asof import asof_join, asof_lookup, asof_lookup_scalar
+from .cohort import retention_matrix
 from .dedup import dedup_first, dedup_last
 from .ewma import ewma
 from .funnel import funnel
@@ -56,6 +57,7 @@ __all__ = [
     "recode_join",
     "recode_map",
     "resample",
+    "retention_matrix",
     "salted_join",
     "segment_bounds",
     "sessionize",
