@@ -461,3 +461,48 @@ def test_dedup_against_drops_known_texts(spark):
     out = dedup_against(fresh, corpus)
     assert [r.doc_id for r in out.collect()] == [12]
     assert out.columns == ["doc_id", "text"]  # fp column not leaked
+
+
+def test_resize_images_stub_contract(spark):
+    from v3_polars_spark.datapipe import make_fake_media, resize_images
+
+    media = make_fake_media(spark, n=12)
+    out = resize_images(media, 32, 32, fake=True)
+    rows = out.collect()
+    # images only, deterministic payloads, updated dims
+    assert len(rows) == 12 // 3
+    assert all(r.width == 32 and r.height == 32 for r in rows)
+    assert all(len(bytes(r.payload)) == 32 * 32 // 8 for r in rows)
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_images(media, 32, 32, fake=True).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+
+def test_resize_images_real_kernel_is_explicit_stub(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from v3_polars_spark.datapipe import make_fake_media, resize_images
+
+    media = make_fake_media(spark, n=3)
+    with pytest.raises((Py4JJavaError, Exception)):
+        resize_images(media, 8, 8, fake=False).collect()
+
+
+def test_audio_window_features_plan_and_decode(spark):
+    from v3_polars_spark.datapipe import audio_window_features, make_fake_media
+
+    media = make_fake_media(spark, n=12)  # audio rows: duration 5000ms
+    out = audio_window_features(media, window_ms=1000, dim=4, fake=True)
+    rows = out.collect()
+    n_audio = media.filter("kind = 'audio'").count()
+    assert len(rows) == n_audio * 5  # 5000ms / 1000ms windows each
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for rs in by_media.values():
+        idxs = sorted(r.window_idx for r in rs)
+        assert idxs == list(range(5))
+        assert all(len(r.feature) == 4 for r in rs)
+    # features vary across windows of the same payload (idx is mixed in)
+    f = {r.window_idx: r.feature for r in by_media[list(by_media)[0]]}
+    assert f[0] != f[1]

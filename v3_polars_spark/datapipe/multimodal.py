@@ -127,6 +127,127 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = False,
+) -> DataFrame:
+    """payload → resized payload via mapInPandas — the write-side twin of
+    ``decode_image_features``: binary in, binary out, metadata updated.
+
+    Real resize (PIL) is the ``fake=False`` integration point and raises
+    NotImplementedError here; ``fake=True`` substitutes a deterministic
+    size-proportional byte resample (every k-th byte, padded), preserving
+    the contract a real kernel must satisfy — output payload is a pure
+    function of (input payload, target dims), non-payload columns pass
+    through untouched — so batching, schema, and pruning are testable."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(width * height // 8, 1)  # fake: bytes proportional to area
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL; pass fake=True for the "
+                    "deterministic stub kernel"
+                )
+            outs = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                if len(b) >= target:
+                    step = len(b) // target
+                    b = b[:: step][:target]
+                else:
+                    b = (b * (target // max(len(b), 1) + 1))[:target]
+                outs.append(bytearray(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(process, RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def audio_window_features(
+    df: DataFrame,
+    window_ms: int = 1000,
+    dim: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio → per-window feature rows, two-stage like the video path:
+    (1) a metadata-only window plan (explode duration into window starts —
+    binary column pruned, no payload reads), (2) payloads joined back for
+    exactly the planned windows and decoded Arrow-batch-wise. The fake
+    kernel derives features from sha256(payload ++ window_idx); the real
+    integration point (librosa/torchaudio) raises NotImplementedError."""
+    plan = df.filter(F.col("kind") == "audio").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.col("duration_ms") / window_ms).cast("long") - 1, F.lit(0)
+                ),
+            )
+        ).alias("window_idx"),
+    ).withColumn("start_ms", F.col("window_idx") * window_ms)
+    with_payload = plan.join(
+        df.select("media_id", "payload"), "media_id"
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio features require librosa/torchaudio; pass "
+                    "fake=True for the deterministic stub kernel"
+                )
+            feats = [
+                _fake_decode(
+                    (bytes(p) if p is not None else b"")
+                    + int(i).to_bytes(4, "big"),
+                    dim,
+                )
+                for p, i in zip(pdf["payload"], pdf["window_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "window_idx": pdf["window_idx"],
+                    "start_ms": pdf["start_ms"],
+                    "feature": feats,
+                }
+            )
+
+    return with_payload.mapInPandas(process, AUDIO_WINDOW_SCHEMA)
+
+
 def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes).
 
