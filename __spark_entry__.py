@@ -1639,6 +1639,31 @@ def q_funnel(spark, sf):
     )
 
 
+def dp_embed_quantize(spark, sf):
+    """int8 vector quantization with its accuracy contract proven in-plan
+    (datapipe/similarity.quantize_int8): per vector, the max
+    reconstruction error of q*scale must be <= scale/2. Engine-specific
+    rounding makes raw codes non-portable, so the oracle pins the
+    contract boolean + exact dims (same pattern as the sketch queries)."""
+    from v3_polars_spark.datapipe import dequantize_int8, quantize_int8
+
+    e = _t(spark, sf, "embeddings")
+    q = dequantize_int8(quantize_int8(e, "embedding", out="q8"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("deq"),
+            F.col("embedding"),
+            lambda a, b: F.abs(a - b.cast("double")),
+        )
+    )
+    ok = F.coalesce(
+        err <= F.col("q8_scale") * F.lit(0.5) * F.lit(1.0 + 1e-9), F.lit(True)
+    )
+    return q.select(
+        "vec_id", F.size("embedding").alias("dim"), ok.alias("within_bound")
+    )
+
+
 def q_retention(spark, sf):
     """Weekly cohort retention matrix (ops/cohort.py): users bucketed by
     first-active week, counted per (cohort, offset) — two hash aggregates
@@ -1873,6 +1898,7 @@ _DRIVER_WINDOW = [
     "merge_upsert",
     "funnel",
     "retention",
+    "dp_embed_quantize",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
@@ -1880,7 +1906,6 @@ _DRIVER_WINDOW = [
     "groupby_having",
     "dedup_last",
     "resample_6h",
-    "cumsum",
     "series_pipeline",
     "liquidity_dist",
     "liquidity_timeline",
@@ -1987,6 +2012,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_cross": dp_dedup_cross,
         "funnel": q_funnel,
         "retention": q_retention,
+        "dp_embed_quantize": dp_embed_quantize,
     }
 
 
@@ -3673,6 +3699,11 @@ def oracle_sql() -> dict[str, str]:
                     AND trim(regexp_replace(lower(d2.text), '\\s+', ' ', 'g'))
                       = trim(regexp_replace(lower(d1.text), '\\s+', ' ', 'g'))
               )
+        """,
+        "dp_embed_quantize": """
+            SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+                   TRUE AS within_bound
+            FROM embeddings
         """,
         "retention": """
             WITH acts AS (

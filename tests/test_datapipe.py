@@ -506,3 +506,26 @@ def test_audio_window_features_plan_and_decode(spark):
     # features vary across windows of the same payload (idx is mixed in)
     f = {r.window_idx: r.feature for r in by_media[list(by_media)[0]]}
     assert f[0] != f[1]
+
+
+def test_normalize_l2_and_quantize_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from v3_polars_spark.datapipe import (
+        dequantize_int8,
+        normalize_l2,
+        quantize_int8,
+    )
+
+    rows = [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.5, 2.5])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    normed = {r.vec_id: r.embedding for r in normalize_l2(df).collect()}
+    assert abs(sum(x * x for x in normed[1]) - 1.0) < 1e-12
+    assert normed[2] == [0.0, 0.0]  # zero vector passes through, no NaN
+
+    q = dequantize_int8(quantize_int8(df))
+    for r in q.collect():
+        scale = r.q8_scale
+        assert all(-127 <= c <= 127 for c in r.q8)
+        for orig, deq in zip(r.embedding, r.deq):
+            assert abs(orig - deq) <= scale / 2 + 1e-12

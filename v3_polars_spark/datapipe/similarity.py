@@ -391,3 +391,41 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def normalize_l2(df: DataFrame, vec_col: str = "embedding", out: str | None = None) -> DataFrame:
+    """Unit-normalize a vector column (zero vectors pass through as-is so
+    downstream dot products read 0, not NaN). After normalization cosine
+    becomes a plain dot product — IVF/LSH probes skip the per-row norm."""
+    v = F.col(vec_col)
+    n = _norm(v)
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return df.withColumn(out or vec_col, unit)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out: str = "q8"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). Cuts vector storage/shuffle width 4x —
+    the memory-bound half of large-scale ANN — while keeping a per-vector
+    ``scale`` column for dequantization (x ≈ q * scale). Pure column
+    expressions; zero vectors get scale 0 and all-zero codes."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(out, q).withColumn(f"{out}_scale", scale)
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "q8", scale_col: str = "q8_scale", out: str = "deq"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: x ≈ q * scale."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        out, F.transform(F.col(q_col), lambda q: q.cast("double") * s)
+    )
