@@ -1639,6 +1639,18 @@ def q_funnel(spark, sf):
     )
 
 
+def q_profile(spark, sf):
+    """Single-pass table profile (ops/profile.py): per-column nulls,
+    exact distincts, and string-cast value ranges for orders — one wide
+    aggregation, one scan regardless of column count."""
+    from v3_polars_spark.ops import profile_table
+
+    o = _t(spark, sf, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+
+
 def dp_embed_quantize(spark, sf):
     """int8 vector quantization with its accuracy contract proven in-plan
     (datapipe/similarity.quantize_int8): per vector, the max
@@ -1899,12 +1911,12 @@ _DRIVER_WINDOW = [
     "funnel",
     "retention",
     "dp_embed_quantize",
+    "profile",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
     "asof_join",
     "groupby_having",
-    "dedup_last",
     "resample_6h",
     "series_pipeline",
     "liquidity_dist",
@@ -2013,6 +2025,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "dp_embed_quantize": dp_embed_quantize,
+        "profile": q_profile,
     }
 
 
@@ -3705,6 +3718,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM embeddings
         """,
+        "profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT)
+                     AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   min(CAST({c} AS STRING)) AS min_str,
+                   max(CAST({c} AS STRING)) AS max_str
+            FROM orders
+            """
+            for c in ["o_orderkey", "o_orderstatus", "o_orderpriority",
+                      "o_orderdate"]
+        ),
         "retention": """
             WITH acts AS (
                 SELECT DISTINCT user_id,

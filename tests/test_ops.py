@@ -504,3 +504,39 @@ def test_retention_rejects_unknown_period(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(ValueError):
         retention_matrix(ev, "ts", "user_id", period="month")
+
+
+# -- table profiling --------------------------------------------------------
+
+
+def test_profile_table_values(spark):
+    from v3_polars_spark.ops import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], ["k", "s"]
+    )
+    p = {r.column: r for r in profile_table(df).collect()}
+    assert p["k"].n_rows == 4 and p["k"].n_nulls == 1 and p["k"].n_distinct == 3
+    assert p["s"].n_nulls == 1 and p["s"].n_distinct == 2
+    assert p["s"].min_str == "a" and p["s"].max_str == "b"
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    from v3_polars_spark.ops import profile_table
+    from v3_polars_spark.plans import explain_str
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = explain_str(profile_table(o, ["o_orderkey", "o_orderstatus"]))
+    # one scan node (the formatted plan lists each scan's Location once)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_profile_table_approx_mode(spark, sf_dir):
+    from v3_polars_spark.ops import profile_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {r.column: r.n_distinct
+             for r in profile_table(o, ["o_orderkey"]).collect()}
+    approx = {r.column: r.n_distinct
+              for r in profile_table(o, ["o_orderkey"], approx=True).collect()}
+    assert abs(approx["o_orderkey"] - exact["o_orderkey"]) <= 0.1 * exact["o_orderkey"]

@@ -14,6 +14,7 @@ from .misc import (
     recode_map,
     segment_bounds,
 )
+from .profile import profile_table
 from .ranges import interval_overlap_join, range_join
 from .resample import duration_to_interval, resample
 from .rollup import hypertable_rollup
@@ -53,6 +54,7 @@ __all__ = [
     "lead_col",
     "merge_upsert",
     "outer_join_coalesced",
+    "profile_table",
     "range_join",
     "recode_join",
     "recode_map",
