@@ -1912,6 +1912,7 @@ _DRIVER_WINDOW = [
     "retention",
     "dp_embed_quantize",
     "profile",
+    "dp_dedup_cross",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
@@ -1919,7 +1920,6 @@ _DRIVER_WINDOW = [
     "groupby_having",
     "resample_6h",
     "series_pipeline",
-    "liquidity_dist",
     "liquidity_timeline",
     "quote_multi",
     "dp_dedup_exact",
