@@ -105,3 +105,16 @@ def test_ewma_requires_keys(spark):
     df = spark.createDataFrame([(1, 1.0)], ["t", "v"])
     with pytest.raises(ValueError):
         ewma(df, "v", "t", by=[])
+
+
+def test_approx_quantile_by_groups(spark):
+    from v3_polars_spark.ops import approx_quantile_by
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = approx_quantile_by(
+        li, "l_quantity", [0.5, 0.9], ["l_returnflag"], accuracy=10_000
+    ).collect()
+    flags = li.select("l_returnflag").distinct().count()
+    assert len(rows) == flags * 2
+    # at this accuracy over integral quantities the estimate is exact
+    assert all(abs(r.approx_val - r.exact_val) <= 1.0 for r in rows)

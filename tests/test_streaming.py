@@ -408,3 +408,45 @@ def test_streaming_snapshot_upsert_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 5
+
+
+def test_streaming_snapshot_upsert_resumes_from_checkpoint(spark, tmp_path):
+    """Re-running the drain with the same checkpoint after new segments
+    land processes ONLY the new files and still converges to the batch
+    answer — the incremental maintenance contract."""
+    from v3_polars_spark.ops import dedup_last
+    from v3_polars_spark.streaming import streaming_snapshot_upsert
+
+    src = str(tmp_path / "log")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        streaming_snapshot_upsert(stream, snap, ckpt, keys=["k"], order=["seq"])
+
+    spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1")], ["k", "seq", "payload"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert {r.k: r.payload for r in spark.read.parquet(snap).collect()} == {
+        1: "a1", 2: "b1"
+    }
+
+    spark.createDataFrame(
+        [(1, 2, "a2"), (3, 1, "c1")], ["k", "seq", "payload"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {r.k: r.payload for r in spark.read.parquet(snap).collect()}
+    want = {
+        r.k: r.payload
+        for r in dedup_last(
+            spark.read.parquet(src), keys=["k"], order=["seq"]
+        ).collect()
+    }
+    assert got == want == {1: "a2", 2: "b1", 3: "c1"}

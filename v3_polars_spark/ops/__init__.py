@@ -21,6 +21,7 @@ from .rollup import hypertable_rollup
 from .sessions import sessionize
 from .sketches import (
     approx_distinct_by,
+    approx_quantile_by,
     approx_quantile_check,
     hll_intersect_estimate,
     hll_rollup,
@@ -32,6 +33,7 @@ from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
     "approx_distinct_by",
+    "approx_quantile_by",
     "approx_quantile_check",
     "asof_join",
     "hll_rollup",

@@ -182,3 +182,34 @@ def hll_intersect_estimate(
             ).alias("approx_intersection"),
         )
     )
+
+
+def approx_quantile_by(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    group_cols: list[str],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Grouped approximate percentiles: one hash aggregate carrying
+    fixed-size percentile state per group (no per-group sort), exact
+    percentiles alongside for verification — the grouped twin of
+    :func:`approx_quantile_check`'s global form. Returns one row per
+    (group, p)."""
+    est = df.groupBy(*group_cols).agg(
+        F.percentile_approx(col, probs, accuracy).alias("approx_vals"),
+        F.percentile(col, probs).alias("exact_vals"),
+    )
+    triple = F.posexplode(
+        F.arrays_zip(
+            F.lit(probs).alias("p"),
+            F.col("approx_vals").alias("approx_val"),
+            F.col("exact_vals").alias("exact_val"),
+        )
+    )
+    return est.select(*group_cols, triple.alias("i", "t")).select(
+        *group_cols,
+        F.col("t.p").alias("p"),
+        F.col("t.approx_val").alias("approx_val"),
+        F.col("t.exact_val").alias("exact_val"),
+    )
