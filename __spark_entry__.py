@@ -1639,6 +1639,28 @@ def q_funnel(spark, sf):
     )
 
 
+def q_diff_tables(spark, sf):
+    """Snapshot reconciliation (ops/diff.py): orders vs a deterministic
+    CDC-modified copy (every 10th key dropped, even keys restatused, a
+    synthetic insert set) — per-key added/removed/changed/unchanged. The
+    oracle computes status by direct value comparison; the md5 content
+    hash is engine-internal."""
+    from v3_polars_spark.ops import diff_tables
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    kept = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    added = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    return diff_tables(o, kept.unionByName(added), ["o_orderkey"])
+
+
 def q_profile(spark, sf):
     """Single-pass table profile (ops/profile.py): per-column nulls,
     exact distincts, and string-cast value ranges for orders — one wide
@@ -1913,13 +1935,13 @@ _DRIVER_WINDOW = [
     "dp_embed_quantize",
     "profile",
     "dp_dedup_cross",
+    "diff_tables",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "theta_join",
     "asof_join",
     "groupby_having",
     "resample_6h",
-    "series_pipeline",
     "liquidity_timeline",
     "quote_multi",
     "dp_dedup_exact",
@@ -2026,6 +2048,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "dp_embed_quantize": dp_embed_quantize,
         "profile": q_profile,
+        "diff_tables": q_diff_tables,
     }
 
 
@@ -3717,6 +3740,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound
             FROM embeddings
+        """,
+        "diff_tables": """
+            WITH l AS (SELECT o_orderkey, o_orderstatus FROM orders),
+            r AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 2 = 0 THEN 'U'
+                            ELSE o_orderstatus END AS o_orderstatus
+                FROM orders WHERE o_orderkey % 10 <> 0
+                UNION ALL
+                SELECT -o_orderkey - 1, 'N' FROM orders WHERE o_orderkey % 7 = 0
+            )
+            SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                   CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                        WHEN r.o_orderkey IS NULL THEN 'removed'
+                        WHEN l.o_orderstatus = r.o_orderstatus THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
         """,
         "profile": " UNION ALL ".join(
             f"""

@@ -540,3 +540,42 @@ def test_profile_table_approx_mode(spark, sf_dir):
     approx = {r.column: r.n_distinct
               for r in profile_table(o, ["o_orderkey"], approx=True).collect()}
     assert abs(approx["o_orderkey"] - exact["o_orderkey"]) <= 0.1 * exact["o_orderkey"]
+
+
+# -- table diff -------------------------------------------------------------
+
+
+def test_diff_tables_statuses(spark):
+    from v3_polars_spark.ops import diff_tables
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)], ["k", "s", "v"]
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged
+         (2, "B", 2.0),      # changed
+         (4, "d", 4.0)],     # added   (3 removed)
+        ["k", "s", "v"],
+    )
+    out = {r.k: r.status for r in diff_tables(left, right, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_diff_tables_null_vs_empty_distinct(spark):
+    from v3_polars_spark.ops import diff_tables
+
+    left = spark.createDataFrame([(1, None)], "k: long, s: string")
+    right = spark.createDataFrame([(1, "")], "k: long, s: string")
+    out = diff_tables(left, right, ["k"]).collect()
+    assert out[0].status == "changed"  # NULL != ''
+
+
+def test_diff_tables_rejects_missing_columns(spark):
+    import pytest
+
+    from v3_polars_spark.ops import diff_tables
+
+    left = spark.createDataFrame([(1, "a")], ["k", "s"])
+    right = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError):
+        diff_tables(left, right, ["k"])

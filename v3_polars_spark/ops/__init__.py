@@ -4,6 +4,7 @@ lacks a literal primitive; stock DataFrame API everywhere else."""
 from .asof import asof_join, asof_lookup, asof_lookup_scalar
 from .cohort import retention_matrix
 from .dedup import dedup_first, dedup_last
+from .diff import diff_tables
 from .ewma import ewma
 from .funnel import funnel
 from .merge import merge_upsert
@@ -44,6 +45,7 @@ __all__ = [
     "cumsum_scalable",
     "dedup_first",
     "dedup_last",
+    "diff_tables",
     "duration_to_interval",
     "ewma",
     "ffill",
