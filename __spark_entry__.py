@@ -1639,6 +1639,30 @@ def q_funnel(spark, sf):
     )
 
 
+def q_twap(spark, sf):
+    """Per-user time-weighted average of the event value (ops/twa.py, the
+    Uniswap-TWAP shape): integer micros x cents integration, one float
+    division at the end — bit-portable by construction."""
+    from v3_polars_spark.ops import time_weighted_avg
+
+    ev = _t(spark, sf, "events")
+    return time_weighted_avg(ev, "ts", "value", by=["user_id"])
+
+
+def q_unpivot(spark, sf):
+    """§2.6 completion: unpivot/melt (stock df.unpivot) — lineitem's
+    quantity columns stacked into (measure, amount) long format."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "measure",
+        "amount",
+    )
+
+
 def q_diff_tables(spark, sf):
     """Snapshot reconciliation (ops/diff.py): orders vs a deterministic
     CDC-modified copy (every 10th key dropped, even keys restatused, a
@@ -1936,11 +1960,11 @@ _DRIVER_WINDOW = [
     "profile",
     "dp_dedup_cross",
     "diff_tables",
+    "twap",
+    "unpivot",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
-    "theta_join",
     "asof_join",
-    "groupby_having",
     "resample_6h",
     "liquidity_timeline",
     "quote_multi",
@@ -2049,6 +2073,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embed_quantize": dp_embed_quantize,
         "profile": q_profile,
         "diff_tables": q_diff_tables,
+        "twap": q_twap,
+        "unpivot": q_unpivot,
     }
 
 
@@ -3740,6 +3766,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound
             FROM embeddings
+        """,
+        "twap": """
+            WITH stepped AS (
+                SELECT user_id,
+                       epoch_us(ts) AS t,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts)
+                       ) - epoch_us(ts) AS dur
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(dur) AS BIGINT) AS total_duration_us,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CASE WHEN SUM(dur) > 0 THEN
+                       CAST(SUM(dur * v) AS DOUBLE)
+                           / CAST(SUM(dur) AS BIGINT) / 100.0
+                   END AS twa
+            FROM stepped GROUP BY user_id
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS amount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         """,
         "diff_tables": """
             WITH l AS (SELECT o_orderkey, o_orderstatus FROM orders),

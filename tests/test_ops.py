@@ -579,3 +579,34 @@ def test_diff_tables_rejects_missing_columns(spark):
     right = spark.createDataFrame([(1,)], ["k"])
     with pytest.raises(ValueError):
         diff_tables(left, right, ["k"])
+
+
+# -- time-weighted average --------------------------------------------------
+
+
+def test_time_weighted_avg_hand_case(spark):
+    from v3_polars_spark.ops import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 10 held 1h, then 20 held 3h -> twa = (10*1 + 20*3)/4 = 17.5
+        (1, base, 10.0),
+        (1, base + dt.timedelta(hours=1), 20.0),
+        (1, base + dt.timedelta(hours=4), 99.0),  # last value: zero weight
+        (2, base, 5.0),                           # singleton -> NULL
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r.k: r for r in time_weighted_avg(df, "ts", "v", by=["k"]).collect()}
+    assert abs(out[1].twa - 17.5) < 1e-12
+    assert out[1].total_duration_us == 4 * 3600 * 1_000_000
+    assert out[2].twa is None and out[2].n_obs == 1
+
+
+def test_time_weighted_avg_constant_value(spark):
+    from v3_polars_spark.ops import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(minutes=m), 7.25) for m in (0, 13, 14, 200)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = time_weighted_avg(df, "ts", "v", by=["k"]).collect()[0]
+    assert out.twa == 7.25

@@ -29,6 +29,7 @@ from .sketches import (
     hll_sketches,
 )
 from .skew import salted_join
+from .twa import time_weighted_avg
 from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
@@ -67,5 +68,6 @@ __all__ = [
     "salted_join",
     "segment_bounds",
     "sessionize",
+    "time_weighted_avg",
     "upsample",
 ]
