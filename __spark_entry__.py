@@ -1639,6 +1639,28 @@ def q_funnel(spark, sf):
     )
 
 
+def q_histogram(spark, sf):
+    """Equal-width histogram with a dense bin spine (ops/sketches.py):
+    one hash aggregate, no sort; fixed [1, 50] domain so the bin math is
+    identical text in both engines."""
+    from v3_polars_spark.ops import histogram
+
+    li = _t(spark, sf, "lineitem")
+    return histogram(li, "l_quantity", bins=10, lo=1.0, hi=50.0)
+
+
+def q_cube_dims(spark, sf):
+    """CUBE: all 2^k grouping sets in one Expand pass (the sibling of
+    rollup_dims) — per-cell, per-dimension, and grand totals with
+    grouping_id level tags."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("long").alias("level"),
+    )
+
+
 def q_twap(spark, sf):
     """Per-user time-weighted average of the event value (ops/twa.py, the
     Uniswap-TWAP shape): integer micros x cents integration, one float
@@ -1962,11 +1984,11 @@ _DRIVER_WINDOW = [
     "diff_tables",
     "twap",
     "unpivot",
+    "histogram",
+    "cube_dims",
     # core §2 anchors + bench headline set (stay inside the window)
     "derived_math",
     "asof_join",
-    "resample_6h",
-    "liquidity_timeline",
     "quote_multi",
     "dp_dedup_exact",
     "dp_minhash_lsh",
@@ -2075,6 +2097,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_tables": q_diff_tables,
         "twap": q_twap,
         "unpivot": q_unpivot,
+        "histogram": q_histogram,
+        "cube_dims": q_cube_dims,
     }
 
 
@@ -3766,6 +3790,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound
             FROM embeddings
+        """,
+        "histogram": """
+            WITH counts AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(floor((l_quantity - 1.0) / 4.9) AS INTEGER)))
+                         AS bin,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1
+            )
+            SELECT s.bin,
+                   CAST(1.0 AS DOUBLE) + s.bin * CAST(4.9 AS DOUBLE) AS bin_lo,
+                   CAST(1.0 AS DOUBLE) + (s.bin + 1) * CAST(4.9 AS DOUBLE)
+                     AS bin_hi,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n
+            FROM (SELECT CAST(unnest(range(10)) AS INTEGER) AS bin) s
+            LEFT JOIN counts USING (bin)
+        """,
+        "cube_dims": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   COUNT(*) AS n,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                        AS BIGINT) AS level
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "twap": """
             WITH stepped AS (

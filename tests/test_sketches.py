@@ -118,3 +118,24 @@ def test_approx_quantile_by_groups(spark):
     assert len(rows) == flags * 2
     # at this accuracy over integral quantities the estimate is exact
     assert all(abs(r.approx_val - r.exact_val) <= 1.0 for r in rows)
+
+
+def test_histogram_dense_spine_and_edges(spark):
+    from v3_polars_spark.ops import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in [0, 1, 5, 9, 10, 10]], ["x"])
+    h = {r.bin: r for r in histogram(df, "x", bins=5, lo=0.0, hi=10.0).collect()}
+    assert sorted(h) == [0, 1, 2, 3, 4]          # dense spine, empty bins kept
+    assert h[0].n == 2 and h[2].n == 1
+    assert h[4].n == 3                            # 9, and both 10s (hi -> last bin)
+    assert h[1].n == 0
+    assert sum(r.n for r in h.values()) == 6
+
+
+def test_histogram_auto_bounds(spark, sf_dir):
+    from v3_polars_spark.ops import histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    h = histogram(li, "l_extendedprice", bins=8).collect()
+    assert len(h) == 8
+    assert sum(r.n for r in h) == li.count()

@@ -24,6 +24,7 @@ from .sketches import (
     approx_distinct_by,
     approx_quantile_by,
     approx_quantile_check,
+    histogram,
     hll_intersect_estimate,
     hll_rollup,
     hll_sketches,
@@ -51,6 +52,7 @@ __all__ = [
     "ewma",
     "ffill",
     "funnel",
+    "histogram",
     "hll_intersect_estimate",
     "first_covering",
     "hypertable_rollup",

@@ -213,3 +213,38 @@ def approx_quantile_by(
         F.col("t.approx_val").alias("approx_val"),
         F.col("t.exact_val").alias("exact_val"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram: one pass for bounds (skipped when given),
+    one hash aggregate for counts — never a sort. Returns
+    (bin, bin_lo, bin_hi, n) with ``bins`` rows (empty bins included via
+    a range join against the bin spine, so downstream plotting/diffing
+    sees a dense spine). Values exactly at ``hi`` land in the last bin.
+    """
+    if lo is None or hi is None:
+        b = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = float(b.lo if lo is None else lo)
+        hi = float(b.hi if hi is None else hi)
+    width = (hi - lo) / bins or 1.0
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")),
+    )
+    counts = df.groupBy(idx.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    spine = df.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
