@@ -1639,6 +1639,17 @@ def q_funnel(spark, sf):
     )
 
 
+def q_corr(spark, sf):
+    """Per-flag Pearson correlation of quantity vs extended price
+    (datapipe/outliers.corr_exact): exact decimal moment sums, explicit
+    IEEE derivation — the bit-reproducible form of a statistic that
+    streaming aggregates make order-dependent."""
+    from v3_polars_spark.datapipe import corr_exact
+
+    li = _t(spark, sf, "lineitem")
+    return corr_exact(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
+
+
 def q_histogram(spark, sf):
     """Equal-width histogram with a dense bin spine (ops/sketches.py):
     one hash aggregate, no sort; fixed [1, 50] domain so the bin math is
@@ -1986,8 +1997,8 @@ _DRIVER_WINDOW = [
     "unpivot",
     "histogram",
     "cube_dims",
+    "corr",
     # core §2 anchors + bench headline set (stay inside the window)
-    "derived_math",
     "asof_join",
     "quote_multi",
     "dp_dedup_exact",
@@ -2099,6 +2110,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "histogram": q_histogram,
         "cube_dims": q_cube_dims,
+        "corr": q_corr,
     }
 
 
@@ -3790,6 +3802,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound
             FROM embeddings
+        """,
+        "corr": """
+            WITH fx AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), m AS (
+                SELECT l_returnflag, count(*) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                       SUM(x * y) AS sxy
+                FROM fx GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n > 1
+                        AND (CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                               / CAST(n AS DOUBLE)) > 0
+                        AND (CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                               / CAST(n AS DOUBLE)) > 0
+                   THEN (CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / sqrt((CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               * (CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                    / CAST(n AS DOUBLE)))
+                   END AS corr
+            FROM m
         """,
         "histogram": """
             WITH counts AS (

@@ -173,3 +173,29 @@ def test_unigram_stats_tiny_corpus(spark):
     assert out[3].n_tokens == 2 and out[3].sum_freq == 10
     # logprob is a ranking signal: all-common doc 3 beats rare-token doc 2
     assert out[3].lm_logprob / out[3].n_tokens > out[2].lm_logprob / out[2].n_tokens
+
+
+def test_corr_exact_matches_numpy(spark, docs):
+    import numpy as np
+
+    from v3_polars_spark.datapipe import corr_exact
+
+    pdf = docs.select("lang", "n_chars").toPandas()
+    pdf["n2"] = (pdf["n_chars"] * 3 + (pdf["n_chars"] % 7)).astype(float)
+    df = spark.createDataFrame(pdf.assign(n_chars=pdf.n_chars.astype(float)))
+    got = {r.lang: r.corr for r in
+           corr_exact(df, "n_chars", "n2", ["lang"]).collect()}
+    for lang, grp in pdf.groupby("lang"):
+        want = np.corrcoef(grp["n_chars"], grp["n2"])[0, 1]
+        assert abs(got[lang] - want) < 1e-9
+
+
+def test_corr_exact_degenerate_groups(spark):
+    from v3_polars_spark.datapipe import corr_exact
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 1.0, 3.0), ("b", 1.0, 4.0)], ["g", "x", "y"]
+    )
+    out = {r.g: r for r in corr_exact(df, "x", "y", ["g"]).collect()}
+    assert out["a"].corr is None   # n < 2
+    assert out["b"].corr is None   # zero x-variance

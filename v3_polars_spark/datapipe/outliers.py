@@ -62,3 +62,46 @@ def zscore_outliers(
     return scored.withColumn("zscore", zscore).withColumn(
         "is_outlier", F.coalesce(F.abs(F.col("zscore")) > z, F.lit(False))
     )
+
+
+def corr_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group Pearson correlation, bit-reproducible across engines.
+
+    Streaming correlation aggregates (Welford) give order-dependent
+    floats; here both variables are fixed-pointed to ``decimals`` and the
+    five moment sums (n, Sx, Sy, Sxx, Syy, Sxy) accumulate as
+    decimal(38,0) — exact under any partitioning — with the correlation
+    derived by explicit IEEE arithmetic from the exact sums. One
+    map-side-combinable hash aggregate. NULL for degenerate groups
+    (n < 2 or zero variance).
+    """
+    scale = 10 ** decimals
+    x = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
+    y = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    corr = F.when(
+        (F.col("__n") > 1) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )
+    return m.select(
+        *group_cols, F.col("__n").cast("long").alias("n"), corr.alias("corr")
+    )
