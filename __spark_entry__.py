@@ -1639,6 +1639,42 @@ def q_funnel(spark, sf):
     )
 
 
+def q_rank_funcs(spark, sf):
+    """§2.5 ranking completion: row_number / rank / dense_rank / ntile
+    over per-flag price order (stock window functions; deterministic
+    total order via the orderkey+linenumber tiebreak)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).filter(F.col("rn") <= 100)
+
+
+def q_set_ops(spark, sf):
+    """§2.6 completion: INTERSECT and EXCEPT between two key sets
+    (customers with orders in each half-year), tagged and stacked."""
+    o = _t(spark, sf, "orders")
+    h1 = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    h2 = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    both = h1.intersect(h2).withColumn("side", F.lit("both"))
+    only_h1 = h1.subtract(h2).withColumn("side", F.lit("h1_only"))
+    return both.unionByName(only_h1)
+
+
 def q_corr(spark, sf):
     """Per-flag Pearson correlation of quantity vs extended price
     (datapipe/outliers.corr_exact): exact decimal moment sums, explicit
@@ -1998,12 +2034,12 @@ _DRIVER_WINDOW = [
     "histogram",
     "cube_dims",
     "corr",
+    "rank_funcs",
+    "set_ops",
     # core §2 anchors + bench headline set (stay inside the window)
     "asof_join",
     "quote_multi",
-    "dp_dedup_exact",
     "dp_minhash_lsh",
-    "dp_text_stats",
     "dp_embed_topk_ivf",
 ]
 
@@ -2111,6 +2147,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "cube_dims": q_cube_dims,
         "corr": q_corr,
+        "rank_funcs": q_rank_funcs,
+        "set_ops": q_set_ops,
     }
 
 
@@ -3802,6 +3840,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound
             FROM embeddings
+        """,
+        "rank_funcs": """
+            SELECT * FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber,
+                       CAST(row_number() OVER w AS INTEGER) AS rn,
+                       CAST(rank() OVER w AS INTEGER) AS rnk,
+                       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+                FROM lineitem
+                WINDOW w AS (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice DESC,
+                                      l_orderkey, l_linenumber)
+            ) WHERE rn <= 100
+        """,
+        "set_ops": """
+            SELECT o_custkey, 'both' AS side FROM (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                INTERSECT
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            )
+            UNION ALL
+            SELECT o_custkey, 'h1_only' FROM (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                EXCEPT
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            )
         """,
         "corr": """
             WITH fx AS (
