@@ -529,3 +529,62 @@ def test_normalize_l2_and_quantize_roundtrip(spark):
         assert all(-127 <= c <= 127 for c in r.q8)
         for orig, deq in zip(r.embedding, r.deq):
             assert abs(orig - deq) <= scale / 2 + 1e-12
+
+
+def test_split_train_val_test_disjoint_stable(spark, sf_dir):
+    from v3_polars_spark.datapipe import split_train_val_test
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = split_train_val_test(docs, val_fraction=0.1, test_fraction=0.1, seed=3)
+    counts = {r.split: r.n for r in
+              s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total           # exhaustive
+    assert 0 < counts.get("val", 0) < total * 0.25
+    assert 0 < counts.get("test", 0) < total * 0.25
+    # appending rows never moves existing assignments
+    half = split_train_val_test(
+        docs.filter("doc_id < 250"), val_fraction=0.1, test_fraction=0.1, seed=3
+    )
+    full = {r.doc_id: r.split for r in s.collect()}
+    for r in half.collect():
+        assert full[r.doc_id] == r.split
+
+
+def test_shuffle_rows_deterministic_permutation(spark, sf_dir):
+    from v3_polars_spark.datapipe import shuffle_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = [r.doc_id for r in shuffle_rows(docs, seed=1).collect()]
+    b = [r.doc_id for r in shuffle_rows(docs, seed=1).collect()]
+    c = [r.doc_id for r in shuffle_rows(docs, seed=2).collect()]
+    assert a == b                      # reproducible
+    assert a != c                      # seed changes the order
+    assert sorted(a) == sorted(c)      # still a permutation
+    assert a != sorted(a)              # actually shuffled
+
+
+def test_sample_weighted_prefers_heavy_rows(spark):
+    from v3_polars_spark.datapipe import sample_weighted
+
+    rows = [(i, 1000.0 if i < 5 else 0.001) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    picked = {r.doc_id for r in sample_weighted(df, "w", k=5, seed=9).collect()}
+    assert len(picked) == 5
+    assert len(picked & set(range(5))) >= 4  # heavy rows dominate
+
+    again = {r.doc_id for r in sample_weighted(df, "w", k=5, seed=9).collect()}
+    assert picked == again  # deterministic
+
+    zero = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 2.0)], ["doc_id", "w"])
+    out = sample_weighted(zero, "w", k=3).collect()
+    assert [r.doc_id for r in out] == [3]  # non-positive weights excluded
+
+
+def test_sample_weighted_per_group(spark):
+    from v3_polars_spark.datapipe import sample_weighted
+
+    rows = [(g * 100 + i, g, 1.0) for g in range(3) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "w"])
+    out = sample_weighted(df, "w", k=4, by=["g"]).groupBy("g").count().collect()
+    assert all(r["count"] == 4 for r in out)

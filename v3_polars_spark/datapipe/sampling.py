@@ -167,3 +167,71 @@ def pack_offsets(
             F.col("start_offset") - F.col("first_seq") * F.lit(max_len),
         )
     )
+
+
+def split_train_val_test(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    seed: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Hash-deterministic 3-way split: a row's split is a pure function
+    of (seed, key), so the assignment survives reruns, repartitioning,
+    and incremental appends (a new row never moves an old one — the
+    property random splits lack). Disjoint and exhaustive by
+    construction: u < test → 'test', u < test+val → 'val', else 'train'.
+    """
+    u = hash_u01(F.col(key_col), seed)
+    return df.withColumn(
+        out,
+        F.when(u < F.lit(float(test_fraction)), F.lit("test"))
+        .when(u < F.lit(float(test_fraction + val_fraction)), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def shuffle_rows(df: DataFrame, key_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic global 'shuffle' for training order: sort by the
+    hash of (seed, key). Reproducible across runs and engines; different
+    seeds give independent orders. One range-partitioned sort — the same
+    cost as any total order; for shard-local orders sort within
+    partitions instead (sortWithinPartitions on the same key)."""
+    return df.orderBy(hash_u01(F.col(key_col), seed), F.col(key_col))
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    by: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling without replacement
+    (Efraimidis–Spirtsis A-ES): rank rows by u01^(1/w) descending and
+    keep the top k (per ``by`` group when given). Hash-deterministic like
+    every sampler here, so reruns select identical rows; rows with
+    non-positive weight are never selected. One window over the group
+    (global k uses a TakeOrdered-style sort-limit)."""
+    from pyspark.sql import Window
+
+    u = hash_u01(F.col(key_col), seed)
+    w = F.col(weight_col).cast("double")
+    # log-domain A-ES key: ln(u)/w is monotone in u^(1/w), avoids pow()
+    es_key = F.when(w > 0, F.log(u) / w)
+    if by:
+        win = Window.partitionBy(*by).orderBy(
+            es_key.desc_nulls_last(), F.col(key_col)
+        )
+        return (
+            df.withColumn("__rk", F.row_number().over(win))
+            .filter((F.col("__rk") <= k) & w.isNotNull() & (w > 0))
+            .drop("__rk")
+        )
+    return (
+        df.filter(w > 0)
+        .orderBy(es_key.desc_nulls_last(), F.col(key_col))
+        .limit(k)
+    )
