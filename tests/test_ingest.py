@@ -143,3 +143,20 @@ def test_compact_segments(spark, ref_examples, tmp_path):
         F.count(F.lit(1)), F.min("h"), F.max("h")
     ).collect()
     assert sum_before == sum_after
+
+
+def test_with_decimal_amounts_exact_beyond_double(spark):
+    """Raw-wei sums where the double path drifts: 2^60 + 1 summed 3x is
+    exact in decimal, off in float64 (2^60+1 is not representable)."""
+    from v3_polars_spark.tables import with_decimal_amounts
+    from pyspark.sql import functions as F
+
+    big = str(2**60 + 1)
+    df = spark.createDataFrame([(big,), (big,), (big,)], ["amount"])
+    dec = with_decimal_amounts(df, ["amount"])
+    exact = dec.agg(F.sum("amount").alias("s")).first().s
+    assert int(exact) == 3 * (2**60 + 1)
+    dbl = df.select(F.col("amount").cast("double").alias("a")).agg(
+        F.sum("a").alias("s")
+    ).first().s
+    assert int(dbl) != 3 * (2**60 + 1)  # the documented double drift

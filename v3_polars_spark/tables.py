@@ -148,6 +148,24 @@ def with_as_of(df: DataFrame) -> DataFrame:
     )
 
 
+def with_decimal_amounts(
+    df: DataFrame, cols: list[str], precision: int = 38
+) -> DataFrame:
+    """Opt-in exact path for the string-typed EVM quantities: cast to
+    ``decimal(precision,0)`` instead of the reference's lossy double cast
+    (doubles hold 53 mantissa bits; token amounts routinely exceed 2^53,
+    so double sums of raw wei drift — SURVEY §8.1 documents the
+    reference's double stance as a quirk, this is the beyond-parity
+    fix). decimal(38,0) covers amounts < 1e38; values beyond (full
+    uint256 is 78 digits) overflow to NULL under ANSI — callers keeping
+    full range should aggregate in halves or post-scale first. Decimal
+    aggregation is exact and partitioning-independent, which also makes
+    results oracle-portable (DuckDB HUGEINT/DECIMAL)."""
+    return df.withColumns(
+        {c: F.col(c).cast(f"decimal({precision},0)") for c in cols}
+    )
+
+
 def write_segment(df: DataFrame, data_path: str, table: str) -> None:
     """Append one ingest segment (S2, reference v3/helpers/data_update.py:51-59).
 
