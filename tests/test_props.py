@@ -312,3 +312,53 @@ def test_canonicalize_url_idempotent(spark, host, path, params):
         .collect()[0]
     )
     assert once == twice
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=30),  # second offset
+            st.integers(min_value=0, max_value=3),   # event kind index
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_funnel_matches_brute_force(spark, events):
+    """The one-shuffle sorted-array fold must equal the obvious
+    sequential reference: walk each user's events in (ts, step-rank)
+    order advancing the stage on strict-later matches."""
+    import datetime as dtm
+
+    from v3_polars_spark.ops import funnel
+
+    kinds = ["view", "click", "purchase", "noise"]
+    steps = ["view", "click", "purchase"]
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dtm.timedelta(seconds=s), kinds[k]) for u, s, k in events
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: (r.stage, r.t_0, r.t_1, r.t_2)
+        for r in funnel(df, steps, "ts", "event_type", by=["user_id"]).collect()
+    }
+
+    # brute force in the epoch-micros domain (UTC, matching the session)
+    epoch = dtm.datetime(1970, 1, 1)
+    rank = {s: i for i, s in enumerate(steps)}
+    per_user = {}
+    for u, ts, kind in rows:
+        if kind in rank:
+            us = int((ts - epoch).total_seconds() * 1_000_000)
+            per_user.setdefault(u, []).append((us, rank[kind]))
+    for u, evs in per_user.items():
+        stage, times = 0, [None, None, None]
+        for us, r in sorted(evs):
+            if stage < 3 and r == stage and (stage == 0 or us > times[stage - 1]):
+                times[stage] = us
+                stage += 1
+        assert got[u] == (stage, times[0], times[1], times[2]), (u, evs)
+    assert set(got) == set(per_user)
