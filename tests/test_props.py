@@ -362,3 +362,61 @@ def test_funnel_matches_brute_force(spark, events):
                 stage += 1
         assert got[u] == (stage, times[0], times[1], times[2]), (u, evs)
     assert set(got) == set(per_user)
+
+
+@settings(**SETTINGS)
+@given(
+    target=st.lists(st.tuples(st.integers(0, 15), vals_st),
+                    min_size=0, max_size=12, unique_by=lambda t: t[0]),
+    updates=st.lists(st.tuples(st.integers(0, 15), vals_st, st.booleans()),
+                     min_size=0, max_size=12, unique_by=lambda t: t[0]),
+)
+def test_merge_upsert_matches_brute_force(spark, target, updates):
+    from v3_polars_spark.ops import merge_upsert
+
+    tdf = spark.createDataFrame(target or [(99, 0)], ["k", "v"])
+    udf_ = spark.createDataFrame(
+        [(k, v, d) for k, v, d in updates] or [(98, 0, False)],
+        ["k", "v", "del"],
+    )
+    got = {r.k: r.v for r in
+           merge_upsert(tdf, udf_, ["k"], delete_col="del").collect()}
+    want = dict(target or [(99, 0)])
+    for k, v, d in (updates or [(98, 0, False)]):
+        if d:
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 2),            # key
+                  st.integers(0, 10_000),       # second offset (unique below)
+                  st.integers(-500, 500)),      # value in cents
+        min_size=2, max_size=15, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_time_weighted_avg_matches_brute_force(spark, obs):
+    import datetime as dtm
+
+    from v3_polars_spark.ops import time_weighted_avg
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [(k, base + dtm.timedelta(seconds=s), c / 100.0) for k, s, c in obs]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {r.k: r.twa for r in time_weighted_avg(df, "ts", "v", by=["k"]).collect()}
+
+    per_key = {}
+    for k, s, c in obs:
+        per_key.setdefault(k, []).append((s, c))
+    for k, evs in per_key.items():
+        evs.sort()
+        if len(evs) < 2:
+            assert got[k] is None
+            continue
+        total = evs[-1][0] - evs[0][0]
+        wsum = sum((t2 - t1) * c1 for (t1, c1), (t2, _) in zip(evs, evs[1:]))
+        assert abs(got[k] - wsum / total / 100.0) < 1e-12
