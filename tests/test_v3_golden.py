@@ -401,3 +401,46 @@ def test_tick_to_price_and_price_frames(pool, spark):
         assert top == pytest.approx(1.0)
         for r in rows:
             assert r["price"] == pytest.approx(1.0001 ** r["tick"] * 1e12, rel=1e-9)
+
+
+def test_tick_twap_matches_bruteforce(spark, ref_examples):
+    """Oracle-semantics TWAP over the golden swap history equals the
+    sequential hold-until-next integration of the same deduped series."""
+    import datetime as dtm
+
+    from v3_polars_spark import tables as T
+    from v3_polars_spark.v3 import tick_twap
+
+    swaps = T.tenant_filter(
+        T.read_table(spark, ref_examples, "pool_swap_events"),
+        "ethereum",
+        "0x1d42064FC4Beb5F8aAF85F4617AE8b3b5B8Bd801",
+    )
+    start, end = dtm.datetime(2021, 5, 5), dtm.datetime(2021, 5, 6)
+    row = tick_twap(swaps, start, end).collect()[0]
+
+    rows = (
+        swaps.filter(
+            (F.col("block_timestamp") >= F.lit(start))
+            & (F.col("block_timestamp") < F.lit(end))
+        )
+        .select("block_timestamp", "tick", "block_number",
+                "transaction_index", "log_index")
+        .collect()
+    )
+    last = {}
+    for r in rows:  # dedup to last per timestamp (tiebreak order)
+        k = r.block_timestamp
+        o = (r.block_number, r.transaction_index, r.log_index)
+        if k not in last or o > last[k][0]:
+            last[k] = (o, int(r.tick))
+    series = sorted((ts, tick) for ts, (_, tick) in last.items())
+    assert len(series) > 2
+    total = (series[-1][0] - series[0][0]).total_seconds()
+    wsum = sum(
+        (t2 - t1).total_seconds() * tick1
+        for (t1, tick1), (t2, _) in zip(series, series[1:])
+    )
+    assert abs(row.avg_tick - wsum / total) < 1e-9
+    assert abs(row.twap_price - 1.0001 ** row.avg_tick) < 1e-12
+    assert row.n_swaps == len(series)

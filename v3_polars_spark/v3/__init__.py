@@ -13,6 +13,7 @@ from .series import (
     price_series,
     tick_series,
     tick_to_price,
+    tick_twap,
 )
 from .swap import (
     InRangeValues,
@@ -37,6 +38,7 @@ __all__ = [
     "POSITION_COLUMNS",
     "liquidity_price_frames",
     "price_series",
+    "tick_twap",
     "quote_ladder",
     "quote_ladder_multi",
     "swap_depth",

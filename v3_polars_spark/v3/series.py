@@ -130,3 +130,48 @@ def liquidity_price_frames(
     return tl.withColumn(
         "price", tick_to_price(F.col("tick"), decimal_adjustment, invert)
     ).withColumn("liquidity_norm", F.col("liquidity") / F.max("liquidity").over(w))
+
+
+def tick_twap(
+    swaps: DataFrame,
+    start_time,
+    end_time,
+) -> DataFrame:
+    """Uniswap-oracle-semantics TWAP over the swap series: the
+    time-weighted average TICK between ``start_time`` and ``end_time``
+    (each swap's tick holds until the next swap), then price =
+    1.0001^avg_tick — the geometric-mean price, exactly what the
+    on-chain observations oracle accumulates (tickCumulative deltas).
+
+    Caller pre-filters chain+address (same contract as tick_series).
+    Integration is integer micros x integer tick — exact — with one
+    float division and one pow at the end. Returns a 1-row frame
+    (avg_tick, twap_price, total_duration_us, n_swaps); empty/singleton
+    windows return NULL metrics.
+    """
+    from ..ops import time_weighted_avg
+
+    df = (
+        swaps.filter(
+            (F.col("block_timestamp") >= F.lit(start_time))
+            & (F.col("block_timestamp") < F.lit(end_time))
+        )
+        .select("block_timestamp", "tick", *_TIEBREAK)
+        .withColumn("tick", F.col("tick").cast("long"))
+    )
+    # one event per timestamp: last swap wins (same pin as tick_series)
+    df = dedup_last(df, keys=["block_timestamp"], order=_TIEBREAK)
+    twa = time_weighted_avg(
+        df.withColumn("__one", F.lit(1)),
+        "block_timestamp",
+        "tick",
+        by=["__one"],
+        decimals=0,  # ticks are integers: exact at scale 1
+        out="avg_tick",
+    )
+    return twa.select(
+        "avg_tick",
+        F.pow(F.lit(1.0001), F.col("avg_tick")).alias("twap_price"),
+        "total_duration_us",
+        F.col("n_obs").alias("n_swaps"),
+    )
