@@ -450,3 +450,44 @@ def test_streaming_snapshot_upsert_resumes_from_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == want == {1: "a2", 2: "b1", 3: "c1"}
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact source enriched against a
+    small static dimension gives exactly the batch join result — the
+    standard dimension-lookup shape (static side re-read per micro-batch,
+    broadcastable, no state)."""
+    src = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10), (4, 99)], ["id", "dim_id"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], ["dim_id", "label"])
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "dim_id", "left")
+
+    import uuid
+
+    qname = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(map(tuple, spark.table(qname).select("id", "label").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src)
+            .join(dim, "dim_id", "left")
+            .select("id", "label")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 4
