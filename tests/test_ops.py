@@ -610,3 +610,33 @@ def test_time_weighted_avg_constant_value(spark):
     df = spark.createDataFrame(rows, ["k", "ts", "v"])
     out = time_weighted_avg(df, "ts", "v", by=["k"]).collect()[0]
     assert out.twa == 7.25
+
+
+# -- as-of tolerance --------------------------------------------------------
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(10,), (50,)], ["t"])
+    right = spark.createDataFrame([(8, "a"), (20, "b")], ["t", "v"])
+    # backward: t=10 matches t=8 (dist 2), t=50 matches t=20 (dist 30)
+    out = {r.t: r.v for r in
+           asof_join(left, right, on="t", tolerance=5).collect()}
+    assert out == {10: "a", 50: None}
+    # forward: t=10 -> t=20 (dist 10) only within tolerance 15
+    outf = {r.t: r.v for r in
+            asof_join(left, right, on="t", strategy="forward",
+                      tolerance=15).collect()}
+    assert outf == {10: "b", 50: None}
+    # nearest: t=50 nearest is 20 at dist 30 — beyond 10, null
+    outn = {r.t: r.v for r in
+            asof_join(left, right, on="t", strategy="nearest",
+                      tolerance=10).collect()}
+    assert outn == {10: "a", 50: None}
+
+
+def test_asof_join_tolerance_emits_matched_on(spark):
+    left = spark.createDataFrame([(10,), (50,)], ["t"])
+    right = spark.createDataFrame([(8, "a")], ["t", "v"])
+    out = {r.t: (r.v, r.m) for r in asof_join(
+        left, right, on="t", tolerance=5, emit_matched_on="m").collect()}
+    assert out == {10: ("a", 8), 50: (None, None)}

@@ -32,6 +32,7 @@ def asof_join(
     strategy: str = "backward",
     tiebreak: list[str] | None = None,
     emit_matched_on: str | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Backward/forward/nearest as-of join (J2; the full Polars
     ``join_asof`` strategy surface).
@@ -55,9 +56,17 @@ def asof_join(
     ``nearest`` composes the backward and forward passes (two window
     shuffles on the same partitioning) and selects per row by distance —
     still no range-join explosion.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): a match farther than
+    ``tolerance`` in ``on`` units is treated as no match (value columns
+    NULL). Requires a numeric ``on`` (the engine's canonical order keys —
+    ``as_of``, epoch micros — are numeric); pure post-projection, adds no
+    shuffle.
     """
     if strategy == "nearest":
-        return _asof_nearest(left, right, on, by, tiebreak, emit_matched_on)
+        return _asof_nearest(
+            left, right, on, by, tiebreak, emit_matched_on, tolerance
+        )
     if strategy not in ("backward", "forward"):
         raise ValueError(f"unsupported asof strategy: {strategy}")
     by = by or []
@@ -119,8 +128,9 @@ def asof_join(
     filled = F.last(F.col("__vals"), ignorenulls=True).over(w)
 
     keep = [c for c in left.columns]
+    matched_on_name = emit_matched_on or ("__asof_m_on" if tolerance is not None else None)
     extra = (
-        [filled.getField("__on").alias(emit_matched_on)] if emit_matched_on else []
+        [filled.getField("__on").alias(matched_on_name)] if matched_on_name else []
     )
     out = (
         unioned.select(
@@ -132,10 +142,19 @@ def asof_join(
         .filter(F.col(_SIDE) == 1)
         .drop(_SIDE)
     )
+    if tolerance is not None:
+        m = F.col(matched_on_name)
+        dist = (F.col(on) - m) if strategy == "backward" else (m - F.col(on))
+        ok = m.isNotNull() & (dist <= F.lit(tolerance))
+        out = out.select(
+            *keep,
+            *[F.when(ok, F.col(c)).alias(c) for c in value_cols],
+            *([F.when(ok, m).alias(emit_matched_on)] if emit_matched_on else []),
+        )
     return out
 
 
-def _asof_nearest(left, right, on, by, tiebreak, emit_matched_on):
+def _asof_nearest(left, right, on, by, tiebreak, emit_matched_on, tolerance=None):
     """Nearest-strategy composition: backward pass (value cols under
     internal names) → forward pass → per-row distance pick."""
     value_cols = [
@@ -156,14 +175,21 @@ def _asof_nearest(left, right, on, by, tiebreak, emit_matched_on):
     use_b = f_on.isNull() | (
         b_on.isNotNull() & ((F.col(on) - b_on) <= (f_on - F.col(on)))
     )
+    chosen_on = F.when(use_b, b_on).otherwise(f_on)
+    within = (
+        F.lit(True)
+        if tolerance is None
+        else chosen_on.isNotNull()
+        & (F.abs(F.col(on) - chosen_on) <= F.lit(tolerance))
+    )
     picked = [
-        F.when(use_b, F.col(bc)).otherwise(F.col(c)).alias(c)
+        F.when(within & use_b, F.col(bc))
+        .when(within & ~use_b, F.col(c))
+        .alias(c)
         for c, bc in b_names.items()
     ]
     extra = (
-        [F.when(use_b, b_on).otherwise(f_on).alias(emit_matched_on)]
-        if emit_matched_on
-        else []
+        [F.when(within, chosen_on).alias(emit_matched_on)] if emit_matched_on else []
     )
     return f.select(*left.columns, *picked, *extra)
 
