@@ -1927,6 +1927,93 @@ _IDENT = {t: t for t in [
 ]}
 
 
+def q_scd2(spark, sf):
+    """SCD Type-2 dimension history (ops/scd.py): the events log collapsed
+    into per-user event_type version runs with [valid_from, valid_to)
+    validity intervals and an is_current flag — change detection + interval
+    close as two windows over ONE partitioning (single shuffle). Interval
+    bounds emitted as epoch micros (integer-exact cross-engine)."""
+    from v3_polars_spark.ops import scd2_history
+
+    ev = _t(spark, sf, "events")
+    h = scd2_history(
+        ev, keys=["user_id"], ts_col="ts", attrs=["event_type"], order=["event_id"]
+    )
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def q_fuzzy_join(spark, sf):
+    """Blocked Levenshtein entity-resolution join (ops/fuzzy.py): part
+    names vs a leet-perturbed catalog ('e'→'3'), candidates generated by a
+    consonant-skeleton equi-join (no cartesian — the 100 TB shape), exact
+    edit distance <= 2 verified inside blocks. The oracle replays blocking
+    and distance verbatim."""
+    from v3_polars_spark.ops import fuzzy_join_blocked
+
+    p = _t(spark, sf, "part")
+    # the catalog vocabulary repeats across parts — resolve NAMES, not rows
+    # (the real entity-resolution shape: dedupe the dictionary first)
+    left = p.select("p_name").distinct()
+    right = p.select(
+        F.regexp_replace(F.lower(F.col("p_name")), "e", "3").alias("alt_name")
+    ).distinct()
+    out = fuzzy_join_blocked(left, right, "p_name", "alt_name", max_dist=2, block_len=4)
+    return out.select(
+        "p_name", "alt_name", F.col("distance").cast("long").alias("distance")
+    )
+
+
+def mm_phash_neardup(spark, sf):
+    """Multimodal near-duplicate detection end-to-end: binary payloads →
+    64-bit perceptual hash (Arrow-batched mapInPandas stub kernel, real
+    DCT pHash is the fake=False integration point) → banded Hamming
+    self-join (datapipe.hamming_near_pairs — the SimHash machinery reused
+    unchanged on media). Planted near-dup pairs sweep distances 0..4, so
+    the <=3 threshold keeps some and drops some; the oracle regenerates
+    payload bits and brute-forces all pairs (96 rows) in SQL."""
+    from v3_polars_spark.datapipe import (
+        hamming_near_pairs,
+        make_fake_media_pairs,
+        perceptual_hash,
+    )
+
+    media = make_fake_media_pairs(spark, n=96, seed=7)
+    sig = perceptual_hash(media, fake=True)
+    pairs = hamming_near_pairs(
+        sig, id_col="media_id", hash_col="phash64", max_hamming=3, prefix_bands=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def dp_assemble(spark, sf):
+    """Training-example assembly (datapipe/assemble.py): each user's event
+    types concatenated in (ts, event_id) order into one sequence string,
+    truncated keep-earliest at 16 items — one hash aggregation, sort and
+    join inside codegen, no window and no Python."""
+    from v3_polars_spark.datapipe import assemble_sequences
+
+    ev = _t(spark, sf, "events")
+    out = assemble_sequences(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="event_type",
+        sep=" ",
+        max_items=16,
+    )
+    return out.select(
+        "user_id", "sequence", F.col("n_items").cast("long").alias("n_items")
+    )
+
+
 def _sql_query(template: str):
     """Build a driver query that runs `template` through the SQL surface:
     register the (cached) testdata frames as views once per (session,
@@ -2036,11 +2123,14 @@ _DRIVER_WINDOW = [
     "corr",
     "rank_funcs",
     "set_ops",
-    # core §2 anchors + bench headline set (stay inside the window)
-    "asof_join",
-    "quote_multi",
-    "dp_minhash_lsh",
-    "dp_embed_topk_ivf",
+    # round-3 continuation: SCD2, fuzzy join, media near-dup, assembly.
+    # These displace the four already-proven anchors (asof_join,
+    # quote_multi, dp_minhash_lsh, dp_embed_topk_ivf — all green in
+    # CORRECTNESS_r02.json) so every window slot proves something new.
+    "scd2",
+    "fuzzy_join",
+    "mm_phash_neardup",
+    "dp_assemble",
 ]
 
 
@@ -2149,6 +2239,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr": q_corr,
         "rank_funcs": q_rank_funcs,
         "set_ops": q_set_ops,
+        "scd2": q_scd2,
+        "fuzzy_join": q_fuzzy_join,
+        "mm_phash_neardup": mm_phash_neardup,
+        "dp_assemble": dp_assemble,
     }
 
 
@@ -4048,6 +4142,91 @@ def oracle_sql() -> dict[str, str]:
                      AS o_totalprice
             FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
             WHERE NOT COALESCE(u.del, FALSE)
+        """,
+        "scd2": """
+            WITH seq AS (
+                SELECT user_id, event_type, ts, event_id,
+                       (lag(event_type) OVER w IS DISTINCT FROM event_type)
+                           OR (row_number() OVER w = 1) AS opens
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), v AS (
+                SELECT user_id, event_type, ts AS valid_from, event_id
+                FROM seq WHERE opens
+            )
+            SELECT user_id, event_type,
+                   epoch_us(valid_from) AS valid_from_us,
+                   epoch_us(lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from, event_id
+                   )) AS valid_to_us,
+                   (lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from, event_id
+                   ) IS NULL) AS is_current
+            FROM v
+        """,
+        "fuzzy_join": """
+            WITH l AS (
+                SELECT DISTINCT p_name FROM part
+            ), lb AS (
+                SELECT p_name,
+                       substr(regexp_replace(lower(p_name),
+                              '[^bcdfghjklmnpqrstvwxyz]', '', 'g'), 1, 4) AS blk
+                FROM l
+            ), r AS (
+                SELECT DISTINCT regexp_replace(lower(p_name), 'e', '3', 'g')
+                           AS alt_name
+                FROM part
+            ), rb AS (
+                SELECT alt_name,
+                       substr(regexp_replace(lower(alt_name),
+                              '[^bcdfghjklmnpqrstvwxyz]', '', 'g'), 1, 4) AS blk
+                FROM r
+            )
+            SELECT lb.p_name, rb.alt_name,
+                   CAST(levenshtein(lb.p_name, rb.alt_name) AS BIGINT) AS distance
+            FROM lb JOIN rb USING (blk)
+            WHERE abs(length(lb.p_name) - length(rb.alt_name)) <= 2
+              AND levenshtein(lb.p_name, rb.alt_name) <= 2
+        """,
+        "mm_phash_neardup": """
+            WITH m AS (
+                SELECT i AS media_id, i // 2 AS g,
+                       CASE WHEN i % 2 = 1 THEN (i // 2) % 5 ELSE 0 END AS k
+                FROM range(96) t(i)
+            ), b AS (
+                SELECT media_id,
+                       array_to_string(list_transform(range(64), j ->
+                           CASE WHEN (strpos('89abcdef',
+                                      substr(sha256('7:' || CAST(g AS VARCHAR)),
+                                             CAST(j AS INTEGER) + 1, 1)) > 0)
+                                     <> list_contains(
+                                            list_transform(range(k),
+                                                jj -> (g * 7 + jj * 13) % 64), j)
+                                THEN '1' ELSE '0' END), '') AS bits
+                FROM m
+            ), pairs AS (
+                SELECT a.media_id AS id_a, c.media_id AS id_b,
+                       CAST(len(list_filter(range(64), j ->
+                           substr(a.bits, CAST(j AS INTEGER) + 1, 1)
+                               <> substr(c.bits, CAST(j AS INTEGER) + 1, 1)))
+                           AS BIGINT) AS hamming
+                FROM b a JOIN b c ON a.media_id < c.media_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        """,
+        "dp_assemble": """
+            WITH ordered AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id, event_type
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id,
+                   string_agg(event_type, ' ' ORDER BY rn) AS sequence,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM ordered WHERE rn <= 16 GROUP BY user_id
         """,
         "sql_pricing": _SQL_PRICING.format(**_IDENT),
         "sql_shipping": _SQL_SHIPPING.format(**_IDENT),

@@ -1,0 +1,186 @@
+"""Round-3 continuation operators: SCD2 history, blocked fuzzy join,
+generalized Hamming near-pairs + perceptual hash, sequence assembly."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from v3_polars_spark.datapipe import (
+    assemble_sequences,
+    hamming_near_pairs,
+    make_fake_media_pairs,
+    perceptual_hash,
+)
+from v3_polars_spark.ops import fuzzy_join_blocked, scd2_history, skeleton_key
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def _log(spark):
+    rows = [
+        # key 1: A A B B A  -> versions A@1, B@3, A@5
+        (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "B"), (1, 5, "A"),
+        # key 2: single row -> one current version
+        (2, 1, "X"),
+        # key 3: tie on ts broken by seq: (1,C),(1,D) -> C then D
+        (3, 1, "C"), (3, 1, "D"),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "attr"])
+
+
+def test_scd2_runs_and_intervals(spark):
+    h = scd2_history(
+        _log(spark), keys=["k"], ts_col="ts", attrs=["attr"], order=["attr"]
+    )
+    got = {
+        (r.k, r.attr, r.valid_from): (r.valid_to, r.is_current)
+        for r in h.collect()
+    }
+    assert got[(1, "A", 1)] == (3, False)
+    assert got[(1, "B", 3)] == (5, False)
+    assert got[(1, "A", 5)] == (None, True)
+    assert got[(2, "X", 1)] == (None, True)
+    # tie at ts=1 ordered by attr: C opens at 1 closed by D at 1
+    assert got[(3, "C", 1)] == (1, False)
+    assert got[(3, "D", 1)] == (None, True)
+
+
+def test_scd2_null_attr_transitions(spark):
+    rows = [(1, 1, None), (1, 2, None), (1, 3, "A"), (1, 4, None)]
+    df = spark.createDataFrame(rows, "k int, ts int, attr string")
+    h = scd2_history(df, keys=["k"], ts_col="ts", attrs=["attr"])
+    vers = sorted((r.valid_from, r.attr) for r in h.collect())
+    # NULL run collapses; NULL -> A -> NULL are three versions
+    assert vers == [(1, None), (3, "A"), (4, None)]
+
+
+def test_scd2_single_exchange(spark):
+    h = scd2_history(
+        _log(spark), keys=["k"], ts_col="ts", attrs=["attr"]
+    )
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# fuzzy join
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_matches_within_block(spark):
+    left = spark.createDataFrame(
+        [("blue bolt",), ("red widget",), ("green gear",)], ["a"]
+    )
+    right = spark.createDataFrame(
+        [("blu3 bolt",), ("r3d widg3t",), ("purple pin",)], ["b"]
+    )
+    out = fuzzy_join_blocked(left, right, "a", "b", max_dist=2, block_len=4)
+    got = {(r.a, r.b, r.distance) for r in out.collect()}
+    assert ("blue bolt", "blu3 bolt", 1) in got
+    assert ("red widget", "r3d widg3t", 2) in got
+    assert all(d <= 2 for _, _, d in got)
+    # no cross-entity matches
+    assert not any(a == "green gear" for a, _, _ in got)
+
+
+def test_fuzzy_join_block_recall_contract(spark):
+    # same distance-1 pair but with differing consonant skeletons:
+    # blocking (documented) excludes it
+    left = spark.createDataFrame([("cat",)], ["a"])
+    right = spark.createDataFrame([("bat",)], ["b"])
+    out = fuzzy_join_blocked(left, right, "a", "b", max_dist=2, block_len=4)
+    assert out.count() == 0
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    left = spark.createDataFrame([("abc",)], ["a"])
+    right = spark.createDataFrame([("abd",)], ["b"])
+    out = fuzzy_join_blocked(left, right, "a", "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skeleton_key_strips_vowels_digits(spark):
+    df = spark.createDataFrame([("Blu3 Bolt 99",)], ["s"])
+    assert df.select(skeleton_key(F.col("s")).alias("k")).first().k == "blbl"
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash + hamming near pairs
+# ---------------------------------------------------------------------------
+
+
+def test_phash_planted_pair_distances(spark):
+    media = make_fake_media_pairs(spark, n=20, seed=7)
+    sig = perceptual_hash(media, fake=True)
+    rows = {r.media_id: r.phash64 for r in sig.collect()}
+    for g in range(10):
+        a, b = rows[2 * g], rows[2 * g + 1]
+        expect = g % 5
+        assert bin((a ^ b) & (2**64 - 1)).count("1") == expect, f"group {g}"
+
+
+def test_hamming_near_pairs_on_phash_exact_vs_brute(spark):
+    media = make_fake_media_pairs(spark, n=60, seed=11)
+    sig = perceptual_hash(media, fake=True).cache()
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_pairs(
+            sig, id_col="media_id", hash_col="phash64", max_hamming=3
+        ).collect()
+    }
+    rows = {r.media_id: r.phash64 for r in sig.collect()}
+    ids = sorted(rows)
+    brute = {
+        (i, j): bin((rows[i] ^ rows[j]) & (2**64 - 1)).count("1")
+        for i in ids
+        for j in ids
+        if i < j and bin((rows[i] ^ rows[j]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == brute
+    sig.unpersist()
+
+
+def test_perceptual_hash_real_kernel_is_integration_point(spark):
+    media = make_fake_media_pairs(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|perceptual"):
+        perceptual_hash(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# sequence assembly
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_orders_and_ties(spark):
+    rows = [
+        (1, 2, 10, "b"),
+        (1, 1, 11, "a"),
+        (1, 2, 9, "c"),   # same ts=2, smaller seq -> before "b"
+        (2, 5, 1, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "v"])
+    out = assemble_sequences(df, ["k"], ["ts", "seq"], "v")
+    got = {r.k: (r.sequence, r.n_items) for r in out.collect()}
+    assert got[1] == ("a c b", 3)
+    assert got[2] == ("solo", 1)
+
+
+def test_assemble_truncates_keep_earliest(spark):
+    rows = [(1, i, f"t{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = assemble_sequences(df, ["k"], ["ts"], "v", max_items=3)
+    r = out.first()
+    assert r.sequence == "t0 t1 t2" and r.n_items == 3
+
+
+def test_assemble_no_window_no_sort_shuffle(spark):
+    df = spark.createDataFrame([(1, 1, "a")], ["k", "ts", "v"])
+    out = assemble_sequences(df, ["k"], ["ts"], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # one aggregation shuffle at most, never a global sort
+    assert "Exchange rangepartitioning" not in plan

@@ -452,6 +452,29 @@ def simhash_near_pairs(
     ``prefix_bands`` 16-bit chunks (pigeonhole: hamming<=3 pairs share at
     least one exact chunk when bands=4), join on chunk equality, verify
     Hamming distance with bit_count(xor)."""
+    return hamming_near_pairs(
+        sig,
+        id_col=id_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        prefix_bands=prefix_bands,
+    )
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    prefix_bands: int = 4,
+) -> DataFrame:
+    """Banded Hamming-distance self-join over ANY 64-bit signature column
+    (SimHash, perceptual image hash, audio fingerprint): band into
+    ``prefix_bands`` equal chunks, equi-join on (band, chunk), verify
+    exact distance with bit_count(xor). Exact — not approximate — while
+    ``max_hamming < prefix_bands`` (pigeonhole: a qualifying pair must
+    agree on at least one whole chunk), with candidate generation a plain
+    bucketed equi-join, never all-pairs."""
     # pigeonhole guarantee (every qualifying pair shares a chunk) only
     # holds for max_hamming < prefix_bands; beyond that the banding is an
     # approximate prefilter — make the recall contract explicit
@@ -459,7 +482,7 @@ def simhash_near_pairs(
         import warnings
 
         warnings.warn(
-            "simhash_near_pairs: max_hamming >= prefix_bands — banded "
+            "hamming_near_pairs: max_hamming >= prefix_bands — banded "
             "prefilter no longer guarantees full recall",
             stacklevel=2,
         )
@@ -468,20 +491,20 @@ def simhash_near_pairs(
     # prefix_bands-way union re-executing the signature subtree.
     chunk_arr = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(
+            F.shiftrightunsigned(F.col(hash_col), c * chunk_bits).bitwiseAND(
                 F.lit((1 << chunk_bits) - 1)
             )
             for c in range(prefix_bands)
         ]
     )
     banded = sig.select(
-        F.col(id_col), F.col("simhash"), F.posexplode(chunk_arr).alias("band", "chunk")
+        F.col(id_col), F.col(hash_col), F.posexplode(chunk_arr).alias("band", "chunk")
     )
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("sh_a"), "band", "chunk"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("sh_b"), "band", "chunk"
     )
     return (
         a.join(b, ["band", "chunk"])

@@ -271,3 +271,83 @@ def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash64", LongType()),
+    ]
+)
+
+_FAKE_BRIGHT = set(b"89abcdef")
+
+
+def perceptual_hash(
+    df: DataFrame,
+    fake: bool = False,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """payload → 64-bit perceptual hash via mapInPandas (Arrow-batched).
+
+    A real pHash (resize → DCT → median-threshold the low-frequency
+    block) needs PIL/scipy and is the ``fake=False`` integration point
+    (raises NotImplementedError, same contract as
+    ``decode_image_features``). The ``fake=True`` stand-in keeps the
+    defining property a perceptual hash must have — *small payload
+    perturbations flip few bits* — by treating the ASCII-hex payload as a
+    coarse brightness map: bit j is 1 iff hex digit j of the payload is
+    >= 8. Output is the signed two's-complement int64, the same signature
+    shape as ``dedup.simhash``, so ``dedup.hamming_near_pairs`` runs
+    unchanged on media."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real perceptual hashing requires PIL/scipy; pass "
+                    "fake=True for the deterministic stub kernel"
+                )
+            out = []
+            for p in pdf[payload_col]:
+                b = bytes(p) if p is not None else b""
+                v = 0
+                for j, byte in enumerate(b[:64]):
+                    if byte in _FAKE_BRIGHT:
+                        v |= 1 << j
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append(v)
+            yield pd.DataFrame({"media_id": pdf[id_col], "phash64": out})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(process, PHASH_SCHEMA)
+
+
+_FLIP_MAP = str.maketrans("0123456789abcdef", "89abcdef01234567")
+
+
+def make_fake_media_pairs(spark, n: int = 96, seed: int = 7) -> DataFrame:
+    """Fake media table with PLANTED near-duplicates for the perceptual
+    near-dup pipeline: media 2g and 2g+1 share a base payload, with the
+    odd member perturbed at ``g % 5`` deterministic positions (each
+    perturbation toggles the high bit of one hex digit — exactly one
+    pHash bit under the fake kernel). Pair distances therefore sweep
+    0..4: some pairs sit inside a hamming<=3 threshold, some just
+    outside. ASCII-hex payloads, so a SQL oracle regenerates them."""
+    rows = []
+    for i in range(n):
+        g = i // 2
+        s = hashlib.sha256(f"{seed}:{g}".encode()).hexdigest()
+        if i % 2 == 1:
+            chars = list(s)
+            for j in range(g % 5):
+                pos = (g * 7 + j * 13) % 64
+                chars[pos] = chars[pos].translate(_FLIP_MAP)
+            s = "".join(chars)
+        rows.append(
+            (i, "image", bytearray((s * 4).encode()), "image/png", 64, 48, None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

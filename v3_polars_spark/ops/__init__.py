@@ -7,6 +7,7 @@ from .dedup import dedup_first, dedup_last
 from .diff import diff_tables
 from .ewma import ewma
 from .funnel import funnel
+from .fuzzy import fuzzy_join_blocked, skeleton_key
 from .merge import merge_upsert
 from .misc import (
     is_empty,
@@ -19,6 +20,7 @@ from .profile import profile_table
 from .ranges import interval_overlap_join, range_join
 from .resample import duration_to_interval, resample
 from .rollup import hypertable_rollup
+from .scd import scd2_history
 from .sessions import sessionize
 from .sketches import (
     approx_distinct_by,
@@ -35,6 +37,9 @@ from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "fuzzy_join_blocked",
+    "scd2_history",
+    "skeleton_key",
     "approx_distinct_by",
     "approx_quantile_by",
     "approx_quantile_check",
