@@ -31,21 +31,50 @@ def test_every_query_has_an_oracle():
     assert not missing, f"queries without oracle_sql: {sorted(missing)}"
 
 
-def test_rotated_out_queries_have_committed_green_records():
-    ordered, _ = _ordered_names()
+def _driver_proven():
     proven = set()
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             rec = json.load(open(os.path.join(REPO, f)))
             for name, row in rec.items():
-                if row.get("hash_match"):
+                if isinstance(row, dict) and row.get("hash_match"):
                     proven.add(name)
-    unproven_tail = set(ordered[50:]) - proven
-    assert not unproven_tail, (
+    return proven
+
+
+def test_rotated_out_queries_have_committed_green_records():
+    """Every query outside the 50-slot window must be green SOMEWHERE
+    committed: a per-round driver record (already driver-proven, rotated
+    to the tail) or the full-surface CORRECTNESS_SELF.json (oracle-checked
+    by the same harness, queued for a future round's window)."""
+    ordered, _ = _ordered_names()
+    proven = _driver_proven()
+    rec = json.load(open(os.path.join(REPO, "CORRECTNESS_SELF.json")))
+    self_green = {
+        name
+        for name, row in rec.get("results", {}).items()
+        if row.get("hash_match")
+    }
+    uncovered_tail = set(ordered[50:]) - proven - self_green
+    assert not uncovered_tail, (
         f"queries outside the driver window with no committed green "
-        f"record: {sorted(unproven_tail)} — rotate them into "
-        f"_DRIVER_WINDOW or wait a round"
+        f"record anywhere: {sorted(uncovered_tail)} — run "
+        f"tests/oracle_check.py and commit CORRECTNESS_SELF.json"
     )
+
+
+def test_window_drains_unproven_queue_first():
+    """The computed window puts every not-yet-driver-proven query before
+    any proven one: no window slot is wasted re-proving an already-proven
+    query while an unproven one waits."""
+    ordered, qs = _ordered_names()
+    proven = _driver_proven()
+    unproven = sorted(set(qs) - proven)
+    expect_head = unproven[:50]
+    assert em._DRIVER_WINDOW[: len(expect_head)] == expect_head
+    # any proven entries inside the window only appear once the
+    # unproven queue is shorter than 50
+    assert len(expect_head) == min(50, len(unproven))
 
 
 def test_queries_callable_registry_consistent():

@@ -184,3 +184,94 @@ def test_assemble_no_window_no_sort_shuffle(spark):
     assert "Window" not in plan
     # one aggregation shuffle at most, never a global sort
     assert "Exchange rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PSI drift / MAD outliers / embedding centroid drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_matches_hand_computation(spark):
+    import math
+
+    base = spark.createDataFrame([(v,) for v in [1, 1, 5, 5, 5, 9]], ["x"])
+    cur = spark.createDataFrame([(v,) for v in [1, 5, 9, 9, 9, 9]], ["x"])
+    from v3_polars_spark.ops import psi_drift
+
+    rows = {
+        r.bin: r
+        for r in psi_drift(base, cur, "x", lo=0.0, hi=12.0, n_bins=3).collect()
+    }
+    assert [rows[b].n_base for b in range(3)] == [2, 3, 1]
+    assert [rows[b].n_cur for b in range(3)] == [1, 1, 4]
+    for b in range(3):
+        pb, pc = rows[b].n_base / 6, rows[b].n_cur / 6
+        assert abs(rows[b].psi_contrib - (pc - pb) * math.log(pc / pb)) < 1e-12
+    total = sum(rows[b].psi_contrib for b in range(3))
+    assert total > 0.25  # major shift, as planted
+
+
+def test_psi_empty_bin_smoothing(spark):
+    base = spark.createDataFrame([(1,), (1,)], ["x"])
+    cur = spark.createDataFrame([(9,), (9,)], ["x"])
+    from v3_polars_spark.ops import psi_drift
+
+    rows = {r.bin: r for r in psi_drift(base, cur, "x", 0.0, 10.0, 2).collect()}
+    # bin 1 empty in base: share floors at eps, contrib stays finite
+    assert rows[1].pct_base == pytest.approx(1e-6)
+    assert rows[1].psi_contrib == pytest.approx(
+        (1.0 - 1e-6) * __import__("math").log(1.0 / 1e-6), rel=1e-9
+    )
+
+
+def test_mad_outliers_vs_numpy(spark):
+    import numpy as np
+
+    vals = [10, 12, 11, 13, 12, 11, 500]  # heavy outlier
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "x"])
+    from v3_polars_spark.datapipe import mad_outliers
+
+    got = {r.x: r for r in mad_outliers(df, "x", ["grp"]).collect()}
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(np.array(vals) - med)))
+    assert got[500].group_median == med and got[500].group_mad == mad
+    assert got[500].mad_z == pytest.approx(0.6745 * (500 - med) / mad)
+    assert got[500].is_outlier and not got[10].is_outlier
+
+
+def test_mad_robust_where_zscore_masked(spark):
+    # one enormous value inflates std so much the plain z stays under 3,
+    # while the median/MAD score flags it — the reason the op exists
+    vals = [10, 11, 12, 11, 10, 12, 11, 1_000_000]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "x"])
+    from v3_polars_spark.datapipe import mad_outliers, zscore_outliers
+
+    z = {r.x: r for r in zscore_outliers(df, "x", ["grp"], z=3.0).collect()}
+    m = {r.x: r for r in mad_outliers(df, "x", ["grp"], z=3.5).collect()}
+    assert not z[1_000_000].is_outlier
+    assert m[1_000_000].is_outlier
+
+
+def test_centroid_drift_vs_numpy(spark):
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (0, [1.0, 1.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (1, [0.0, 1.0, 1.0]),
+        (2, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    from v3_polars_spark.datapipe import centroid_drift
+
+    got = {(r.a, r.b): r for r in centroid_drift(df, "label").collect()}
+    cents = {g: np.mean([np.array(v) for l, v in rows if l == g], axis=0) for g in (0, 1, 2)}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for (a, b), r in got.items():
+        assert r.cosine == pytest.approx(cos(cents[a], cents[b]), abs=1e-9)
+    assert got[(0, 2)].cosine == pytest.approx(cos(cents[0], cents[2]))
+    assert got[(0, 1)].n_a == 2 and got[(0, 1)].n_b == 2

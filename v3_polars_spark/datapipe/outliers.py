@@ -105,3 +105,51 @@ def corr_exact(
     return m.select(
         *group_cols, F.col("__n").cast("long").alias("n"), corr.alias("corr")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier scoring — the heavy-tail-safe twin of
+    ``zscore_outliers``: web-scale length/score distributions have tails
+    that inflate the mean and std until nothing is an outlier, while the
+    median and the Median Absolute Deviation ignore them.
+
+    Score: modified z ``0.6745 * (x - median) / MAD`` (Iglewicz-Hoaglin),
+    ``is_outlier`` = |score| > z (their recommended 3.5 default); NULL
+    score where MAD is 0/NULL (constant or singleton group).
+
+    Two grouped exact-percentile aggregations (median, then MAD over
+    |x - median|) and two broadcast joins of the tiny per-group stats —
+    no window over the data, so it scales like two hash aggs. Exact
+    interpolated percentiles keep the result engine-portable for integral
+    ``value_col`` (medians are then .0/.5 rationals, exact in double —
+    the same argument as ``zscore_outliers``' moment sums).
+    """
+    v = F.col(value_col).cast("double")
+    med = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.percentile(v, F.lit(0.5)).alias("group_median"))
+    )
+    with_med = df.join(F.broadcast(med), group_cols, "left")
+    mad = (
+        with_med.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.percentile(F.abs(v - F.col("group_median")), F.lit(0.5)).alias(
+                "group_mad"
+            )
+        )
+    )
+    scored = with_med.join(F.broadcast(mad), group_cols, "left")
+    score = F.when(
+        F.col("group_mad") > 0,
+        F.lit(0.6745) * (v - F.col("group_median")) / F.col("group_mad"),
+    )
+    return scored.withColumn("mad_z", score).withColumn(
+        "is_outlier", F.coalesce(F.abs(F.col("mad_z")) > z, F.lit(False))
+    )

@@ -429,3 +429,65 @@ def dequantize_int8(
     return df.withColumn(
         out, F.transform(F.col(q_col), lambda q: q.cast("double") * s)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus drift in embedding space
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(
+    df: DataFrame,
+    by: list[str],
+    vec_col: str = "embedding",
+    out: str = "centroid",
+) -> DataFrame:
+    """Per-group mean embedding: ``by... , centroid array<double>, n``.
+
+    Element sums accumulate as decimal(38,10) (order-independent exact
+    arithmetic — float summation order varies with partitioning, decimal
+    does not), divided once as double. Plan: posexplode → one hash agg on
+    (group, position) → one collect per group re-assembling the array in
+    position order; rows after the explode are #rows × dim, then
+    everything is #groups × dim — nothing data-sized is collected or
+    windowed."""
+    pos = df.select(
+        *by, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__p", "__v")
+    )
+    comps = pos.groupBy(*by, "__p").agg(
+        (
+            F.sum(F.col("__v").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__c"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    packed = comps.groupBy(*by).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__p", "__c"))), lambda s: s["__c"]
+        ).alias(out),
+        F.max("__n").alias("n"),
+    )
+    return packed
+
+
+def centroid_drift(
+    df: DataFrame,
+    by: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine between group centroids — corpus drift in
+    embedding space (are yesterday's and today's crawls, or two sources,
+    pointing the same way?). Returns one row per unordered group pair:
+    ``(a, b, n_a, n_b, cosine)``. The centroid frame is #groups rows, so
+    the pairwise join is dimension-table-sized regardless of input."""
+    c = embedding_centroids(df, [by], vec_col)
+    a = c.select(
+        F.col(by).alias("a"), F.col("centroid").alias("__ca"), F.col("n").alias("n_a")
+    )
+    b = c.select(
+        F.col(by).alias("b"), F.col("centroid").alias("__cb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", "n_a", "n_b", _cos(F.col("__ca"), F.col("__cb")).alias("cosine"))
+    )

@@ -5,6 +5,7 @@ from .asof import asof_join, asof_lookup, asof_lookup_scalar
 from .cohort import retention_matrix
 from .dedup import dedup_first, dedup_last
 from .diff import diff_tables
+from .drift import psi_drift
 from .ewma import ewma
 from .funnel import funnel
 from .fuzzy import fuzzy_join_blocked, skeleton_key
@@ -37,6 +38,7 @@ from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "psi_drift",
     "fuzzy_join_blocked",
     "scd2_history",
     "skeleton_key",
