@@ -4,6 +4,7 @@ inputs — the per-operator rigor the reference repo lacks (SURVEY.md §5).
 
 Example counts are kept small: every example is a full Spark job."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -420,3 +421,130 @@ def test_time_weighted_avg_matches_brute_force(spark, obs):
         total = evs[-1][0] - evs[0][0]
         wsum = sum((t2 - t1) * c1 for (t1, c1), (t2, _) in zip(evs, evs[1:]))
         assert abs(got[k] - wsum / total / 100.0) < 1e-12
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),            # key
+            st.integers(0, 30),           # ts
+            st.integers(0, 40),           # unique-ifier
+            st.sampled_from(["A", "B", "C", None]),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+def test_scd2_matches_sequential_brute_force(spark, rows):
+    from v3_polars_spark.ops import scd2_history
+
+    df = spark.createDataFrame(rows, "k int, ts int, seq int, attr string")
+    got = sorted(
+        (r.k, r.valid_from, r.attr, r.valid_to, r.is_current)
+        for r in scd2_history(
+            df, keys=["k"], ts_col="ts", attrs=["attr"], order=["seq"]
+        ).collect()
+    )
+    # brute force: walk each key's rows in (ts, seq) order, open a version
+    # on every attr change, close it at the next version's ts
+    want = []
+    by_key = {}
+    for k, ts, seq, attr in rows:
+        by_key.setdefault(k, []).append((ts, seq, attr))
+    for k, seq_rows in by_key.items():
+        seq_rows.sort()
+        versions = []
+        prev = object()
+        for ts, _seq, attr in seq_rows:
+            if attr != prev:
+                versions.append([ts, attr])
+                prev = attr
+        for i, (vf, attr) in enumerate(versions):
+            vt = versions[i + 1][0] if i + 1 < len(versions) else None
+            want.append((k, vf, attr, vt, vt is None))
+    assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.text(alphabet="abcde3 ", min_size=1, max_size=8),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    rights=st.lists(
+        st.text(alphabet="abcde3 ", min_size=1, max_size=8),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    max_dist=st.integers(0, 2),
+)
+def test_fuzzy_join_matches_blocked_brute_force(spark, lefts, rights, max_dist):
+    from v3_polars_spark.ops import fuzzy_join_blocked
+
+    ldf = spark.createDataFrame([(s,) for s in lefts], ["a"])
+    rdf = spark.createDataFrame([(s,) for s in rights], ["b"])
+    got = sorted(
+        (r.a, r.b, r.distance)
+        for r in fuzzy_join_blocked(
+            ldf, rdf, "a", "b", max_dist=max_dist, block_len=4
+        ).collect()
+    )
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    def skel(s):
+        return "".join(c for c in s.lower() if c in "bcdfghjklmnpqrstvwxyz")[:4]
+
+    want = sorted(
+        (a, b, lev(a, b))
+        for a in lefts
+        for b in rights
+        if skel(a) == skel(b)
+        and abs(len(a) - len(b)) <= max_dist
+        and lev(a, b) <= max_dist
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.lists(st.integers(0, 99), min_size=1, max_size=30),
+    cur=st.lists(st.integers(0, 99), min_size=1, max_size=30),
+    n_bins=st.integers(2, 6),
+)
+def test_psi_matches_brute_force(spark, base, cur, n_bins):
+    import math
+
+    from v3_polars_spark.ops import psi_drift
+
+    bdf = spark.createDataFrame([(v,) for v in base], ["x"])
+    cdf = spark.createDataFrame([(v,) for v in cur], ["x"])
+    rows = {
+        r.bin: r
+        for r in psi_drift(bdf, cdf, "x", lo=0.0, hi=100.0, n_bins=n_bins).collect()
+    }
+    width = 100.0 / n_bins
+    eps = 1e-6
+    for b in range(n_bins):
+        nb = sum(1 for v in base if min(n_bins - 1, max(0, int(v // width))) == b)
+        nc = sum(1 for v in cur if min(n_bins - 1, max(0, int(v // width))) == b)
+        assert rows[b].n_base == nb and rows[b].n_cur == nc
+        pb = max(nb / len(base), eps)
+        pc = max(nc / len(cur), eps)
+        assert rows[b].psi_contrib == pytest.approx(
+            (pc - pb) * math.log(pc / pb), abs=1e-12
+        )
