@@ -275,3 +275,19 @@ def test_centroid_drift_vs_numpy(spark):
         assert r.cosine == pytest.approx(cos(cents[a], cents[b]), abs=1e-9)
     assert got[(0, 2)].cosine == pytest.approx(cos(cents[0], cents[2]))
     assert got[(0, 1)].n_a == 2 and got[(0, 1)].n_b == 2
+
+
+def test_tune_shuffle_partitions_scale_invariant(spark):
+    from v3_polars_spark.session import tune_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # bench-sized input: floors at the cache split width
+        assert tune_shuffle_partitions(spark, 40 * 1024 * 1024) == 8
+        # 100 TB input: the same rule yields cluster-scale partition counts
+        parts = tune_shuffle_partitions(spark, 100 * 1024**4)
+        assert parts == (100 * 1024**4 * 4) // (64 * 1024 * 1024)
+        assert parts > 1_000_000  # thousands of tasks per of 1000 executors
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -491,3 +491,57 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         )
     )
     assert got == want and len(got) == 4
+
+
+def test_streaming_psi_counts_match_batch(spark, tmp_path):
+    """The stream-maintained bin-count state must reproduce the batch
+    bin counts exactly (so stream-vs-baseline PSI == batch PSI), and a
+    second drain with the same checkpoint must only ingest NEW segments
+    (delta appends are idempotent under replay)."""
+    from v3_polars_spark.ops import bin_counts, psi_drift, psi_from_counts
+    from v3_polars_spark.streaming import read_bin_counts, streaming_bin_counts
+
+    src = str(tmp_path / "docs")
+    seg1 = spark.createDataFrame([(i, i % 90) for i in range(200)], ["id", "x"])
+    seg1.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        streaming_bin_counts(stream, "x", 0.0, 100.0, 5, state, ckpt)
+
+    drain()
+    got1 = {r.bin: r.n for r in read_bin_counts(spark, state).collect()}
+    want1 = {
+        r.bin: r.n
+        for r in bin_counts(spark.read.parquet(src), "x", 0.0, 100.0, 5).collect()
+    }
+    assert got1 == want1
+
+    # append a second, differently-shaped segment and re-drain
+    seg2 = spark.createDataFrame([(1000 + i, 80) for i in range(100)], ["id", "x"])
+    seg2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got2 = {r.bin: r.n for r in read_bin_counts(spark, state).collect()}
+    want2 = {
+        r.bin: r.n
+        for r in bin_counts(spark.read.parquet(src), "x", 0.0, 100.0, 5).collect()
+    }
+    assert got2 == want2 and sum(got2.values()) == 300
+
+    # PSI computed from the maintained state == PSI from the raw frames
+    baseline = spark.createDataFrame([(i, i % 100) for i in range(300)], ["id", "x"])
+    via_state = psi_from_counts(
+        bin_counts(baseline, "x", 0.0, 100.0, 5),
+        read_bin_counts(spark, state),
+        0.0,
+        100.0,
+        5,
+    )
+    via_raw = psi_drift(baseline, spark.read.parquet(src), "x", 0.0, 100.0, 5)
+    s = {r.bin: r.psi_contrib for r in via_state.collect()}
+    r = {r.bin: r.psi_contrib for r in via_raw.collect()}
+    assert s == r

@@ -5,7 +5,7 @@ from .asof import asof_join, asof_lookup, asof_lookup_scalar
 from .cohort import retention_matrix
 from .dedup import dedup_first, dedup_last
 from .diff import diff_tables
-from .drift import psi_drift
+from .drift import bin_counts, psi_drift, psi_from_counts
 from .ewma import ewma
 from .funnel import funnel
 from .fuzzy import fuzzy_join_blocked, skeleton_key
@@ -38,7 +38,9 @@ from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "bin_counts",
     "psi_drift",
+    "psi_from_counts",
     "fuzzy_join_blocked",
     "scd2_history",
     "skeleton_key",

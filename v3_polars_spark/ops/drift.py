@@ -46,31 +46,69 @@ def psi_drift(
     — ``SUM(psi_contrib)`` is the PSI. Shares are smoothed with
     ``max(p, eps)`` so empty bins contribute finitely (the standard PSI
     convention)."""
+    return psi_from_counts(
+        bin_counts(base, col, lo, hi, n_bins),
+        bin_counts(current, col, lo, hi, n_bins),
+        lo,
+        hi,
+        n_bins,
+        eps=eps,
+    )
+
+
+def bin_counts(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Equal-width bin counts of ``col`` on fixed [lo, hi) edges —
+    ``(bin, n)``, only non-empty bins (``psi_from_counts`` re-densifies
+    against the spine). The counts are additive, so incremental pipelines
+    (per-day segments, streaming foreachBatch) can maintain them as a
+    tiny state table and diff snapshots without re-reading raw data."""
     width = (hi - lo) / n_bins or 1.0
+    idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
-    def _counts(df: DataFrame, out: str) -> DataFrame:
-        idx = F.least(
-            F.lit(n_bins - 1),
-            F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width).cast("int")),
-        )
-        return (
-            df.filter(F.col(col).isNotNull())
-            .groupBy(idx.alias("bin"))
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
-    spark = base.sparkSession
+def psi_from_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """The PSI arithmetic over two ``(bin, n)`` count tables (the shape
+    ``bin_counts`` emits and incremental/streaming state maintains).
+    Duplicate bins per side are summed, so pre-aggregated per-segment
+    counts can be passed directly."""
+    width = (hi - lo) / n_bins or 1.0
+    spark = base_counts.sparkSession
     spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     joined = (
-        spine.join(_counts(base, "n_base"), "bin", "left")
-        .join(_counts(current, "n_cur"), "bin", "left")
+        spine.join(
+            base_counts.groupBy("bin").agg(F.sum("n").alias("n_base")),
+            "bin",
+            "left",
+        )
+        .join(
+            cur_counts.groupBy("bin").agg(F.sum("n").alias("n_cur")),
+            "bin",
+            "left",
+        )
         .select(
             "bin",
             F.coalesce("n_base", F.lit(0)).alias("n_base"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    # totals over the n_bins-row frame: a bounded unpartitioned window
+    # totals over the n_bins-row frame: a bounded single-partition window
     # (n_bins rows by construction — never data-sized)
     from pyspark.sql import Window
 

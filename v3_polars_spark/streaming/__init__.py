@@ -5,10 +5,13 @@ from .ingest_stream import (
     streaming_resample,
     streaming_sessionize,
 )
+from .quality_stream import read_bin_counts, streaming_bin_counts
 from .stateful import streaming_liquidity_deltas
 from .upsert_stream import streaming_snapshot_upsert
 
 __all__ = [
+    "read_bin_counts",
+    "streaming_bin_counts",
     "streaming_snapshot_upsert",
     "run_available_now",
     "stream_dedup_exact",

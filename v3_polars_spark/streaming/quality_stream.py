@@ -1,0 +1,68 @@
+"""Streaming data-quality monitor: distribution state from a stream.
+
+Continuous ingest wants continuous drift detection: "has today's crawl
+shifted against the accepted baseline?" asked without ever re-reading
+the raw corpus. The state needed is tiny and additive — equal-width bin
+counts on the same fixed edges as ``ops.drift`` — so the streaming shape
+is foreachBatch appending per-micro-batch COUNT DELTAS to a bounded
+parquet state table (append is atomic per batch and replays
+idempotently under the checkpoint because Structured Streaming re-runs a
+failed batch with the same batch_id, replacing its files). Readers sum
+deltas per bin; ``ops.drift.psi_from_counts`` turns any two such states
+(or a state vs a batch baseline) into the PSI decomposition.
+
+At 100 TB the state table stays n_bins × #batches rows regardless of
+data volume; compact it with ``tables.compact_segments`` semantics if
+batch count ever matters. The raw stream is read once, ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.drift import bin_counts
+
+
+def streaming_bin_counts(
+    stream_df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    state_path: str,
+    checkpoint_path: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the stream (Trigger.AvailableNow), appending each
+    micro-batch's ``(bin, n, batch_id)`` count deltas to ``state_path``.
+    Re-running with the same checkpoint processes only new segments —
+    the incremental-monitor twin of the ingest loop."""
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        (
+            bin_counts(df, col, lo, hi, n_bins)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def read_bin_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """Collapse the delta log to current ``(bin, n)`` counts — the frame
+    ``ops.drift.psi_from_counts`` consumes."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
