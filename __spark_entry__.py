@@ -2072,6 +2072,40 @@ def embed_drift(spark, sf):
     return out.select("a", "b", "n_a", "n_b", F.round("cosine", 8).alias("cosine"))
 
 
+def q_kll_quantile(spark, sf):
+    """Mergeable KLL quantile sketch with the rank-error contract proven
+    in-plan (ops/sketches.kll_quantile_check, DataSketches KLL built into
+    Spark 4): event values in integer cents; the oracle pins the exact
+    quantiles and TRUE — the approx_quantile pattern, now over state that
+    also ROLLS UP (per-day sketch tables, kll_rollup)."""
+    from v3_polars_spark.ops import kll_quantile_check
+
+    ev = _t(spark, sf, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = kll_quantile_check(ev, "cents", [0.25, 0.5, 0.9], k=200)
+    return out.select("p", "exact_value", "rank_ok")
+
+
+def q_theta_sets(spark, sf):
+    """Theta-sketch set algebra (ops/sketches.theta_set_estimate): the
+    distinct-user overlap between 'view' and 'purchase' events computed
+    purely from two stored sketches — native intersection/difference,
+    not HLL inclusion-exclusion. Below 2^12 distinct keys the sketch is
+    exact, so the oracle pins the TRUE set sizes; at prod scale the same
+    plan returns bounded-error estimates."""
+    from v3_polars_spark.ops import theta_set_estimate, theta_sketches
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin(["view", "purchase"])
+    )
+    sk = theta_sketches(ev, "user_id", ["event_type"], lg_nom_entries=12)
+    est = theta_set_estimate(sk, "event_type", "view", "purchase")
+    return est.select(
+        *[F.round(c).cast("long").alias(c) for c in est.columns]
+    )
+
+
 def _sql_query(template: str):
     """Build a driver query that runs `template` through the SQL surface:
     register the (cached) testdata frames as views once per (session,
@@ -2272,6 +2306,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi": q_psi,
         "dp_mad_outlier": dp_mad_outlier,
         "embed_drift": embed_drift,
+        "kll_quantile": q_kll_quantile,
+        "theta_sets": q_theta_sets,
     }
 
 
@@ -4268,6 +4304,35 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ' ' ORDER BY rn) AS sequence,
                    CAST(count(*) AS BIGINT) AS n_items
             FROM ordered WHERE rn <= 16 GROUP BY user_id
+        """,
+        "kll_quantile": """
+            WITH cents AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+            )
+            SELECT 0.25 AS p, quantile_cont(c, 0.25) AS exact_value,
+                   TRUE AS rank_ok FROM cents
+            UNION ALL
+            SELECT 0.5, quantile_cont(c, 0.5), TRUE FROM cents
+            UNION ALL
+            SELECT 0.9, quantile_cont(c, 0.9), TRUE FROM cents
+        """,
+        "theta_sets": """
+            WITH v AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            ), p AS (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_b,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM (SELECT user_id FROM v UNION SELECT user_id FROM p))
+                       AS n_union,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM (SELECT user_id FROM v INTERSECT
+                          SELECT user_id FROM p)) AS n_intersect,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM (SELECT user_id FROM v EXCEPT
+                          SELECT user_id FROM p)) AS n_a_only
         """,
         "psi": """
             WITH base AS (

@@ -139,3 +139,92 @@ def test_histogram_auto_bounds(spark, sf_dir):
     h = histogram(li, "l_extendedprice", bins=8).collect()
     assert len(h) == 8
     assert sum(r.n for r in h) == li.count()
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch tables
+# ---------------------------------------------------------------------------
+
+
+def test_kll_rollup_exact_below_k(spark):
+    """With n < k every value is retained, so per-segment sketches merged
+    give exactly the same quantiles as one global sketch — mergeability
+    with no approximation in the way."""
+    from v3_polars_spark.ops import kll_rollup, kll_sketches
+
+    rows = [(d, v) for d in range(4) for v in range(d * 10, d * 10 + 30)]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    per_day = kll_sketches(df, "v", ["day"], k=200)
+    merged = {
+        r.p: r.approx_value
+        for r in kll_rollup(per_day, [], probs=[0.1, 0.5, 0.9]).collect()
+    }
+    direct = {
+        r.p: r.approx_value
+        for r in kll_rollup(
+            kll_sketches(df, "v", [], k=200), [], probs=[0.1, 0.5, 0.9]
+        ).collect()
+    }
+    assert merged == direct
+    assert merged[0.5] in range(0, 60)  # sane median of 0..59
+
+
+def test_kll_quantile_check_contract_holds(spark):
+    from v3_polars_spark.ops import kll_quantile_check
+
+    df = spark.createDataFrame([(i % 1000,) for i in range(20_000)], ["v"])
+    out = kll_quantile_check(df, "v", [0.25, 0.5, 0.75, 0.99], k=200).collect()
+    assert len(out) == 4
+    assert all(r.rank_ok for r in out)
+    assert {r.p: r.exact_value for r in out}[0.5] == 499.5
+
+
+def test_kll_rollup_grouped_n(spark):
+    from v3_polars_spark.ops import kll_rollup, kll_sketches
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(10)], ["g", "v"]
+    )
+    sk = kll_sketches(df, "v", ["g"])
+    out = {(r.g, r.p): r.n for r in kll_rollup(sk, ["g"], probs=[0.5]).collect()}
+    assert out[("a", 0.5)] == 50 and out[("b", 0.5)] == 10
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch set algebra
+# ---------------------------------------------------------------------------
+
+
+def test_theta_set_algebra_exact_below_nominal(spark):
+    """Below 2^lgNomEntries distinct keys theta sketches are exact, so
+    union/intersection/difference estimates equal the true set sizes."""
+    from v3_polars_spark.ops import theta_set_estimate, theta_sketches
+
+    a_keys = set(range(0, 300))
+    b_keys = set(range(200, 450))
+    rows = [("a", k) for k in a_keys] + [("b", k) for k in b_keys]
+    df = spark.createDataFrame(rows, ["side", "user"])
+    sk = theta_sketches(df, "user", ["side"], lg_nom_entries=12)
+    r = theta_set_estimate(sk, "side", "a", "b").first()
+    assert round(r.n_a) == len(a_keys)
+    assert round(r.n_b) == len(b_keys)
+    assert round(r.n_union) == len(a_keys | b_keys)
+    assert round(r.n_intersect) == len(a_keys & b_keys)
+    assert round(r.n_a_only) == len(a_keys - b_keys)
+
+
+def test_theta_sketches_merge_across_segments(spark):
+    """Per-segment sketches union to the same answer as one pass —
+    the materialize-once pattern."""
+    from v3_polars_spark.ops import theta_set_estimate, theta_sketches
+
+    rows = [("a", seg, k) for seg in range(3) for k in range(seg * 50, seg * 50 + 80)]
+    rows += [("b", 0, k) for k in range(100, 160)]
+    df = spark.createDataFrame(rows, ["side", "seg", "user"])
+    # sketches at (side, seg) grain; estimate merges per side
+    sk = theta_sketches(df, "user", ["side", "seg"])
+    r = theta_set_estimate(sk, "side", "a", "b").first()
+    exact_a = {k for s in range(3) for k in range(s * 50, s * 50 + 80)}
+    exact_b = set(range(100, 160))
+    assert round(r.n_a) == len(exact_a)
+    assert round(r.n_intersect) == len(exact_a & exact_b)

@@ -25,6 +25,11 @@ from .scd import scd2_history
 from .sessions import sessionize
 from .sketches import (
     approx_distinct_by,
+    kll_quantile_check,
+    kll_rollup,
+    kll_sketches,
+    theta_set_estimate,
+    theta_sketches,
     approx_quantile_by,
     approx_quantile_check,
     histogram,
@@ -38,6 +43,11 @@ from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "kll_quantile_check",
+    "kll_rollup",
+    "kll_sketches",
+    "theta_set_estimate",
+    "theta_sketches",
     "bin_counts",
     "psi_drift",
     "psi_from_counts",

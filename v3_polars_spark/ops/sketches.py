@@ -248,3 +248,161 @@ def histogram(
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch tables (Apache DataSketches, built into Spark >= 4.0)
+# ---------------------------------------------------------------------------
+
+
+def kll_sketches(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    k: int = 200,
+) -> DataFrame:
+    """Per-group mergeable KLL quantile sketches (binary column ``kll``)
+    over a BIGINT column — the quantile twin of :func:`hll_sketches`:
+    materialize per-day/per-segment sketches once, answer any-quantile /
+    any-rollup questions forever without re-reading raw data. One hash
+    aggregate; state is O(k log n) bytes per group. Rank error is
+    ~1.65%/sqrt-free deterministic bound ≈ 2.3% at k=200 (single-sided,
+    99% confidence) — pass a larger k to tighten."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_bigint(F.col(col).cast("long"), F.lit(k)).alias("kll")
+    )
+
+
+def kll_rollup(
+    sketch_df: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Merge KLL sketches to a coarser grain and extract quantile
+    estimates: ``group_cols..., p, approx_value, n``. Raw data is never
+    re-read; merge is associative so any rollup path gives the same
+    sketch."""
+    merged = (
+        sketch_df.groupBy(*group_cols)
+        if group_cols
+        else sketch_df.groupBy(F.lit(1).alias("__g"))
+    ).agg(F.kll_merge_agg_bigint(sketch_col).alias("__m"))
+    out = merged.select(
+        *group_cols,
+        F.kll_sketch_get_n_bigint("__m").alias("n"),
+        F.explode(
+            F.arrays_zip(
+                F.lit(probs).alias("p"),
+                F.kll_sketch_get_quantile_bigint(
+                    F.col("__m"), F.lit(probs)
+                ).alias("approx_value"),
+            )
+        ).alias("__q"),
+    )
+    return out.select(
+        *group_cols, F.col("__q.p").alias("p"),
+        F.col("__q.approx_value").alias("approx_value"), "n"
+    )
+
+
+def kll_quantile_check(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    k: int = 200,
+    rank_tol: float = 0.03,
+) -> DataFrame:
+    """KLL quantile estimates with the rank-error contract proven in-plan
+    (the :func:`approx_quantile_check` pattern): for each p, the
+    estimate's true rank — recomputed from the data — must be within
+    ``rank_tol`` of p. Emits ``p, approx_value, exact_value, rank_ok``;
+    the oracle pins the exact values and ``TRUE``."""
+    est = df.agg(
+        F.kll_sketch_agg_bigint(F.col(col).cast("long"), F.lit(k)).alias("__s"),
+        F.percentile(F.col(col).cast("long"), F.lit(probs)).alias("__exact"),
+        F.count(F.col(col)).alias("__n"),
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.lit(probs).alias("p"),
+                F.kll_sketch_get_quantile_bigint(F.col("__s"), F.lit(probs)).alias(
+                    "approx_value"
+                ),
+                F.col("__exact").alias("exact_value"),
+            )
+        ).alias("__q"),
+        "__n",
+    ).select(
+        F.col("__q.p").alias("p"),
+        F.col("__q.approx_value").alias("approx_value"),
+        F.col("__q.exact_value").alias("exact_value"),
+        "__n",
+    )
+    # true rank of each estimate, recomputed from the data
+    ranks = df.join(F.broadcast(est), how="cross").groupBy(
+        "p", "approx_value", "exact_value", "__n"
+    ).agg(
+        F.sum(
+            (F.col(col).cast("long") <= F.col("approx_value")).cast("long")
+        ).alias("__le")
+    )
+    return ranks.select(
+        "p",
+        "approx_value",
+        "exact_value",
+        (
+            F.abs(F.col("__le") / F.col("__n") - F.col("p")) <= F.lit(rank_tol)
+        ).alias("rank_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch set algebra (distinct-count intersections without raw data)
+# ---------------------------------------------------------------------------
+
+
+def theta_sketches(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    lg_nom_entries: int = 12,
+) -> DataFrame:
+    """Per-group mergeable Theta sketches (binary column ``theta``).
+
+    Theta sketches keep a bounded uniform sample of hashed keys, so —
+    unlike HLL — they support INTERSECTION and DIFFERENCE natively with
+    bounded relative error, not via inclusion-exclusion blowup. Below
+    2^lg_nom_entries distinct keys the sketch is exact. Same
+    materialize-once/roll-up-forever table pattern as HLL/KLL."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(key, F.lit(lg_nom_entries)).alias("theta")
+    )
+
+
+def theta_set_estimate(
+    sketch_df: DataFrame,
+    label_col: str,
+    label_a,
+    label_b,
+    sketch_col: str = "theta",
+) -> DataFrame:
+    """Distinct-count set algebra between two labeled sketch groups:
+    one row ``(n_a, n_b, n_union, n_intersect, n_a_only)`` estimated
+    purely from stored sketches. Merges each side first, so the labels
+    may cover many segment rows each."""
+    a = sketch_df.filter(F.col(label_col) == label_a).agg(
+        F.theta_union_agg(sketch_col).alias("sa")
+    )
+    b = sketch_df.filter(F.col(label_col) == label_b).agg(
+        F.theta_union_agg(sketch_col).alias("sb")
+    )
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate("sa").alias("n_a"),
+        F.theta_sketch_estimate("sb").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias(
+            "n_intersect"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("n_a_only"),
+    )
