@@ -291,3 +291,45 @@ def test_tune_shuffle_partitions_scale_invariant(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+# ---------------------------------------------------------------------------
+# cogrouped applyInPandas (UDF-surface completion)
+# ---------------------------------------------------------------------------
+
+
+def test_cogrouped_asof_matches_native_asof_join(spark):
+    """The cogroup escape hatch must agree with the production
+    column-expression as-of join on identical inputs (including keys
+    present on only one side)."""
+    from v3_polars_spark.ops import asof_join, cogrouped_asof
+
+    left = spark.createDataFrame(
+        [(k, t, f"L{k}{t}") for k in (1, 2, 3) for t in (5, 10, 20)],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        # key 3 absent; duplicate-free per (k, t)
+        [(1, 4, 100.0), (1, 9, 101.0), (2, 15, 200.0)],
+        ["k", "t", "px"],
+    )
+    via_cogroup = {
+        (r.k, r.t): r.px
+        for r in cogrouped_asof(left, right, on="t", by=["k"], value_cols=["px"]).collect()
+    }
+    via_native = {
+        (r.k, r.t): r.px
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    assert via_cogroup == via_native
+    assert via_cogroup[(1, 10)] == 101.0 and via_cogroup[(3, 20)] is None
+
+
+def test_cogrouped_asof_requires_keys(spark):
+    import pytest as _pytest
+
+    from v3_polars_spark.ops import cogrouped_asof
+
+    df = spark.createDataFrame([(1, 1)], ["k", "t"])
+    with _pytest.raises(ValueError):
+        cogrouped_asof(df, df, on="t", by=[], value_cols=[])

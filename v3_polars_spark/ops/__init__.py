@@ -2,6 +2,7 @@
 lacks a literal primitive; stock DataFrame API everywhere else."""
 
 from .asof import asof_join, asof_lookup, asof_lookup_scalar
+from .cogroup import cogrouped_asof
 from .cohort import retention_matrix
 from .dedup import dedup_first, dedup_last
 from .diff import diff_tables
@@ -43,6 +44,7 @@ from .upsample import upsample
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "cogrouped_asof",
     "kll_quantile_check",
     "kll_rollup",
     "kll_sketches",
