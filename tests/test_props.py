@@ -548,3 +548,68 @@ def test_psi_matches_brute_force(spark, base, cur, n_bins):
         assert rows[b].psi_contrib == pytest.approx(
             (pc - pb) * math.log(pc / pb), abs=1e-12
         )
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 10_000)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_mad_outliers_matches_brute_force(spark, rows):
+    from v3_polars_spark.datapipe import mad_outliers
+
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)], ["g", "i", "x"]
+    )
+    got = {r.i: r for r in mad_outliers(df, "x", ["g"], z=3.5).collect()}
+
+    def median(vs):
+        vs = sorted(vs)
+        n = len(vs)
+        mid = n // 2
+        return float(vs[mid]) if n % 2 else (vs[mid - 1] + vs[mid]) / 2.0
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for i, (g, v) in enumerate(rows):
+        med = median(by_g[g])
+        mad = median([abs(x - med) for x in by_g[g]])
+        assert got[i].group_median == med and got[i].group_mad == mad
+        if mad > 0:
+            want = 0.6745 * (v - med) / mad
+            assert got[i].mad_z == pytest.approx(want, abs=1e-12)
+            assert got[i].is_outlier == (abs(want) > 3.5)
+        else:
+            assert got[i].mad_z is None and not got[i].is_outlier
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20), st.text("abc", min_size=1, max_size=3)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+    max_items=st.integers(1, 6),
+)
+def test_assemble_sequences_matches_brute_force(spark, rows, max_items):
+    from v3_polars_spark.datapipe import assemble_sequences
+
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        r.k: (r.sequence, r.n_items)
+        for r in assemble_sequences(
+            df, ["k"], ["ts"], "v", max_items=max_items
+        ).collect()
+    }
+    by_k = {}
+    for k, ts, v in rows:
+        by_k.setdefault(k, []).append((ts, v))
+    for k, items in by_k.items():
+        ordered = [v for _, v in sorted(items)][:max_items]
+        assert got[k] == (" ".join(ordered), len(ordered))
