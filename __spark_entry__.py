@@ -2106,6 +2106,37 @@ def q_theta_sets(spark, sf):
     )
 
 
+def q_dq_checks(spark, sf):
+    """Declarative data-validation suite (ops/validate.py — the dbt-tests
+    shape): null ceiling, key uniqueness, accepted status domain, price
+    range, and lineitem→orders referential integrity, compiled to a
+    handful of scans with 1-row outputs. A planted violation (the RI
+    check runs against orders with every 100th key removed) proves the
+    counts count."""
+    from v3_polars_spark.ops import (
+        check_accepted_values,
+        check_not_null,
+        check_range,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    parent = o.filter(F.col("o_orderkey") % 100 != 0)
+    return run_checks(
+        [
+            check_not_null(o, "o_orderdate"),
+            check_unique(o, ["o_orderkey"]),
+            check_unique(li, ["l_orderkey", "l_linenumber"]),
+            check_accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
+            check_range(o, "o_totalprice", 0.0, 1e9),
+            check_referential(li, "l_orderkey", parent, "o_orderkey"),
+        ]
+    )
+
+
 def _sql_query(template: str):
     """Build a driver query that runs `template` through the SQL surface:
     register the (cached) testdata frames as views once per (session,
@@ -2308,6 +2339,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_drift": embed_drift,
         "kll_quantile": q_kll_quantile,
         "theta_sets": q_theta_sets,
+        "dq_checks": q_dq_checks,
     }
 
 
@@ -4304,6 +4336,58 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, ' ' ORDER BY rn) AS sequence,
                    CAST(count(*) AS BIGINT) AS n_items
             FROM ordered WHERE rn <= 16 GROUP BY user_id
+        """,
+        "dq_checks": """
+            SELECT 'not_null:o_orderdate' AS rule,
+                   CAST(count(*) AS BIGINT) AS n_checked,
+                   CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END)
+                       AS BIGINT) AS n_violations,
+                   count(CASE WHEN o_orderdate IS NULL THEN 1 END) = 0
+                       AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'unique:o_orderkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+                   count(*) = count(DISTINCT o_orderkey)
+            FROM orders
+            UNION ALL
+            SELECT 'unique:l_orderkey,l_linenumber', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                       AS BIGINT),
+                   count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+            FROM lineitem
+            UNION ALL
+            SELECT 'accepted_values:o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                                    AND o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 END) AS BIGINT),
+                   count(CASE WHEN o_orderstatus IS NOT NULL
+                               AND o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'range:o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(count(CASE WHEN o_totalprice IS NOT NULL
+                                    AND (o_totalprice < 0.0
+                                         OR o_totalprice > 1e9)
+                              THEN 1 END) AS BIGINT),
+                   count(CASE WHEN o_totalprice IS NOT NULL
+                               AND (o_totalprice < 0.0 OR o_totalprice > 1e9)
+                         THEN 1 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'referential:l_orderkey', CAST(count(*) AS BIGINT),
+                   CAST(count(CASE WHEN l_orderkey IS NOT NULL
+                                    AND l_orderkey NOT IN (
+                                        SELECT o_orderkey FROM orders
+                                        WHERE o_orderkey % 100 <> 0)
+                              THEN 1 END) AS BIGINT),
+                   count(CASE WHEN l_orderkey IS NOT NULL
+                               AND l_orderkey NOT IN (
+                                   SELECT o_orderkey FROM orders
+                                   WHERE o_orderkey % 100 <> 0)
+                         THEN 1 END) = 0
+            FROM lineitem
         """,
         "kll_quantile": """
             WITH cents AS (

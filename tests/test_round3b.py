@@ -333,3 +333,62 @@ def test_cogrouped_asof_requires_keys(spark):
     df = spark.createDataFrame([(1, 1)], ["k", "t"])
     with _pytest.raises(ValueError):
         cogrouped_asof(df, df, on="t", by=[], value_cols=[])
+
+
+# ---------------------------------------------------------------------------
+# data validation (expectations)
+# ---------------------------------------------------------------------------
+
+
+def test_dq_checks_planted_violations(spark):
+    from v3_polars_spark.ops import (
+        check_accepted_values,
+        check_not_null,
+        check_range,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", -5.0), (2, "X", 20.0), (4, None, 999.0)],
+        ["id", "status", "amt"],
+    )
+    parent = spark.createDataFrame([(1,), (2,)], ["pid"])
+    report = {
+        r.rule: (r.n_checked, r.n_violations, r.passed)
+        for r in run_checks(
+            [
+                check_not_null(t, "status"),          # 1 NULL
+                check_unique(t, ["id"]),              # id=2 twice
+                check_accepted_values(t, "status", ["A", "B"]),  # 'X'
+                check_range(t, "amt", 0.0, 100.0),    # -5 and 999
+                check_referential(t, "id", parent, "pid"),  # id=4 orphan
+            ]
+        ).collect()
+    }
+    assert report["not_null:status"] == (4, 1, False)
+    assert report["unique:id"] == (4, 1, False)
+    assert report["accepted_values:status"] == (4, 1, False)
+    assert report["range:amt"] == (4, 2, False)
+    assert report["referential:id"] == (4, 1, False)
+
+
+def test_dq_checks_all_pass_and_null_key_semantics(spark):
+    from v3_polars_spark.ops import check_referential, check_unique, run_checks
+
+    t = spark.createDataFrame(
+        [(1, None), (2, None), (3, 1)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(1,), (2,)], ["pid"])
+    report = {
+        r.rule: r.passed
+        for r in run_checks(
+            [
+                check_unique(t, ["id"]),
+                # NULL child keys pass (SQL FK semantics)
+                check_referential(t, "fk", parent, "pid"),
+            ]
+        ).collect()
+    }
+    assert report == {"unique:id": True, "referential:fk": True}

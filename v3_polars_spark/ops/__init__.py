@@ -41,9 +41,23 @@ from .sketches import (
 from .skew import salted_join
 from .twa import time_weighted_avg
 from .upsample import upsample
+from .validate import (
+    check_accepted_values,
+    check_not_null,
+    check_range,
+    check_referential,
+    check_unique,
+    run_checks,
+)
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "check_accepted_values",
+    "check_not_null",
+    "check_range",
+    "check_referential",
+    "check_unique",
+    "run_checks",
     "cogrouped_asof",
     "kll_quantile_check",
     "kll_rollup",
