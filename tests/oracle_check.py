@@ -143,10 +143,20 @@ def main() -> int:
         else:
             print(f"✓ {name:<24} ({len(sdf)} rows)")
 
+    out = None
     if not only:
         out = os.path.join(REPO, "CORRECTNESS_SELF.json")
+    elif os.environ.get("SPARK_GRAFT_SELF_OUT"):
+        # subset runs can still commit a record (e.g. the sfbig
+        # cross-scale audit) by naming an explicit output path
+        out = os.environ["SPARK_GRAFT_SELF_OUT"]
+    if out:
         with open(out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_queries": len(qs), "results": record}, f, indent=1)
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(record), "results": record},
+                f,
+                indent=1,
+            )
         print(f"\nwrote {out}")
     print(f"\n{len(qs) - len(failed)}/{len(qs)} ok" if not only else "")
     return 1 if failed else 0
