@@ -154,3 +154,62 @@ def test_pyds_filter_pushdown(registered, spark, ref_examples):
         )
     )
     assert df.count() == direct.count() > 0
+
+
+def test_segment_sink_roundtrip_and_manifest_names(spark, tmp_path):
+    """The write half of the Python Data Source API: executor-staged
+    parquet published by the driver commit under the reference's ordered
+    manifest names — written rows read back exactly, no staging residue."""
+    from v3_polars_spark.sources.pyds import SegmentSinkDataSource
+
+    spark.dataSource.register(SegmentSinkDataSource)
+    df = spark.createDataFrame(
+        [(b, f"tx{b}", b * 1.5) for b in range(100, 160)],
+        ["block_number", "tx", "amount"],
+    ).repartition(3)
+    (
+        df.write.format("v3segments")
+        .option("path", str(tmp_path))
+        .option("table", "pool_swap_events")
+        .mode("append")
+        .save()
+    )
+    import os
+
+    table_dir = tmp_path / "pool_swap_events"
+    files = sorted(os.listdir(table_dir))
+    assert "_staging" not in files
+    # ordered-manifest names: {idx}_{min}_{max}_{table}.parquet
+    assert all(f.endswith("_pool_swap_events.parquet") for f in files)
+    idxs = [int(f.split("_", 1)[0]) for f in files]
+    assert idxs == list(range(len(files))) and 1 <= len(files) <= 3
+    back = spark.read.parquet(str(table_dir))
+    assert back.count() == 60
+    assert {r.block_number for r in back.select("block_number").collect()} == set(
+        range(100, 160)
+    )
+
+    # second append continues the index sequence
+    df.limit(10).coalesce(1).write.format("v3segments").option(
+        "path", str(tmp_path)
+    ).option("table", "pool_swap_events").mode("append").save()
+    files2 = sorted(os.listdir(table_dir))
+    assert len(files2) == len(files) + 1
+    assert max(int(f.split("_", 1)[0]) for f in files2) == len(files)
+
+
+def test_segment_sink_rejects_overwrite(spark, tmp_path):
+    from v3_polars_spark.sources.pyds import SegmentSinkDataSource
+
+    spark.dataSource.register(SegmentSinkDataSource)
+    df = spark.createDataFrame([(1, "a", 1.0)], ["block_number", "tx", "amount"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("v3segments")
+            .option("path", str(tmp_path))
+            .option("table", "t")
+            .mode("overwrite")
+            .save()
+        )

@@ -5,7 +5,7 @@ from .ingest import (
     update_table,
     update_tables,
 )
-from .pyds import WarehouseDataSource
+from .pyds import SegmentSinkDataSource, WarehouseDataSource
 from .warehouse import NFP_MANAGER, AlliumSource, BigQuerySource
 
 __all__ = [
@@ -19,5 +19,6 @@ __all__ = [
     "rows_to_dataframe",
     "update_table",
     "update_tables",
+    "SegmentSinkDataSource",
     "WarehouseDataSource",
 ]

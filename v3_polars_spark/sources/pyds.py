@@ -35,7 +35,15 @@ Providers:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..tables import SCHEMAS
 
@@ -167,3 +175,119 @@ class WarehouseReader(DataSourceReader):
             columns=[f.name for f in self.schema.fields], filter=filt
         )
         yield from tbl.to_batches()
+
+
+# ---------------------------------------------------------------------------
+# write half: segment sink with a two-phase atomic manifest commit
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedSegment(WriterCommitMessage):
+    staged_path: str
+    n_rows: int
+    min_block: int | None
+    max_block: int | None
+
+
+class SegmentSinkDataSource(DataSource):
+    """Spark 4 Python Data Source WRITER for the segment layout — the
+    distributed, transactional twin of ``tables.write_segment``:
+
+        df.write.format("v3segments") \\
+          .option("path", data_path).option("table", "pool_swap_events") \\
+          .mode("append").save()
+
+    Each task writes its partition to ``_staging/<uuid>.parquet`` and
+    returns a commit message; only the DRIVER's ``commit`` renames staged
+    files into the directory using the reference's ordered-manifest names
+    ``{idx}_{min_block}_{max_block}_{table}.parquet`` (reference
+    v3/helpers/data_update.py:51-59). Readers therefore never observe a
+    torn write: a failed job leaves only ``_staging`` garbage, which
+    ``abort`` removes — Spark's two-phase commit protocol carried through
+    the Python API. Paths must be shared storage on a real cluster (HDFS/
+    S3/NFS), exactly like every file-based Spark sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "v3segments"
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("v3segments is an append-only event log sink")
+        return SegmentWriter(schema, self.options)
+
+
+class SegmentWriter(DataSourceWriter):
+    def __init__(self, schema, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.table = options["table"]
+        self.block_col = options.get("block_col", "block_number")
+
+    def write(self, iterator) -> _StagedSegment:
+        """Runs on the EXECUTOR: buffer this partition (one ingest-sized
+        slice) to a staged parquet file via Arrow."""
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict() for r in iterator]
+        stage_dir = os.path.join(self.path, self.table, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        staged = os.path.join(stage_dir, f"{uuid.uuid4().hex}.parquet")
+        names = [f.name for f in self.schema.fields]
+        tbl = pa.Table.from_pydict(
+            {n: [r.get(n) for r in rows] for n in names}
+        )
+        pq.write_table(tbl, staged)
+        blocks = [r[self.block_col] for r in rows if r.get(self.block_col) is not None] if rows else []
+        return _StagedSegment(
+            staged_path=staged,
+            n_rows=len(rows),
+            min_block=min(blocks) if blocks else None,
+            max_block=max(blocks) if blocks else None,
+        )
+
+    def commit(self, messages) -> None:
+        """Runs on the DRIVER once every task succeeded: publish staged
+        files under ordered-manifest names, continuing the existing
+        index sequence; drop empty segments; clear staging."""
+        import os
+        import shutil
+
+        table_dir = os.path.join(self.path, self.table)
+        existing = [
+            f for f in os.listdir(table_dir)
+            if f.endswith(".parquet") and "_" in f
+        ] if os.path.isdir(table_dir) else []
+        next_idx = (
+            max((int(f.split("_", 1)[0]) for f in existing if f.split("_", 1)[0].isdigit()), default=-1)
+            + 1
+        )
+        for m in sorted(messages, key=lambda m: (m.min_block or 0, m.staged_path)):
+            if m.n_rows == 0:
+                os.remove(m.staged_path)
+                continue
+            final = os.path.join(
+                table_dir,
+                f"{next_idx}_{m.min_block}_{m.max_block}_{self.table}.parquet",
+            )
+            os.rename(m.staged_path, final)
+            next_idx += 1
+        shutil.rmtree(os.path.join(table_dir, "_staging"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        """Failed job: remove staged files; the published directory is
+        untouched."""
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+        shutil.rmtree(
+            os.path.join(self.path, self.table, "_staging"), ignore_errors=True
+        )
