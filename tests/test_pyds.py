@@ -213,3 +213,62 @@ def test_segment_sink_rejects_overwrite(spark, tmp_path):
             .mode("overwrite")
             .save()
         )
+
+
+def test_stream_reader_incremental_exactly_once(spark, ref_examples, tmp_path):
+    """The streaming source lands each block exactly once across
+    checkpointed AvailableNow drains: first drain sees the initial
+    segment, the second (same checkpoint) sees ONLY blocks appended
+    in between."""
+    import uuid
+
+    from v3_polars_spark.sources.pyds import WarehouseDataSource
+
+    spark.dataSource.register(WarehouseDataSource)
+    full = spark.read.parquet(f"{ref_examples}/pool_swap_events")
+    blocks = sorted(
+        r.block_number
+        for r in full.select("block_number").distinct().collect()
+    )
+    cut = blocks[len(blocks) // 2]
+    src = str(tmp_path / "wh")
+    table_dir = f"{src}/pool_swap_events"
+    full.filter(f"block_number <= {cut}").write.mode("append").parquet(table_dir)
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "landed")
+
+    def drain():
+        stream = (
+            spark.readStream.format("v3warehouse")
+            .option("provider", "local")
+            .option("path", src)
+            .option("table", "pool_swap_events")
+            .option("chain", "ethereum")
+            .option("rows_per_partition", "5000")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+
+    drain()
+    got1 = spark.read.parquet(sink).count()
+    want1 = full.filter(f"block_number <= {cut}").count()
+    assert got1 == want1
+
+    # append the rest; a fresh drain on the SAME checkpoint lands only
+    # the new blocks — total is exactly-once
+    full.filter(f"block_number > {cut}").write.mode("append").parquet(table_dir)
+    drain()
+    landed = spark.read.parquet(sink)
+    assert landed.count() == full.count()
+    assert landed.select("block_number").distinct().count() == len(blocks)

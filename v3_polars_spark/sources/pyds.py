@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -71,6 +72,9 @@ class WarehouseDataSource(DataSource):
 
     def reader(self, schema) -> "WarehouseReader":
         return WarehouseReader(schema, dict(self.options))
+
+    def streamReader(self, schema) -> "WarehouseStreamReader":
+        return WarehouseStreamReader(schema, dict(self.options))
 
 
 class WarehouseReader(DataSourceReader):
@@ -174,7 +178,17 @@ class WarehouseReader(DataSourceReader):
         tbl = dataset.to_table(
             columns=[f.name for f in self.schema.fields], filter=filt
         )
-        yield from tbl.to_batches()
+        import pyarrow as pa
+
+        # Spark's Arrow bridge takes microsecond timestamps only; pyarrow
+        # surfaces INT96/ns-precision parquet as ns — normalize.
+        fields = [
+            pa.field(f.name, pa.timestamp("us", f.type.tz), f.nullable)
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in tbl.schema
+        ]
+        yield from tbl.cast(pa.schema(fields)).to_batches()
 
 
 # ---------------------------------------------------------------------------
@@ -291,3 +305,67 @@ class SegmentWriter(DataSourceWriter):
         shutil.rmtree(
             os.path.join(self.path, self.table, "_staging"), ignore_errors=True
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming half: the reference's polling loop as a real streaming source
+# ---------------------------------------------------------------------------
+
+
+class WarehouseStreamReader(DataSourceStreamReader):
+    """Streaming twin of ``WarehouseReader`` — the reference's
+    resume-from-max-landed-block polling loop (reference
+    v3/helpers/data_update.py:191-292) as a first-class Structured
+    Streaming source:
+
+        spark.readStream.format("v3warehouse").options(...).load()
+
+    Offsets are landed-block watermarks ``{"block": b}``: each micro-batch
+    covers blocks ``(last_committed, latest]``, planned into the same
+    ~rows_per_partition block slices as the batch reader and pulled by
+    executors in parallel. Checkpoint restart resumes from the committed
+    watermark — exactly-once landing with zero bookkeeping code, the part
+    of the reference loop (findSegment + max-landed probe) Structured
+    Streaming provides natively."""
+
+    def __init__(self, schema, options: dict):
+        self._delegate = WarehouseReader(schema, options)
+        self._start = int(options.get("start_block", "-1"))
+
+    def initialOffset(self) -> dict:
+        return {"block": self._start}
+
+    def latestOffset(self) -> dict:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        d = self._delegate
+        try:
+            dataset = ds.dataset(
+                f"{d.options['path']}/{d.table}", format="parquet"
+            )
+            tbl = dataset.to_table(
+                columns=["block_number"],
+                filter=pc.field("chain_name") == d.chain,
+            )
+            import pyarrow.compute as pc2
+
+            mx = pc2.max(tbl.column("block_number")).as_py()
+        except (FileNotFoundError, OSError):
+            mx = None
+        return {"block": self._start if mx is None else max(self._start, int(mx))}
+
+    def partitions(self, start: dict, end: dict):
+        if end["block"] <= start["block"]:
+            return [BlockSlice(0, -1)]
+        d = self._delegate
+        d.min_block = start["block"] + 1
+        d.max_block = end["block"]
+        return d.partitions()
+
+    def read(self, partition: BlockSlice):
+        yield from self._delegate.read(partition)
+
+    def commit(self, end: dict) -> None:
+        # landing is idempotent per block range; nothing to clean up
+        pass
