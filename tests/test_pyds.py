@@ -272,3 +272,52 @@ def test_stream_reader_incremental_exactly_once(spark, ref_examples, tmp_path):
     landed = spark.read.parquet(sink)
     assert landed.count() == full.count()
     assert landed.select("block_number").distinct().count() == len(blocks)
+
+
+def test_stream_to_segment_sink_end_to_end(spark, ref_examples, tmp_path):
+    """The reference's whole ingest loop as ONE streaming pipeline over
+    custom sources: readStream v3warehouse -> writeStream v3segments.
+    Landed segments carry ordered manifest names and exactly the source
+    rows."""
+    from v3_polars_spark.sources.pyds import (
+        SegmentSinkDataSource,
+        WarehouseDataSource,
+    )
+
+    spark.dataSource.register(WarehouseDataSource)
+    spark.dataSource.register(SegmentSinkDataSource)
+
+    src = str(tmp_path / "wh")
+    out = str(tmp_path / "landed")
+    full = spark.read.parquet(f"{ref_examples}/pool_swap_events")
+    full.write.mode("append").parquet(f"{src}/pool_swap_events")
+
+    stream = (
+        spark.readStream.format("v3warehouse")
+        .option("provider", "local")
+        .option("path", src)
+        .option("table", "pool_swap_events")
+        .option("chain", "ethereum")
+        .option("rows_per_partition", "4000")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("v3segments")
+        .option("path", out)
+        .option("table", "pool_swap_events")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+
+    import os
+
+    files = sorted(os.listdir(f"{out}/pool_swap_events"))
+    assert files and all(f.endswith("_pool_swap_events.parquet") for f in files)
+    landed = spark.read.parquet(f"{out}/pool_swap_events")
+    assert landed.count() == full.count()
+    assert landed.select("transaction_hash").distinct().count() == \
+        full.select("transaction_hash").distinct().count()

@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -231,6 +232,11 @@ class SegmentSinkDataSource(DataSource):
             raise ValueError("v3segments is an append-only event log sink")
         return SegmentWriter(schema, self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("v3segments is an append-only event log sink")
+        return SegmentStreamWriter(schema, self.options)
+
 
 class SegmentWriter(DataSourceWriter):
     def __init__(self, schema, options: dict):
@@ -369,3 +375,31 @@ class WarehouseStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # landing is idempotent per block range; nothing to clean up
         pass
+
+
+class SegmentStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``SegmentWriter``: every micro-batch publishes
+    atomically through the same stage-then-rename protocol, so the
+    landed directory only ever contains whole micro-batches. With the
+    streaming reader this closes the loop — the reference's entire
+    ingest pipeline as one line:
+
+        spark.readStream.format("v3warehouse").options(...).load() \\
+          .writeStream.format("v3segments").options(...) \\
+          .trigger(availableNow=True).start()
+
+    Replayed batches (failure before the checkpoint commit) re-stage and
+    re-publish under fresh names; consumers needing exactly-once reads
+    dedup on the event key, the standard file-sink contract."""
+
+    def __init__(self, schema, options: dict):
+        self._delegate = SegmentWriter(schema, options)
+
+    def write(self, iterator) -> _StagedSegment:
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._delegate.commit([m for m in messages if m is not None])
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort([m for m in messages if m is not None])
