@@ -2165,6 +2165,21 @@ def q_dq_checks(spark, sf):
     )
 
 
+def dp_dedup_best(spark, sf):
+    """Keep-BEST near-dedup (datapipe/dedup.dedup_near_best): the
+    dp_dedup_near cluster pipeline, but each duplicate cluster keeps its
+    longest document (score = n_chars, ties to the lower id) — the
+    production contract: keep the cleanest crawl, not the first-seen.
+    The oracle replays clustering with the recursive CTE and arg-maxes
+    per component."""
+    from v3_polars_spark.datapipe import dedup_near_best
+
+    d = _t(spark, sf, "documents")
+    out = dedup_near_best(d, "n_chars", n=3, num_hashes=16, bands=4,
+                          verify_threshold=0.05)
+    return out.select("doc_id", "n_chars")
+
+
 def _sql_query(template: str):
     """Build a driver query that runs `template` through the SQL surface:
     register the (cached) testdata frames as views once per (session,
@@ -2368,6 +2383,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile": q_kll_quantile,
         "theta_sets": q_theta_sets,
         "dq_checks": q_dq_checks,
+        "dp_dedup_best": dp_dedup_best,
     }
 
 
@@ -3624,6 +3640,39 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY d.doc_id
             )
             SELECT doc_id, rep FROM labels
+        """,
+        "dp_dedup_best": f"""
+            WITH RECURSIVE p AS (
+                SELECT id_a, id_b FROM ({_minhash_sql()})
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM p
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+            ),
+            labels AS (
+                SELECT d.doc_id,
+                       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS rep
+                FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+                GROUP BY d.doc_id
+            ),
+            keep AS (
+                SELECT doc_id FROM (
+                    SELECT l.doc_id,
+                           row_number() OVER (
+                               PARTITION BY l.rep
+                               ORDER BY d.n_chars DESC, l.doc_id ASC
+                           ) AS rk
+                    FROM labels l JOIN documents d USING (doc_id)
+                ) WHERE rk = 1
+            )
+            SELECT d.doc_id, d.n_chars
+            FROM documents d JOIN keep USING (doc_id)
         """,
         "dp_embed_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

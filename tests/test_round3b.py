@@ -392,3 +392,40 @@ def test_dq_checks_all_pass_and_null_key_semantics(spark):
         ).collect()
     }
     assert report == {"unique:id": True, "referential:fk": True}
+
+
+# ---------------------------------------------------------------------------
+# keep-best near-dedup and best-match fuzzy resolution
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_near_best_keeps_highest_score(spark):
+    from v3_polars_spark.datapipe import dedup_near, dedup_near_best
+
+    # two near-dup clusters (identical text => certain duplicates) plus a
+    # singleton; scores favor NON-minimal ids
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", 10),
+        (2, "the quick brown fox jumps over the lazy dog", 99),
+        (3, "entirely different text about spark engines at scale", 5),
+        (4, "pack my box with five dozen liquor jugs tonight", 50),
+        (5, "pack my box with five dozen liquor jugs tonight", 50),  # tie
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    best = {r.doc_id for r in dedup_near_best(df, "score").collect()}
+    assert best == {2, 3, 4}  # highest score wins; score tie -> lower id
+    first = {r.doc_id for r in dedup_near(df).collect()}
+    assert first == {1, 3, 4}  # contrast: keep-min-id
+
+
+def test_fuzzy_match_best_single_deterministic_match(spark):
+    from v3_polars_spark.ops import fuzzy_match_best
+
+    left = spark.createDataFrame([("blue bolt",)], ["a"])
+    right = spark.createDataFrame(
+        [("blu3 bolt",), ("blue bolts",), ("blae bolt",)], ["b"]
+    )
+    got = fuzzy_match_best(left, right, "a", "b", max_dist=2).collect()
+    assert len(got) == 1
+    # all three are distance 1; tie broken by right string ascending
+    assert got[0].b == "blae bolt" and got[0].distance == 1

@@ -602,3 +602,34 @@ def dedup_near(
     comp = connected_components(pairs, df.select(id_col), id_col)
     keep = comp.filter(F.col(id_col) == F.col("rep")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def dedup_near_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Keep-BEST near-duplicate dedup: same candidate/verify/cluster
+    pipeline as :func:`dedup_near`, but each duplicate cluster keeps its
+    highest-``score_col`` document (ties to the lower id — deterministic)
+    instead of the lowest id. This is what production corpus dedup does:
+    among near-identical crawls keep the cleanest/longest one, not the
+    first-seen one. One extra hash aggregate (max_by per component) on
+    the components frame — nothing data-sized beyond dedup_near."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, verify_threshold
+    )
+    comp = connected_components(pairs, df.select(id_col), id_col)
+    scored = comp.join(df.select(id_col, score_col), id_col)
+    winners = scored.groupBy("rep").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+        ).alias("__keep")
+    )
+    keep = winners.select(F.col("__keep").alias(id_col))
+    return df.join(keep, id_col, "left_semi")

@@ -9,7 +9,7 @@ from .diff import diff_tables
 from .drift import bin_counts, psi_drift, psi_from_counts
 from .ewma import ewma
 from .funnel import funnel
-from .fuzzy import fuzzy_join_blocked, skeleton_key
+from .fuzzy import fuzzy_join_blocked, fuzzy_match_best, skeleton_key
 from .merge import merge_upsert
 from .misc import (
     is_empty,
@@ -52,6 +52,7 @@ from .validate import (
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "fuzzy_match_best",
     "check_accepted_values",
     "check_not_null",
     "check_range",
