@@ -545,3 +545,35 @@ def test_streaming_psi_counts_match_batch(spark, tmp_path):
     s = {r.bin: r.psi_contrib for r in via_state.collect()}
     r = {r.bin: r.psi_contrib for r in via_raw.collect()}
     assert s == r
+
+
+def test_streaming_kll_state_quantiles(spark, tmp_path):
+    """Streamed per-batch KLL sketches merge to global quantiles: n is
+    exact across drains, and every estimate's true rank is within the
+    sketch tolerance of its target."""
+    from v3_polars_spark.streaming import read_kll_quantiles, streaming_kll_state
+
+    src = str(tmp_path / "vals")
+    state = str(tmp_path / "kll")
+    ckpt = str(tmp_path / "ckpt")
+    seg1 = spark.createDataFrame([(i,) for i in range(1000)], ["v"])
+    seg1.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        streaming_kll_state(stream, "v", state, ckpt)
+
+    drain()
+    # second segment shifts the distribution; resumed drain adds it
+    spark.createDataFrame([(i,) for i in range(1000, 3000)], ["v"]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+
+    got = {r.p: r for r in read_kll_quantiles(spark, state, [0.25, 0.5, 0.9]).collect()}
+    assert all(r.n == 3000 for r in got.values())
+    all_vals = list(range(3000))
+    for p, r in got.items():
+        true_rank = sum(1 for v in all_vals if v <= r.approx_value) / 3000
+        assert abs(true_rank - p) <= 0.03, (p, r.approx_value, true_rank)

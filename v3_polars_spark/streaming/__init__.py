@@ -5,11 +5,18 @@ from .ingest_stream import (
     streaming_resample,
     streaming_sessionize,
 )
-from .quality_stream import read_bin_counts, streaming_bin_counts
+from .quality_stream import (
+    read_bin_counts,
+    read_kll_quantiles,
+    streaming_bin_counts,
+    streaming_kll_state,
+)
 from .stateful import streaming_liquidity_deltas
 from .upsert_stream import streaming_snapshot_upsert
 
 __all__ = [
+    "read_kll_quantiles",
+    "streaming_kll_state",
     "read_bin_counts",
     "streaming_bin_counts",
     "streaming_snapshot_upsert",

@@ -66,3 +66,49 @@ def read_bin_counts(spark: SparkSession, state_path: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def streaming_kll_state(
+    stream_df: DataFrame,
+    col: str,
+    state_path: str,
+    checkpoint_path: str,
+    k: int = 200,
+    timeout_sec: int = 300,
+) -> None:
+    """Quantile twin of :func:`streaming_bin_counts`: drain the stream
+    (Trigger.AvailableNow), appending ONE mergeable KLL sketch row
+    ``(kll, batch_id)`` per micro-batch to ``state_path``. KLL merge is
+    associative, so any-grain quantiles come from the state table alone
+    (``read_kll_quantiles``) — the raw stream is read once, ever, and
+    the state grows one ~O(k log n)-byte row per batch."""
+    from ..ops.sketches import kll_sketches
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        (
+            kll_sketches(df, col, [], k=k)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def read_kll_quantiles(
+    spark: SparkSession, state_path: str, probs: list[float]
+) -> DataFrame:
+    """Merge the streamed sketch state and extract quantiles:
+    ``(p, approx_value, n)`` — ``n`` is exact (KLL tracks it exactly),
+    values carry the sketch's rank-error bound."""
+    from ..ops.sketches import kll_rollup
+
+    return kll_rollup(spark.read.parquet(state_path), [], probs=probs)
