@@ -613,3 +613,103 @@ def test_assemble_sequences_matches_brute_force(spark, rows, max_items):
     for k, items in by_k.items():
         ordered = [v for _, v in sorted(items)][:max_items]
         assert got[k] == (" ".join(ordered), len(ordered))
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 30)),
+        min_size=1, max_size=20, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 30), st.integers(-99, 99)),
+        min_size=1, max_size=20, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_cogrouped_asof_matches_native_on_random_inputs(spark, left, right):
+    from v3_polars_spark.ops import asof_join, cogrouped_asof
+
+    ldf = spark.createDataFrame(left, ["k", "t"])
+    rdf = spark.createDataFrame(right, ["k", "t", "v"])
+    a = {
+        (r.k, r.t): r.v
+        for r in cogrouped_asof(ldf, rdf, on="t", by=["k"], value_cols=["v"]).collect()
+    }
+    b = {(r.k, r.t): r.v for r in asof_join(ldf, rdf, on="t", by=["k"]).collect()}
+    assert a == b
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),
+            st.one_of(st.none(), st.integers(-5, 105)),
+        ),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    )
+)
+def test_validate_counts_match_brute_force(spark, rows):
+    from v3_polars_spark.ops import (
+        check_accepted_values,
+        check_not_null,
+        check_range,
+        check_unique,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(rows, "id int, status string, amt int")
+    rep = {
+        r.rule: (r.n_checked, r.n_violations)
+        for r in run_checks(
+            [
+                check_not_null(df, "status"),
+                check_unique(df, ["id"]),
+                check_accepted_values(df, "status", ["A", "B"]),
+                check_range(df, "amt", 0, 100),
+            ]
+        ).collect()
+    }
+    n = len(rows)
+    assert rep["not_null:status"] == (n, sum(1 for _, s, _ in rows if s is None))
+    assert rep["unique:id"] == (n, 0)  # ids unique by construction
+    assert rep["accepted_values:status"] == (
+        n, sum(1 for _, s, _ in rows if s is not None and s not in ("A", "B"))
+    )
+    assert rep["range:amt"] == (
+        n, sum(1 for _, _, a in rows if a is not None and not (0 <= a <= 100))
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.lists(st.tuples(st.integers(0, 4), st.integers(1, 50)),
+                  min_size=1, max_size=12),
+    cur=st.lists(st.tuples(st.integers(0, 4), st.integers(1, 50)),
+                 min_size=1, max_size=12),
+)
+def test_psi_from_counts_sums_duplicate_bins(spark, base, cur):
+    """psi_from_counts must treat pre-aggregated per-segment counts with
+    DUPLICATE bin rows as additive — equal to the collapsed counts."""
+    import math
+
+    from v3_polars_spark.ops import psi_from_counts
+
+    bdf = spark.createDataFrame(base, ["bin", "n"])
+    cdf = spark.createDataFrame(cur, ["bin", "n"])
+    got = {r.bin: r.psi_contrib
+           for r in psi_from_counts(bdf, cdf, 0.0, 5.0, 5).collect()}
+
+    def collapse(rows):
+        out = {}
+        for b, v in rows:
+            out[b] = out.get(b, 0) + v
+        return out
+
+    cb, cc = collapse(base), collapse(cur)
+    tb, tc = sum(cb.values()), sum(cc.values())
+    for b in range(5):
+        pb = max(cb.get(b, 0) / tb, 1e-6)
+        pc = max(cc.get(b, 0) / tc, 1e-6)
+        assert got[b] == pytest.approx((pc - pb) * math.log(pc / pb), abs=1e-12)
