@@ -629,7 +629,10 @@ def q_series_pipeline(spark, sf):
     from v3_polars_spark.ops import dedup_last, resample
 
     e = _t(spark, sf, "events")
-    df = e.select("ts", "event_id").distinct()
+    # The reference pipeline runs .unique() here (pool_helpers.py:143), but
+    # dedup-last(max event_id per ts) subsumes duplicate removal — keeping
+    # the distinct() would add a third exchange Catalyst can't eliminate.
+    df = e.select("ts", "event_id")
     df = dedup_last(df, keys=["ts"], order=["event_id"])
     out = resample(df, "ts", "6h", [F.max("event_id").alias("max_event_id")])
     return out.select(_ts_str("bucket_ts", "bucket_str"), "max_event_id")
@@ -1015,8 +1018,12 @@ def dp_pack(spark, sf):
     d = _t(spark, sf, "documents")
     out = pack_offsets(d, "n_chars", ["doc_id"], max_len=4096, by=["source"])
     return out.select(
-        "doc_id", "source", "start_offset", "end_offset",
-        "first_seq", "last_seq", "offset_in_seq",
+        "doc_id", "source",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("end_offset").cast("long").alias("end_offset"),
+        F.col("first_seq").cast("long").alias("first_seq"),
+        F.col("last_seq").cast("long").alias("last_seq"),
+        F.col("offset_in_seq").cast("long").alias("offset_in_seq"),
     )
 
 
@@ -2119,11 +2126,22 @@ def q_theta_sets(spark, sf):
     )
     tol = 4.0 / (2.0**12) ** 0.5
     est = est.select(*[F.col(c).alias(f"__e_{c}") for c in est.columns])
+    # DataSketches error model: intersection/difference error scales with
+    # the UNION size, not the result size — a small overlap can legally
+    # miss a result-relative bound while the sketch behaves nominally, so
+    # bound those absolutely by tol * n_union.
+    union_b = F.greatest(F.col("n_union"), F.lit(1))
+    bounds = {
+        "n_a": F.greatest(F.col("n_a"), F.lit(1)),
+        "n_b": F.greatest(F.col("n_b"), F.lit(1)),
+        "n_union": union_b,
+        "n_intersect": union_b,
+        "n_a_only": union_b,
+    }
     ok = reduce(
         lambda a, b: a & b,
         [
-            F.abs(F.col(f"__e_{c}") - F.col(c))
-            <= F.lit(tol) * F.greatest(F.col(c), F.lit(1))
+            F.abs(F.col(f"__e_{c}") - F.col(c)) <= F.lit(tol) * bounds[c]
             for c in ["n_a", "n_b", "n_union", "n_intersect", "n_a_only"]
         ],
     )
@@ -3745,8 +3763,9 @@ def oracle_sql() -> dict[str, str]:
                                 0) AS start_offset
                 FROM documents
             )
-            SELECT doc_id, source, start_offset,
-                   start_offset + n_chars AS end_offset,
+            SELECT doc_id, source,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset + n_chars AS BIGINT) AS end_offset,
                    CAST(floor(CAST(start_offset AS DOUBLE) / 4096) AS BIGINT)
                      AS first_seq,
                    CASE WHEN n_chars > 0
@@ -3754,9 +3773,9 @@ def oracle_sql() -> dict[str, str]:
                                         / 4096) AS BIGINT)
                         ELSE CAST(floor(CAST(start_offset AS DOUBLE) / 4096)
                                   AS BIGINT) END AS last_seq,
-                   start_offset
+                   CAST(start_offset
                      - CAST(floor(CAST(start_offset AS DOUBLE) / 4096) AS BIGINT)
-                       * 4096 AS offset_in_seq
+                       * 4096 AS BIGINT) AS offset_in_seq
             FROM w
         """,
         "dp_sample_stratified": """

@@ -476,16 +476,24 @@ def hamming_near_pairs(
     agree on at least one whole chunk), with candidate generation a plain
     bucketed equi-join, never all-pairs."""
     # pigeonhole guarantee (every qualifying pair shares a chunk) only
-    # holds for max_hamming < prefix_bands; beyond that the banding is an
-    # approximate prefilter — make the recall contract explicit
+    # holds for max_hamming < prefix_bands; auto-widen the banding so the
+    # exact-recall contract always holds instead of silently degrading.
+    # Valid band counts are the power-of-two divisors of 64.
+    if max_hamming > 63:
+        raise ValueError("max_hamming must be <= 63 for 64-bit signatures")
     if max_hamming >= prefix_bands:
+        widened = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
         import warnings
 
         warnings.warn(
-            "hamming_near_pairs: max_hamming >= prefix_bands — banded "
-            "prefilter no longer guarantees full recall",
+            f"hamming_near_pairs: prefix_bands={prefix_bands} <= "
+            f"max_hamming={max_hamming} cannot guarantee full recall; "
+            f"auto-widened to prefix_bands={widened}",
             stacklevel=2,
         )
+        prefix_bands = widened
+    if 64 % prefix_bands:
+        raise ValueError("prefix_bands must divide 64")
     chunk_bits = 64 // prefix_bands
     # posexplode (see minhash_lsh_pairs): one pass over sig, not a
     # prefix_bands-way union re-executing the signature subtree.

@@ -61,12 +61,15 @@ def scd2_history(
     )
     versions = df.withColumn("__open", changed).filter(F.col("__open"))
     extra = [c for c in order if c not in keys and c not in attrs and c != ts_col]
+    # ts_col is renamed to valid_from by the select below, so it must not
+    # appear in the interval-close ordering (valid_from already encodes it)
+    close_order = [c for c in order if c != ts_col]
     return (
         versions.select(*keys, *attrs, F.col(ts_col).alias("valid_from"), *extra)
         .withColumn(
             "valid_to",
             F.lead("valid_from").over(
-                Window.partitionBy(*keys).orderBy("valid_from", *order)
+                Window.partitionBy(*keys).orderBy("valid_from", *close_order)
             ),
         )
         .withColumn("is_current", F.col("valid_to").isNull())

@@ -259,8 +259,15 @@ class SegmentWriter(DataSourceWriter):
         os.makedirs(stage_dir, exist_ok=True)
         staged = os.path.join(stage_dir, f"{uuid.uuid4().hex}.parquet")
         names = [f.name for f in self.schema.fields]
+        # Pin the declared Spark schema on every staged file: without it
+        # Arrow infers types per partition (an all-None nullable column
+        # infers null-typed; decimals/timestamps can drift), producing
+        # mixed-schema segments one dataset read may fail to unify.
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         tbl = pa.Table.from_pydict(
-            {n: [r.get(n) for r in rows] for n in names}
+            {n: [r.get(n) for r in rows] for n in names},
+            schema=to_arrow_schema(self.schema),
         )
         pq.write_table(tbl, staged)
         blocks = [r[self.block_col] for r in rows if r.get(self.block_col) is not None] if rows else []

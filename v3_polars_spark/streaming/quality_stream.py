@@ -4,10 +4,12 @@ Continuous ingest wants continuous drift detection: "has today's crawl
 shifted against the accepted baseline?" asked without ever re-reading
 the raw corpus. The state needed is tiny and additive — equal-width bin
 counts on the same fixed edges as ``ops.drift`` — so the streaming shape
-is foreachBatch appending per-micro-batch COUNT DELTAS to a bounded
-parquet state table (append is atomic per batch and replays
-idempotently under the checkpoint because Structured Streaming re-runs a
-failed batch with the same batch_id, replacing its files). Readers sum
+is foreachBatch writing per-micro-batch COUNT DELTAS to a bounded
+parquet state table partitioned by ``batch_id``, with dynamic partition
+overwrite: Structured Streaming re-runs a failed batch with the SAME
+batch_id, and overwriting exactly the ``batch_id=N`` partition makes
+the replay idempotent (a plain append would land a second copy of the
+batch and silently double-count every downstream sum). Readers sum
 deltas per bin; ``ops.drift.psi_from_counts`` turns any two such states
 (or a state vs a batch baseline) into the PSI decomposition.
 
@@ -34,8 +36,9 @@ def streaming_bin_counts(
     checkpoint_path: str,
     timeout_sec: int = 300,
 ) -> None:
-    """Drain the stream (Trigger.AvailableNow), appending each
-    micro-batch's ``(bin, n, batch_id)`` count deltas to ``state_path``.
+    """Drain the stream (Trigger.AvailableNow), writing each
+    micro-batch's ``(bin, n)`` count deltas to the ``batch_id=N``
+    partition of ``state_path`` (dynamic overwrite: replay-idempotent).
     Re-running with the same checkpoint processes only new segments —
     the incremental-monitor twin of the ingest loop."""
 
@@ -43,7 +46,9 @@ def streaming_bin_counts(
         (
             bin_counts(df, col, lo, hi, n_bins)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(state_path)
         )
 
@@ -77,8 +82,9 @@ def streaming_kll_state(
     timeout_sec: int = 300,
 ) -> None:
     """Quantile twin of :func:`streaming_bin_counts`: drain the stream
-    (Trigger.AvailableNow), appending ONE mergeable KLL sketch row
-    ``(kll, batch_id)`` per micro-batch to ``state_path``. KLL merge is
+    (Trigger.AvailableNow), writing ONE mergeable KLL sketch row per
+    micro-batch to the ``batch_id=N`` partition of ``state_path``
+    (dynamic overwrite: replay-idempotent). KLL merge is
     associative, so any-grain quantiles come from the state table alone
     (``read_kll_quantiles``) — the raw stream is read once, ever, and
     the state grows one ~O(k log n)-byte row per batch."""
@@ -88,7 +94,9 @@ def streaming_kll_state(
         (
             kll_sketches(df, col, [], k=k)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(state_path)
         )
 

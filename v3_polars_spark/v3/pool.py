@@ -24,6 +24,13 @@ from .series import price_series as _price_series
 from .swap import InRangeValues, in_range_values, quote_ladder, swap_frame, swap_in
 
 
+class UninitializedPoolError(AssertionError):
+    """Raised by point-in-time getters when ``revert_on_uninitialized`` is
+    set and the pool has no state at ``as_of`` (reference state.py:226,241
+    uses a bare assert; subclassing AssertionError keeps except-clauses
+    written against the reference's behavior working)."""
+
+
 class Pool:
     MAX_TICK = sm.MAX_TICK
     Q96 = sm.Q96
@@ -102,12 +109,22 @@ class Pool:
     def get_property_at(self, as_of: float, column: str):
         return asof_lookup_scalar(self.swaps, "as_of", float(as_of), column)
 
-    def get_tick_at(self, as_of: float) -> int | None:
+    def get_tick_at(
+        self, as_of: float, revert_on_uninitialized: bool = False
+    ) -> int | None:
+        """reference state.py:216-229: None (or raise) before the first swap."""
         v = self.get_property_at(as_of, "tick")
+        if v is None and revert_on_uninitialized:
+            raise UninitializedPoolError("Tick is not initialized")
         return int(v) if v is not None else None
 
-    def get_price_at(self, as_of: float) -> int | None:
+    def get_price_at(
+        self, as_of: float, revert_on_uninitialized: bool = False
+    ) -> int | None:
+        """reference state.py:231-244: None (or raise) before the first swap."""
         v = self.get_property_at(as_of, "sqrtPriceX96")
+        if v is None and revert_on_uninitialized:
+            raise UninitializedPoolError("Price is not initialized")
         return int(v) if v is not None else None
 
     # liquidity + swap precompute ------------------------------------------
