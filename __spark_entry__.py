@@ -1979,8 +1979,9 @@ def q_fuzzy_join(spark, sf):
 
 def mm_phash_neardup(spark, sf):
     """Multimodal near-duplicate detection end-to-end: binary payloads →
-    64-bit perceptual hash (Arrow-batched mapInPandas stub kernel, real
-    DCT pHash is the fake=False integration point) → banded Hamming
+    64-bit perceptual hash (Arrow-batched mapInPandas; fake=True SQL-replayable
+    kernel here so the oracle can brute-force it — the real DCT pHash path
+    is driver-proven by mm_real_codec) → banded Hamming
     self-join (datapipe.hamming_near_pairs — the SimHash machinery reused
     unchanged on media). Planted near-dup pairs sweep distances 0..4, so
     the <=3 threshold keeps some and drops some; the oracle regenerates
@@ -1998,6 +1999,58 @@ def mm_phash_neardup(spark, sf):
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def mm_real_codec(spark, sf):
+    """REAL media codecs driver-proven (datapipe/codecs.py: pure-numpy
+    baseline JPEG + PNG + DCT pHash; no fake kernels anywhere in this
+    plan): 8 deterministic synthetic images, each landed twice — JPEG
+    q90 (lossy) and PNG (lossless) — then decoded back by the real
+    decoders inside Arrow-batched mapInPandas. Emits per-image-pair
+    engine-independent invariants the oracle pins as literal TRUE:
+    thumbnail features of the JPEG vs PNG twin agree within 0.05 (JPEG
+    q90 is visually lossless at 4x4 luma granularity) and the real
+    perceptual hashes of the twins are within Hamming distance 3."""
+    from v3_polars_spark.datapipe import (
+        decode_image_features,
+        make_real_media,
+        perceptual_hash,
+    )
+
+    media = make_real_media(spark, n=24, seed=7)
+    imgs = media.filter(F.col("kind") == "image")
+    feats = decode_image_features(imgs, dim=16).select(
+        (F.col("media_id") / 3).cast("long").alias("group_id"),
+        (F.col("media_id") % 3).alias("r"),
+        "feature",
+    )
+    a = feats.filter(F.col("r") == 0).select("group_id", F.col("feature").alias("fa"))
+    b = feats.filter(F.col("r") == 1).select("group_id", F.col("feature").alias("fb"))
+    feat_pairs = a.join(b, "group_id").select(
+        "group_id",
+        (
+            F.aggregate(
+                F.zip_with("fa", "fb", lambda x, y: F.abs(x - y)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            < 0.05
+        ).alias("feat_close"),
+    )
+    ph = perceptual_hash(imgs).select(
+        (F.col("media_id") / 3).cast("long").alias("group_id"),
+        (F.col("media_id") % 3).alias("r"),
+        "phash64",
+    )
+    pa = ph.filter(F.col("r") == 0).select("group_id", F.col("phash64").alias("ha"))
+    pb = ph.filter(F.col("r") == 1).select("group_id", F.col("phash64").alias("hb"))
+    ph_pairs = pa.join(pb, "group_id").select(
+        "group_id",
+        (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3).alias("phash_close"),
+    )
+    return feat_pairs.join(ph_pairs, "group_id").select(
+        "group_id", "feat_close", "phash_close"
     )
 
 
@@ -2394,6 +2447,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "fuzzy_join": q_fuzzy_join,
         "mm_phash_neardup": mm_phash_neardup,
+        "mm_real_codec": mm_real_codec,
         "dp_assemble": dp_assemble,
         "psi": q_psi,
         "dp_mad_outlier": dp_mad_outlier,
@@ -4392,6 +4446,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lb JOIN rb USING (blk)
             WHERE abs(length(lb.p_name) - length(rb.alt_name)) <= 2
               AND levenshtein(lb.p_name, rb.alt_name) <= 2
+        """,
+        "mm_real_codec": """
+            SELECT CAST(range AS BIGINT) AS group_id,
+                   TRUE AS feat_close, TRUE AS phash_close
+            FROM range(8)
         """,
         "mm_phash_neardup": """
             WITH m AS (

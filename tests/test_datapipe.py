@@ -217,9 +217,12 @@ def test_multimodal_fake_decode(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
-def test_multimodal_real_decode_stubbed(spark):
+def test_multimodal_real_decode_rejects_non_image_bytes(spark):
+    """fake payloads are ASCII hex, not PNG/JPEG — the real decoder must
+    fail loudly, not produce garbage features (real-bytes coverage lives
+    in tests/test_codecs.py::TestSparkRealPaths)."""
     media = make_fake_media(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="unsupported image format"):
         decode_image_features(media, dim=8, fake=False).collect()
 
 

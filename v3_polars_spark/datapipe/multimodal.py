@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio libraries): ``decode_image``/``extract_audio_features`` raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decoder so the Spark-side plumbing — schema, batch
-iteration, partition sizing — is real and testable.
+The decode kernels are REAL: ``datapipe.codecs`` implements baseline
+JPEG, PNG, and WAV against the public format specs in pure numpy/stdlib
+(Pillow is soft-imported as the fast path when installed), so
+``fake=False`` — the default — decodes actual media bytes. ``fake=True``
+keeps the previous deterministic sha-based stand-ins so plumbing tests
+and the SQL-replayable oracle queries run with zero codec involvement.
 
 Scale design: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory per
@@ -67,6 +68,17 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _thumb_features(payload: bytes, dim: int, codecs) -> list[float]:
+    """Real visual feature: decode, grayscale, bilinear-resize to the
+    smallest k×k grid with k² >= dim, flatten, scale to [0,1]."""
+    import math as _math
+
+    k = _math.ceil(_math.sqrt(dim))
+    img = codecs.decode_image(payload)
+    thumb = codecs.resize_bilinear(codecs.to_gray(img), k, k)
+    return [float(v) / 255.0 for v in thumb.flatten()[:dim]]
+
+
 def decode_image_features(
     df: DataFrame,
     dim: int = 16,
@@ -75,11 +87,12 @@ def decode_image_features(
 ) -> DataFrame:
     """payload → feature vector via mapInPandas (Arrow-batched).
 
-    With ``fake=False`` this is the integration point for a real vision
-    encoder (PIL/torch are not in this container): the UDF body raises
-    NotImplementedError. With ``fake=True`` the deterministic sha-based
-    decoder runs instead — identical schema, batching, and shuffle
-    behavior."""
+    ``fake=False`` (default) REALLY decodes: PNG/JPEG bytes via
+    ``datapipe.codecs`` (Pillow-preferred soft import), then a
+    ceil(sqrt(dim))² luma thumbnail flattened to ``dim`` floats in [0,1]
+    — a deterministic, engine-independent visual embedding. Swap in a
+    learned encoder by replacing ``_thumb_features``. ``fake=True`` keeps
+    the sha-based stand-in (identical schema/batching, no codec)."""
     if batch_size_hint:
         df.sparkSession.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
@@ -87,15 +100,18 @@ def decode_image_features(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torch; pass fake=True for "
-                    "the deterministic stub decoder"
-                )
-            feats = [
-                _fake_decode(bytes(p) if p is not None else b"", dim)
-                for p in pdf["payload"]
-            ]
+            if fake:
+                feats = [
+                    _fake_decode(bytes(p) if p is not None else b"", dim)
+                    for p in pdf["payload"]
+                ]
+            else:
+                from . import codecs
+
+                feats = [
+                    _thumb_features(bytes(p) if p is not None else b"", dim, codecs)
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -146,24 +162,26 @@ def resize_images(
     """payload → resized payload via mapInPandas — the write-side twin of
     ``decode_image_features``: binary in, binary out, metadata updated.
 
-    Real resize (PIL) is the ``fake=False`` integration point and raises
-    NotImplementedError here; ``fake=True`` substitutes a deterministic
-    size-proportional byte resample (every k-th byte, padded), preserving
-    the contract a real kernel must satisfy — output payload is a pure
-    function of (input payload, target dims), non-payload columns pass
-    through untouched — so batching, schema, and pruning are testable."""
+    ``fake=False`` (default) REALLY resizes: decode PNG/JPEG, bilinear
+    resample (``codecs.resize_bilinear``), re-encode as lossless PNG so
+    the output payload is a deterministic pure function of (input bytes,
+    target dims). ``fake=True`` keeps the size-proportional byte
+    resample stand-in (no codec touched)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(width * height // 8, 1)  # fake: bytes proportional to area
+        if not fake:
+            from . import codecs
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL; pass fake=True for the "
-                    "deterministic stub kernel"
-                )
             outs = []
             for p in pdf["payload"]:
                 b = bytes(p) if p is not None else b""
+                if not fake:
+                    resized = codecs.resize_bilinear(
+                        codecs.decode_image(b), width, height
+                    )
+                    outs.append(bytearray(codecs.encode_png(resized)))
+                    continue
                 if len(b) >= target:
                     step = len(b) // target
                     b = b[:: step][:target]
@@ -203,9 +221,11 @@ def audio_window_features(
     """Audio → per-window feature rows, two-stage like the video path:
     (1) a metadata-only window plan (explode duration into window starts —
     binary column pruned, no payload reads), (2) payloads joined back for
-    exactly the planned windows and decoded Arrow-batch-wise. The fake
-    kernel derives features from sha256(payload ++ window_idx); the real
-    integration point (librosa/torchaudio) raises NotImplementedError."""
+    exactly the planned windows and decoded Arrow-batch-wise.
+    ``fake=False`` (default) REALLY decodes WAV bytes (``codecs.decode_wav``)
+    and emits ``dim`` log band energies of the window's samples — swap in
+    a learned audio encoder by replacing ``codecs.audio_band_energies``.
+    ``fake=True`` keeps the sha-based stand-in."""
     plan = df.filter(F.col("kind") == "audio").select(
         "media_id",
         F.explode(
@@ -222,20 +242,29 @@ def audio_window_features(
     )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from . import codecs
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio features require librosa/torchaudio; pass "
-                    "fake=True for the deterministic stub kernel"
-                )
-            feats = [
-                _fake_decode(
-                    (bytes(p) if p is not None else b"")
-                    + int(i).to_bytes(4, "big"),
-                    dim,
-                )
-                for p, i in zip(pdf["payload"], pdf["window_idx"])
-            ]
+            if fake:
+                feats = [
+                    _fake_decode(
+                        (bytes(p) if p is not None else b"")
+                        + int(i).to_bytes(4, "big"),
+                        dim,
+                    )
+                    for p, i in zip(pdf["payload"], pdf["window_idx"])
+                ]
+            else:
+                feats = []
+                for p, start in zip(pdf["payload"], pdf["start_ms"]):
+                    samples, rate = codecs.decode_wav(
+                        bytes(p) if p is not None else b""
+                    )
+                    lo = int(start) * rate // 1000
+                    hi = lo + window_ms * rate // 1000
+                    feats.append(
+                        codecs.audio_band_energies(samples[lo:hi], dim)
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -273,6 +302,57 @@ def make_fake_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _synth_image(seed: int, i: int, w: int = 64, h: int = 48):
+    """Deterministic smooth 'natural' test image: seeded low-res noise
+    bilinearly upsampled (band-limited, so pHash/DCT features are stable
+    — pure gradients or white noise would put most low-frequency DCT
+    coefficients at the median and make perceptual bits degenerate)."""
+    import numpy as np
+
+    from . import codecs
+
+    rng = np.random.default_rng(seed * 100003 + i)
+    # 12x16 base: enough spatial detail that the 64 low-frequency DCT
+    # coefficients spread away from the median (flatter images leave
+    # perceptual bits metastable under recompression)
+    base = rng.integers(0, 256, (12, 16, 3)).astype("uint8")
+    return codecs.resize_bilinear(base, w, h)
+
+
+def make_real_media(spark, n: int = 24, seed: int = 7) -> DataFrame:
+    """Media table with REAL payloads: JPEG and PNG encodings of
+    deterministic synthetic images plus 16-bit PCM WAV tones, round-robin
+    — the end-to-end fixture for the non-fake decode/resize/pHash/audio
+    paths. Triples (3g, 3g+1) are the same image as JPEG vs PNG (a
+    planted near-duplicate pair for the perceptual pipeline); 3g+2 is a
+    two-tone WAV whose frequencies vary with g."""
+    import numpy as np
+
+    from . import codecs
+
+    rows = []
+    for i in range(n):
+        g, r = divmod(i, 3)
+        if r < 2:
+            img = _synth_image(seed, g)
+            mime = "image/jpeg" if r == 0 else "image/png"
+            payload = codecs.encode_image(img, mime, quality=90)
+            rows.append(
+                (i, "image", bytearray(payload), mime,
+                 img.shape[1], img.shape[0], None)
+            )
+        else:
+            rate = 8000
+            t = np.arange(rate * 2) / rate  # 2 s
+            f1, f2 = 200 + 37 * g, 900 + 61 * g
+            s = 0.4 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.sin(2 * np.pi * f2 * t)
+            rows.append(
+                (i, "audio", bytearray(codecs.encode_wav(s, rate)),
+                 "audio/wav", None, None, 2000)
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 PHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -291,27 +371,27 @@ def perceptual_hash(
 ) -> DataFrame:
     """payload → 64-bit perceptual hash via mapInPandas (Arrow-batched).
 
-    A real pHash (resize → DCT → median-threshold the low-frequency
-    block) needs PIL/scipy and is the ``fake=False`` integration point
-    (raises NotImplementedError, same contract as
-    ``decode_image_features``). The ``fake=True`` stand-in keeps the
-    defining property a perceptual hash must have — *small payload
-    perturbations flip few bits* — by treating the ASCII-hex payload as a
-    coarse brightness map: bit j is 1 iff hex digit j of the payload is
-    >= 8. Output is the signed two's-complement int64, the same signature
-    shape as ``dedup.simhash``, so ``dedup.hamming_near_pairs`` runs
-    unchanged on media."""
+    ``fake=False`` (default) is the REAL pHash: decode PNG/JPEG, 32x32
+    luma, 2-D DCT-II, median-threshold the 8x8 low-frequency block
+    (``codecs.phash64`` — the pHash/imagehash construction, stable under
+    recompression and brightness shifts). The ``fake=True`` stand-in
+    keeps the defining property — *small payload perturbations flip few
+    bits* — by treating the ASCII-hex payload as a coarse brightness
+    map: bit j is 1 iff hex digit j of the payload is >= 8. Both emit
+    the signed two's-complement int64, the same signature shape as
+    ``dedup.simhash``, so ``dedup.hamming_near_pairs`` runs unchanged
+    on media."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from . import codecs
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real perceptual hashing requires PIL/scipy; pass "
-                    "fake=True for the deterministic stub kernel"
-                )
             out = []
             for p in pdf[payload_col]:
                 b = bytes(p) if p is not None else b""
+                if not fake:
+                    out.append(codecs.phash64(codecs.decode_image(b)))
+                    continue
                 v = 0
                 for j, byte in enumerate(b[:64]):
                     if byte in _FAKE_BRIGHT:
@@ -319,7 +399,9 @@ def perceptual_hash(
                 if v >= 1 << 63:
                     v -= 1 << 64
                 out.append(v)
-            yield pd.DataFrame({"media_id": pdf[id_col], "phash64": out})
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "phash64": pd.array(out, dtype="int64")}
+            )
 
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
