@@ -444,3 +444,43 @@ def test_tick_twap_matches_bruteforce(spark, ref_examples):
     assert abs(row.avg_tick - wsum / total) < 1e-9
     assert abs(row.twap_price - 1.0001 ** row.avg_tick) < 1e-12
     assert row.n_swaps == len(series)
+
+
+def test_revert_on_uninitialized(pool):
+    """reference state.py:216-244: before the pool's first swap the
+    point-in-time getters return None, or raise when the parity flag is
+    set (UninitializedPoolError subclasses AssertionError to match the
+    reference's bare assert)."""
+    from v3_polars_spark.v3.pool import UninitializedPoolError
+
+    early = 0  # far before the first landed swap
+    assert pool.get_tick_at(early) is None
+    assert pool.get_price_at(early) is None
+    with pytest.raises(UninitializedPoolError, match="Tick is not initialized"):
+        pool.get_tick_at(early, revert_on_uninitialized=True)
+    with pytest.raises(UninitializedPoolError, match="Price is not initialized"):
+        pool.get_price_at(early, revert_on_uninitialized=True)
+    # initialized as_of unaffected by the flag (raw event tick, not the
+    # spacing-floored -44040 from price_x96_to_tick_floor)
+    assert pool.get_tick_at(AS_OF, revert_on_uninitialized=True) == -43997
+
+
+def test_save_path_roundtrip(spark, ref_examples, tmp_path):
+    """readFromMemoryOrDisk(save=True) analog: first init persists the
+    preprocessed frames under save_path, second init reads them back
+    (identical golden results) without touching the raw tables."""
+    import os
+
+    from v3_polars_spark.v3 import Pool
+
+    sp = str(tmp_path / "pool_state")
+    p1 = Pool(spark, POOL, "ethereum", ref_examples, save_path=sp)
+    assert p1.create_liq(AS_OF).count() == 123
+    assert os.path.exists(os.path.join(sp, "pool_swap_events", "_SUCCESS"))
+    assert os.path.exists(os.path.join(sp, "pool_mint_burn_events", "_SUCCESS"))
+
+    p2 = Pool(spark, POOL, "ethereum", ref_examples, save_path=sp)
+    rows = p2.create_liq(AS_OF).orderBy("tick").collect()
+    assert len(rows) == 123
+    assert rows[0]["tick"] == -127620
+    assert p2.get_price_at(AS_OF) == pytest.approx(8.781412307951676e27, rel=1e-12)

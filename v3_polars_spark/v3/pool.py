@@ -42,11 +42,20 @@ class Pool:
         chain: str,
         data_path: str,
         pull: bool = True,
+        save_path: str | None = None,
     ):
+        """``save_path`` is the cross-session analog of the reference's
+        ``readFromMemoryOrDisk(save=True)`` (state.py:114-174): the
+        preprocessed (tenant-filtered, as_of-keyed) swap / mint-burn
+        frames are persisted as parquet under ``save_path/<table>/`` on
+        first access and read straight back on later Pool inits —
+        skipping the raw-table scan + filter entirely. In-session reuse
+        is covered either way by ``.cache()``."""
         self.spark = spark
         self.chain = chain
         self.pool = pool.lower()  # normalize checksummed addresses (state.py:45)
         self.data_path = data_path
+        self.save_path = save_path
         self._cache: dict = {"as_of": None}
 
         # initializePoolFromFactory (reference pool_helpers.py:10-34)
@@ -76,33 +85,54 @@ class Pool:
             self.max_supported = min(bounds) if all(b is not None for b in bounds) else -1
 
     # readFromMemoryOrDisk analogs (reference state.py:114-174) ------------
+    def _saved_or(self, table: str, build) -> DataFrame:
+        """Return the preprocessed frame from ``save_path`` if previously
+        persisted, else build it (and persist when save_path is set)."""
+        import os
+
+        if self.save_path is None:
+            return build()
+        loc = os.path.join(self.save_path, table)
+        marker = os.path.join(loc, "_SUCCESS")
+        if not os.path.exists(marker):
+            build().write.mode("overwrite").parquet(loc)
+        return self.spark.read.parquet(loc)
+
     @property
     def swaps(self) -> DataFrame:
         if self._swaps is None:
-            df = T.tenant_filter(
-                T.read_table(self.spark, self.data_path, "pool_swap_events"),
-                self.chain,
-                self.pool,
-            )
-            self._swaps = T.with_as_of(df).cache()
+            def build() -> DataFrame:
+                df = T.tenant_filter(
+                    T.read_table(self.spark, self.data_path, "pool_swap_events"),
+                    self.chain,
+                    self.pool,
+                )
+                return T.with_as_of(df)
+
+            self._swaps = self._saved_or("pool_swap_events", build).cache()
         return self._swaps
 
     @property
     def mb(self) -> DataFrame:
         if self._mb is None:
-            df = T.tenant_filter(
-                T.read_table(self.spark, self.data_path, "pool_mint_burn_events"),
-                self.chain,
-                self.pool,
-            ).withColumns(
-                {
-                    "amount": F.col("amount").cast("double"),
-                    "tick_lower": F.col("tick_lower").cast("long"),
-                    "tick_upper": F.col("tick_upper").cast("long"),
-                    "type_of_event": F.col("type_of_event").cast("double"),
-                }
-            )
-            self._mb = T.with_as_of(df).cache()
+            def build() -> DataFrame:
+                df = T.tenant_filter(
+                    T.read_table(
+                        self.spark, self.data_path, "pool_mint_burn_events"
+                    ),
+                    self.chain,
+                    self.pool,
+                ).withColumns(
+                    {
+                        "amount": F.col("amount").cast("double"),
+                        "tick_lower": F.col("tick_lower").cast("long"),
+                        "tick_upper": F.col("tick_upper").cast("long"),
+                        "type_of_event": F.col("type_of_event").cast("double"),
+                    }
+                )
+                return T.with_as_of(df)
+
+            self._mb = self._saved_or("pool_mint_burn_events", build).cache()
         return self._mb
 
     # point-in-time getters (reference state.py:197-244) ------------------
