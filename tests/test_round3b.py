@@ -144,9 +144,12 @@ def test_hamming_near_pairs_on_phash_exact_vs_brute(spark):
     sig.unpersist()
 
 
-def test_perceptual_hash_real_kernel_is_integration_point(spark):
+def test_perceptual_hash_real_kernel_rejects_non_image_bytes(spark):
+    """fake media payloads are ASCII hex, not PNG/JPEG: the REAL kernel
+    (codecs.phash64, wired in round 4) must fail loudly on them. Real
+    JPEG/PNG coverage lives in tests/test_codecs.py."""
     media = make_fake_media_pairs(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|perceptual"):
+    with pytest.raises(Exception, match="unsupported image format"):
         perceptual_hash(media, fake=False).collect()
 
 
