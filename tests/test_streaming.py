@@ -577,3 +577,26 @@ def test_streaming_kll_state_quantiles(spark, tmp_path):
     for p, r in got.items():
         true_rank = sum(1 for v in all_vals if v <= r.approx_value) / 3000
         assert abs(true_rank - p) <= 0.03, (p, r.approx_value, true_rank)
+
+
+def test_batch_state_replay_idempotent(spark, tmp_path):
+    """Structured Streaming re-runs a failed micro-batch with the SAME
+    batch_id; the state writer must leave exactly one copy (dynamic
+    partition overwrite of batch_id=N), never an appended duplicate that
+    double-counts PSI bins / inflates KLL n (round-3 advisory)."""
+    from v3_polars_spark.streaming.quality_stream import (
+        _write_batch_state,
+        read_bin_counts,
+    )
+
+    state = str(tmp_path / "state")
+    bins = spark.createDataFrame([(0, 5), (1, 7)], ["bin", "n"])
+    _write_batch_state(bins, 0, state)
+    _write_batch_state(bins, 0, state)  # replay of the same batch
+    got = {r.bin: r.n for r in read_bin_counts(spark, state).collect()}
+    assert got == {0: 5, 1: 7}
+
+    # a LATER batch must not clobber earlier partitions
+    _write_batch_state(spark.createDataFrame([(0, 2)], ["bin", "n"]), 1, state)
+    got = {r.bin: r.n for r in read_bin_counts(spark, state).collect()}
+    assert got == {0: 7, 1: 7}

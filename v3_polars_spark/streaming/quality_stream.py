@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 from ..ops.drift import bin_counts
 
 
+def _write_batch_state(df: DataFrame, batch_id: int, state_path: str) -> None:
+    """Land one micro-batch's state rows in the ``batch_id=N`` partition,
+    overwriting ONLY that partition (dynamic mode) — calling this twice
+    with the same batch_id (Structured Streaming's failure-replay
+    contract) leaves exactly one copy."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state_path)
+    )
+
+
 def streaming_bin_counts(
     stream_df: DataFrame,
     col: str,
@@ -43,14 +57,7 @@ def streaming_bin_counts(
     the incremental-monitor twin of the ingest loop."""
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        (
-            bin_counts(df, col, lo, hi, n_bins)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(state_path)
-        )
+        _write_batch_state(bin_counts(df, col, lo, hi, n_bins), batch_id, state_path)
 
     q = (
         stream_df.writeStream.foreachBatch(_batch)
@@ -91,14 +98,7 @@ def streaming_kll_state(
     from ..ops.sketches import kll_sketches
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        (
-            kll_sketches(df, col, [], k=k)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(state_path)
-        )
+        _write_batch_state(kll_sketches(df, col, [], k=k), batch_id, state_path)
 
     q = (
         stream_df.writeStream.foreachBatch(_batch)
