@@ -177,27 +177,45 @@ def unigram_stats(
       integer columns for cross-engine verification and treat
       ``lm_logprob`` as a ranking signal.
 
-    Two shuffles total (corpus vocab agg, per-doc re-agg); the
-    token→vocab join broadcasts under the session cap and degrades to a
-    shuffle join when the vocabulary outgrows it — the 100 TB shape.
+    The corpus is tokenized ONCE: both the vocab aggregate and the probe
+    side consume the same persisted per-(doc, token) count aggregate
+    (exchange reuse alone cannot share it — column pruning gives the two
+    consumers different canonical outputs), and the join input shrinks
+    by the average within-doc token multiplicity before it ever reaches
+    the vocab join. That join broadcasts under the session cap and
+    degrades to a shuffle join when the vocabulary outgrows it — the
+    100 TB shape. The persisted intermediate is tracked; call
+    ``release_intermediates()`` to free executor storage.
     """
+    from .dedup import _track
+
     toks = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__tok")
     ).filter(F.col("__tok") != "")
-    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # per-(doc, token) counts: the one pass over raw tokens; persisted so
+    # the vocab branch and the probe branch share one tokenization
+    doc_tok = _track(
+        toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__k"))
+    )
+    vocab = doc_tok.groupBy("__tok").agg(F.sum("__k").alias("__c"))
     totals = vocab.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
     scored = (
-        toks.join(vocab, "__tok")
+        doc_tok.join(vocab, "__tok")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum((F.col("__c") < min_count).cast("long")).alias("n_oov"),
-            F.sum("__c").alias("sum_freq"),
+            F.sum("__k").alias("n_tokens"),
             F.sum(
-                F.log((F.col("__c") + 1).cast("double") / (F.col("__n") + F.col("__v")))
+                F.col("__k") * (F.col("__c") < min_count).cast("long")
+            ).alias("n_oov"),
+            F.sum(F.col("__k") * F.col("__c")).alias("sum_freq"),
+            F.sum(
+                F.col("__k")
+                * F.log(
+                    (F.col("__c") + 1).cast("double") / (F.col("__n") + F.col("__v"))
+                )
             ).alias("lm_logprob"),
         )
         .withColumn(
