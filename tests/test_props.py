@@ -713,3 +713,85 @@ def test_psi_from_counts_sums_duplicate_bins(spark, base, cur):
         pb = max(cb.get(b, 0) / tb, 1e-6)
         pc = max(cc.get(b, 0) / tc, 1e-6)
         assert got[b] == pytest.approx((pc - pb) * math.log(pc / pb), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# codec properties (pure numpy, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    """PNG is lossless: decode(encode(x)) == x for every 8-bit array."""
+    import numpy as np
+
+    from v3_polars_spark.datapipe import codecs as C
+
+    a = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = C.decode_png(C.encode_png(a))
+    assert out.shape == a.shape and (out == a).all()
+
+
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_error_bounded_property(h, w, seed, gray):
+    """Baseline JPEG at q=95 keeps mean abs error small on arbitrary
+    uint8 content (worst case: white noise) and never changes shape."""
+    import numpy as np
+
+    from v3_polars_spark.datapipe import codecs as C
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = C.decode_jpeg(C.encode_jpeg(a, 95))
+    assert out.shape == a.shape
+    assert np.abs(out.astype(int) - a.astype(int)).mean() < 16
+
+
+@given(
+    n=st.integers(1, 2000),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """16-bit PCM WAV round trips within 1/16000 (scale + half LSB)."""
+    import numpy as np
+
+    from v3_polars_spark.datapipe import codecs as C
+
+    s = np.random.default_rng(seed).uniform(-1, 1, (n, ch))
+    dec, got_rate = C.decode_wav(C.encode_wav(s, rate))
+    assert got_rate == rate and dec.shape == (n, ch)
+    assert np.abs(dec - s).max() < 1.0 / 16000
+
+
+@given(seed=st.integers(0, 2**31 - 1), shift=st.integers(-12, 12))
+@settings(max_examples=25, deadline=None)
+def test_phash_brightness_invariance_property(seed, shift):
+    """pHash is DCT-AC-based: a global brightness shift flips at most a
+    few bits; an unrelated image stays far."""
+    import numpy as np
+
+    from v3_polars_spark.datapipe import codecs as C
+
+    rng = np.random.default_rng(seed)
+    img = C.resize_bilinear(
+        rng.integers(0, 256, (12, 16, 3)).astype(np.uint8), 64, 48
+    )
+    shifted = np.clip(img.astype(int) + shift, 0, 255).astype(np.uint8)
+    d = bin((C.phash64(img) ^ C.phash64(shifted)) & (2**64 - 1)).count("1")
+    assert d <= 6
