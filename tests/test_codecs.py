@@ -248,3 +248,106 @@ class TestSparkRealPaths:
             by_media.setdefault(r.media_id, {})[r.window_idx] = np.array(r.feature)
         for mid, wins in by_media.items():
             assert np.abs(wins[0] - wins[1]).max() < 1.0
+
+
+def _build_420_jpeg(mcu_y_grids, cb_val, cr_val, dri=0, quality=90):
+    """Hand-assemble a baseline JPEG with 4:2:0 subsampling (and optional
+    DRI restart markers) from DC-only blocks — content my 4:4:4-only
+    encoder cannot emit, so the decoder's subsampling/upsample/restart
+    paths are exercised against a stream built directly from the T.81
+    spec. ``mcu_y_grids``: per MCU, four Y block values (2x2 grid);
+    chroma constant per MCU is (cb_val, cr_val)."""
+    import io
+    import struct
+
+    w, h = 16 * len(mcu_y_grids), 16
+    qy = C._scale_qt(C._QT_LUMA, quality)
+    qc = C._scale_qt(C._QT_CHROMA, quality)
+    buf = io.BytesIO()
+    buf.write(b"\xff\xd8")
+
+    def seg(m, body):
+        buf.write(struct.pack(">BBH", 0xFF, m, len(body) + 2) + body)
+
+    for tq, q in [(0, qy), (1, qc)]:
+        seg(0xDB, bytes([tq]) + bytes(q[C._ZZ_ROWS, C._ZZ_COLS].astype(np.uint8)))
+    seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for tc, th, bits, vals in [
+        (0, 0, C._DC_LUMA_BITS, C._DC_LUMA_VALS),
+        (1, 0, C._AC_LUMA_BITS, C._AC_LUMA_VALS),
+        (0, 1, C._DC_CHROMA_BITS, C._DC_CHROMA_VALS),
+        (1, 1, C._AC_CHROMA_BITS, C._AC_CHROMA_VALS),
+    ]:
+        seg(0xC4, bytes([(tc << 4) | th] + bits) + bytes(vals))
+    if dri:
+        seg(0xDD, struct.pack(">H", dri))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    dc_y = C._encode_codes(C._DC_LUMA_BITS, C._DC_LUMA_VALS)
+    ac_y = C._encode_codes(C._AC_LUMA_BITS, C._AC_LUMA_VALS)
+    dc_c = C._encode_codes(C._DC_CHROMA_BITS, C._DC_CHROMA_VALS)
+    ac_c = C._encode_codes(C._AC_CHROMA_BITS, C._AC_CHROMA_VALS)
+    qdc_y, qdc_c = float(qy[0, 0]), float(qc[0, 0])
+
+    def put_dc(bw, diff, dc, ac):
+        t = abs(diff).bit_length() if diff else 0
+        code, ln = dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        code, ln = ac[0x00]  # EOB
+        bw.write(code, ln)
+
+    bw = C._BitWriter()
+    pred_y = pred_cb = pred_cr = 0
+    for m, ys in enumerate(mcu_y_grids):
+        if dri and m and m % dri == 0:
+            buf.write(bw.flush())  # 1-padded byte alignment
+            buf.write(bytes([0xFF, 0xD0 + ((m // dri - 1) % 8)]))
+            bw = C._BitWriter()
+            pred_y = pred_cb = pred_cr = 0
+        for v in ys:  # 4 Y blocks: DC of a constant block is (v-128)*8
+            tgt = round((v - 128) * 8 / qdc_y)
+            put_dc(bw, tgt - pred_y, dc_y, ac_y)
+            pred_y = tgt
+        tgt = round((cb_val - 128) * 8 / qdc_c)
+        put_dc(bw, tgt - pred_cb, dc_c, ac_c)
+        pred_cb = tgt
+        tgt = round((cr_val - 128) * 8 / qdc_c)
+        put_dc(bw, tgt - pred_cr, dc_c, ac_c)
+        pred_cr = tgt
+    buf.write(bw.flush())
+    buf.write(b"\xff\xd9")
+    return buf.getvalue()
+
+
+class TestJpegSubsamplingAndRestarts:
+    def test_420_decode_known_values(self):
+        """Neutral chroma + per-quadrant Y: the decode must reproduce each
+        8x8 quadrant's value exactly (DC-only blocks are lossless)."""
+        ys = [100, 140, 180, 220]
+        img = C.decode_jpeg(_build_420_jpeg([ys], 128, 128))
+        assert img.shape == (16, 16, 3)
+        for i, (y0, x0) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+            block = img[y0 : y0 + 8, x0 : x0 + 8].astype(float)
+            assert abs(block.mean() - ys[i]) <= 1.0
+            # neutral chroma -> gray (all channels equal)
+            assert (block.max(axis=2) - block.min(axis=2)).max() <= 1.0
+
+    def test_420_chroma_upsample(self):
+        """Non-neutral constant chroma: every full-res pixel carries the
+        2x2-upsampled chroma (red-ish cast via Cr > 128)."""
+        img = C.decode_jpeg(_build_420_jpeg([[128] * 4], 128, 180))
+        r, g, b = (img[:, :, i].astype(float).mean() for i in range(3))
+        assert r > g and r > b  # Cr>128 pushes red up, green down
+
+    def test_restart_markers(self):
+        """DRI=1: an RST marker between every MCU, DC predictors reset —
+        values must still decode exactly per MCU."""
+        grids = [[100] * 4, [200] * 4, [60] * 4]
+        img = C.decode_jpeg(_build_420_jpeg(grids, 128, 128, dri=1))
+        assert img.shape == (16, 48, 3)
+        for m, v in enumerate([100, 200, 60]):
+            block = img[:, 16 * m : 16 * (m + 1)].astype(float)
+            assert abs(block.mean() - v) <= 1.0
