@@ -351,3 +351,11 @@ class TestJpegSubsamplingAndRestarts:
         for m, v in enumerate([100, 200, 60]):
             block = img[:, 16 * m : 16 * (m + 1)].astype(float)
             assert abs(block.mean() - v) <= 1.0
+
+
+def test_jpeg_truncation_raises_valueerror():
+    a = np.random.default_rng(1).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    j = C.encode_jpeg(a, 90)
+    for cut in (8, len(j) // 4, len(j) // 2, len(j) - 3):
+        with pytest.raises(ValueError):
+            C.decode_jpeg(j[:cut])

@@ -342,7 +342,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline sequential-DCT JPEG to (H,W) or (H,W,3) uint8.
 
     Supports multi-table DQT/DHT, DRI restart markers, and any sampling
-    grid (4:4:4, 4:2:2, 4:2:0); progressive (SOF2) is rejected."""
+    grid (4:4:4, 4:2:2, 4:2:0); progressive (SOF2) is rejected; truncated
+    or corrupt streams raise ValueError, never a raw IndexError."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error):
+        raise ValueError("truncated or corrupt JPEG stream") from None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
