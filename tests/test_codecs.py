@@ -359,3 +359,26 @@ def test_jpeg_truncation_raises_valueerror():
     for cut in (8, len(j) // 4, len(j) // 2, len(j) - 3):
         with pytest.raises(ValueError):
             C.decode_jpeg(j[:cut])
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_decoders_never_crash_unstructured(seed):
+    """Fuzz: arbitrary byte soup (including valid-magic prefixes) must
+    fail with a clean, expected error class — never hang, never escape
+    with IndexError/KeyError from deep inside the bit machinery."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    junk = bytes(rng.integers(0, 256, 512, dtype=np.uint8))
+    for payload in (
+        junk,
+        b"\xff\xd8" + junk,                  # JPEG magic + junk
+        C._PNG_SIG + junk,                    # PNG magic + junk
+        b"RIFF" + junk[:4] + b"WAVE" + junk,  # WAV magic + junk
+    ):
+        for dec in (C.decode_image, C.decode_wav):
+            try:
+                dec(payload)
+            except (ValueError, zlib.error, struct.error):
+                pass
