@@ -476,8 +476,11 @@ def test_save_path_roundtrip(spark, ref_examples, tmp_path):
     sp = str(tmp_path / "pool_state")
     p1 = Pool(spark, POOL, "ethereum", ref_examples, save_path=sp)
     assert p1.create_liq(AS_OF).count() == 123
-    assert os.path.exists(os.path.join(sp, "pool_swap_events", "_SUCCESS"))
-    assert os.path.exists(os.path.join(sp, "pool_mint_burn_events", "_SUCCESS"))
+    # namespaced by (chain, pool): two pools sharing a save_path must
+    # never serve each other's tenant-filtered frames
+    base = os.path.join(sp, "ethereum", POOL)
+    assert os.path.exists(os.path.join(base, "pool_swap_events", "_SUCCESS"))
+    assert os.path.exists(os.path.join(base, "pool_mint_burn_events", "_SUCCESS"))
 
     p2 = Pool(spark, POOL, "ethereum", ref_examples, save_path=sp)
     rows = p2.create_liq(AS_OF).orderBy("tick").collect()

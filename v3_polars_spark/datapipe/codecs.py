@@ -83,7 +83,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit-depth, non-interlaced PNG to (H,W,C) uint8."""
+    """Decode an 8-bit-depth, non-interlaced PNG to (H,W,C) uint8.
+    Truncated or corrupt streams raise ValueError, never a raw
+    IndexError/KeyError/zlib.error."""
+    try:
+        return _decode_png(data)
+    except (IndexError, KeyError, struct.error, zlib.error):
+        raise ValueError("truncated or corrupt PNG stream") from None
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos, idat, plte = len(_PNG_SIG), [], b""
@@ -346,7 +355,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     or corrupt streams raise ValueError, never a raw IndexError."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error):
+    except (IndexError, KeyError, ZeroDivisionError, struct.error):
         raise ValueError("truncated or corrupt JPEG stream") from None
 
 
@@ -364,6 +373,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -763,9 +775,21 @@ def phash64(arr: np.ndarray) -> int:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Decode PNG or JPEG bytes to (H,W[,C]) uint8, via Pillow when it is
-    installed, else the pure decoders above (magic-byte dispatch)."""
+    installed, else the pure decoders above (magic-byte dispatch).
+
+    The Pillow path normalizes modes so both paths agree: palette ->
+    RGB (matching the pure decoder's PLTE mapping), 16-bit/float ->
+    8-bit, CMYK/YCbCr -> RGB — without this, the same image would hash
+    and embed differently depending on which cluster decoded it."""
     if _PILImage is not None:
-        return np.asarray(_PILImage.open(io.BytesIO(data)))
+        img = _PILImage.open(io.BytesIO(data))
+        if img.mode in ("P", "CMYK", "YCbCr"):
+            img = img.convert("RGB")
+        elif img.mode in ("I", "I;16", "F"):
+            img = img.convert("L")
+        elif img.mode == "PA":
+            img = img.convert("LA")
+        return np.asarray(img)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":

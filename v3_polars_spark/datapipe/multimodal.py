@@ -256,10 +256,16 @@ def audio_window_features(
                 ]
             else:
                 feats = []
-                for p, start in zip(pdf["payload"], pdf["start_ms"]):
-                    samples, rate = codecs.decode_wav(
-                        bytes(p) if p is not None else b""
-                    )
+                decoded: dict = {}  # media_id -> (samples, rate); one
+                # decode per FILE per batch, not per planned window row
+                for mid, p, start in zip(
+                    pdf["media_id"], pdf["payload"], pdf["start_ms"]
+                ):
+                    if mid not in decoded:
+                        decoded[mid] = codecs.decode_wav(
+                            bytes(p) if p is not None else b""
+                        )
+                    samples, rate = decoded[mid]
                     lo = int(start) * rate // 1000
                     hi = lo + window_ms * rate // 1000
                     feats.append(

@@ -30,7 +30,23 @@ def _write_batch_state(df: DataFrame, batch_id: int, state_path: str) -> None:
     """Land one micro-batch's state rows in the ``batch_id=N`` partition,
     overwriting ONLY that partition (dynamic mode) — calling this twice
     with the same batch_id (Structured Streaming's failure-replay
-    contract) leaves exactly one copy."""
+    contract) leaves exactly one copy.
+
+    Layout guard: state written by the pre-partitioned (flat-append)
+    version of this module kept root-level parquet files with batch_id
+    as a DATA column; mixing the two layouts in one directory breaks
+    partition discovery for every reader. Fail loudly with a migration
+    hint instead of corrupting the table."""
+    import os
+
+    if os.path.isdir(state_path) and any(
+        f.endswith(".parquet") for f in os.listdir(state_path)
+    ):
+        raise ValueError(
+            f"{state_path} holds flat-layout state from a previous version; "
+            "migrate it first (read the old files and rewrite partitioned "
+            "by batch_id) or point the stream at a fresh state_path"
+        )
     (
         df.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")

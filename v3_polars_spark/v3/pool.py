@@ -87,12 +87,15 @@ class Pool:
     # readFromMemoryOrDisk analogs (reference state.py:114-174) ------------
     def _saved_or(self, table: str, build) -> DataFrame:
         """Return the preprocessed frame from ``save_path`` if previously
-        persisted, else build it (and persist when save_path is set)."""
+        persisted, else build it (and persist when save_path is set).
+        The location is namespaced by (chain, pool) — the frames are
+        tenant-FILTERED, so a table-only key would silently serve one
+        pool's events as another's when two Pools share a save_path."""
         import os
 
         if self.save_path is None:
             return build()
-        loc = os.path.join(self.save_path, table)
+        loc = os.path.join(self.save_path, self.chain, self.pool, table)
         marker = os.path.join(loc, "_SUCCESS")
         if not os.path.exists(marker):
             build().write.mode("overwrite").parquet(loc)
