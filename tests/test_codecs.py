@@ -382,3 +382,60 @@ def test_decoders_never_crash_unstructured(seed):
                 dec(payload)
             except (ValueError, zlib.error, struct.error):
                 pass
+
+
+class TestOnErrorSkip:
+    """on_error='skip': corrupt payloads drop their rows instead of
+    killing the task — the posture a crawled corpus needs."""
+
+    def _mixed_media(self, spark):
+        from v3_polars_spark.datapipe import make_real_media
+        from v3_polars_spark.datapipe.multimodal import MEDIA_SCHEMA
+
+        good = make_real_media(spark, n=6, seed=7)
+        bad = spark.createDataFrame(
+            [
+                (100, "image", bytearray(b"\xff\xd8garbage not a real jpeg"),
+                 "image/jpeg", 8, 8, None),
+                (101, "audio", bytearray(b"RIFFxxxxWAVEgarbage"),
+                 "audio/wav", None, None, 2000),
+            ],
+            MEDIA_SCHEMA,
+        )
+        return good.unionByName(bad)
+
+    def test_features_skip_and_raise(self, spark):
+        from v3_polars_spark.datapipe import decode_image_features
+
+        media = self._mixed_media(spark)
+        got = decode_image_features(
+            media.filter("kind='image'"), dim=16, on_error="skip"
+        ).collect()
+        assert {r.media_id for r in got} == {0, 1, 3, 4}  # 100 dropped
+        with pytest.raises(Exception, match="JPEG"):
+            decode_image_features(media.filter("kind='image'"), dim=16).collect()
+
+    def test_phash_and_resize_skip(self, spark):
+        from v3_polars_spark.datapipe import perceptual_hash, resize_images
+
+        imgs = self._mixed_media(spark).filter("kind='image'")
+        assert {
+            r.media_id for r in perceptual_hash(imgs, on_error="skip").collect()
+        } == {0, 1, 3, 4}
+        assert {
+            r.media_id for r in resize_images(imgs, 8, 6, on_error="skip").collect()
+        } == {0, 1, 3, 4}
+
+    def test_audio_skip(self, spark):
+        from v3_polars_spark.datapipe import audio_window_features
+
+        media = self._mixed_media(spark)
+        got = audio_window_features(media, window_ms=1000, on_error="skip").collect()
+        assert {r.media_id for r in got} == {2, 5}  # 101's windows dropped
+        assert len(got) == 4
+
+    def test_bad_policy_rejected(self, spark):
+        from v3_polars_spark.datapipe import decode_image_features
+
+        with pytest.raises(ValueError, match="on_error"):
+            decode_image_features(self._mixed_media(spark), on_error="ignore")

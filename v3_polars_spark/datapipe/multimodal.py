@@ -55,6 +55,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic fake 'decoder': derive `dim` floats in [0,1) from the
     sha256 of the payload. Stands in for a real image/audio model so the
@@ -84,6 +89,7 @@ def decode_image_features(
     dim: int = 16,
     fake: bool = False,
     batch_size_hint: int | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """payload → feature vector via mapInPandas (Arrow-batched).
 
@@ -92,35 +98,45 @@ def decode_image_features(
     ceil(sqrt(dim))² luma thumbnail flattened to ``dim`` floats in [0,1]
     — a deterministic, engine-independent visual embedding. Swap in a
     learned encoder by replacing ``_thumb_features``. ``fake=True`` keeps
-    the sha-based stand-in (identical schema/batching, no codec)."""
+    the sha-based stand-in (identical schema/batching, no codec).
+
+    ``on_error``: a crawled 100 TB corpus ALWAYS contains corrupt
+    payloads; ``"raise"`` (default) fails the task on the first bad
+    image, ``"skip"`` drops those rows (mapInPandas output is
+    variable-length, so the row simply doesn't exist downstream —
+    count inputs vs outputs to monitor the drop rate)."""
+    _check_on_error(on_error)
     if batch_size_hint:
         df.sparkSession.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
         )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from . import codecs
         for pdf in batches:
-            if fake:
-                feats = [
-                    _fake_decode(bytes(p) if p is not None else b"", dim)
-                    for p in pdf["payload"]
-                ]
-            else:
-                from . import codecs
-
-                feats = [
-                    _thumb_features(bytes(p) if p is not None else b"", dim, codecs)
-                    for p in pdf["payload"]
-                ]
+            keep, feats = [], []
+            for i, p in enumerate(pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    feats.append(
+                        _fake_decode(b, dim) if fake
+                        else _thumb_features(b, dim, codecs)
+                    )
+                    keep.append(i)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+            sub = pdf.iloc[keep].reset_index(drop=True)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": sub["media_id"],
                     "sha256": [
                         hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
-                        for p in pdf["payload"]
+                        for p in sub["payload"]
                     ],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "feature": feats,
+                    "n_bytes": [len(p) if p is not None else 0 for p in sub["payload"]],
+                    "feature": pd.Series(feats, dtype="object"),
                 }
             )
 
@@ -158,6 +174,7 @@ def resize_images(
     width: int,
     height: int,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """payload → resized payload via mapInPandas — the write-side twin of
     ``decode_image_features``: binary in, binary out, metadata updated.
@@ -168,19 +185,27 @@ def resize_images(
     target dims). ``fake=True`` keeps the size-proportional byte
     resample stand-in (no codec touched)."""
 
+    _check_on_error(on_error)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(width * height // 8, 1)  # fake: bytes proportional to area
         if not fake:
             from . import codecs
         for pdf in batches:
-            outs = []
-            for p in pdf["payload"]:
+            keep, outs = [], []
+            for i, p in enumerate(pdf["payload"]):
                 b = bytes(p) if p is not None else b""
                 if not fake:
-                    resized = codecs.resize_bilinear(
-                        codecs.decode_image(b), width, height
-                    )
+                    try:
+                        resized = codecs.resize_bilinear(
+                            codecs.decode_image(b), width, height
+                        )
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        continue
                     outs.append(bytearray(codecs.encode_png(resized)))
+                    keep.append(i)
                     continue
                 if len(b) >= target:
                     step = len(b) // target
@@ -188,12 +213,13 @@ def resize_images(
                 else:
                     b = (b * (target // max(len(b), 1) + 1))[:target]
                 outs.append(bytearray(b))
+                keep.append(i)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "payload": outs,
-                    "width": [width] * len(pdf),
-                    "height": [height] * len(pdf),
+                    "media_id": pdf["media_id"].iloc[keep].reset_index(drop=True),
+                    "payload": pd.Series(outs, dtype="object"),
+                    "width": [width] * len(keep),
+                    "height": [height] * len(keep),
                 }
             )
 
@@ -217,6 +243,7 @@ def audio_window_features(
     window_ms: int = 1000,
     dim: int = 8,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Audio → per-window feature rows, two-stage like the video path:
     (1) a metadata-only window plan (explode duration into window starts —
@@ -241,10 +268,13 @@ def audio_window_features(
         df.select("media_id", "payload"), "media_id"
     )
 
+    _check_on_error(on_error)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
             from . import codecs
         for pdf in batches:
+            keep, feats = [], []
             if fake:
                 feats = [
                     _fake_decode(
@@ -254,29 +284,38 @@ def audio_window_features(
                     )
                     for p, i in zip(pdf["payload"], pdf["window_idx"])
                 ]
+                keep = list(range(len(pdf)))
             else:
-                feats = []
                 decoded: dict = {}  # media_id -> (samples, rate); one
                 # decode per FILE per batch, not per planned window row
-                for mid, p, start in zip(
-                    pdf["media_id"], pdf["payload"], pdf["start_ms"]
+                for i, (mid, p, start) in enumerate(
+                    zip(pdf["media_id"], pdf["payload"], pdf["start_ms"])
                 ):
-                    if mid not in decoded:
-                        decoded[mid] = codecs.decode_wav(
-                            bytes(p) if p is not None else b""
-                        )
+                    try:
+                        if mid not in decoded:
+                            decoded[mid] = codecs.decode_wav(
+                                bytes(p) if p is not None else b""
+                            )
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        decoded[mid] = None
+                    if decoded[mid] is None:
+                        continue
                     samples, rate = decoded[mid]
                     lo = int(start) * rate // 1000
                     hi = lo + window_ms * rate // 1000
                     feats.append(
                         codecs.audio_band_energies(samples[lo:hi], dim)
                     )
+                    keep.append(i)
+            sub = pdf.iloc[keep].reset_index(drop=True)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "window_idx": pdf["window_idx"],
-                    "start_ms": pdf["start_ms"],
-                    "feature": feats,
+                    "media_id": sub["media_id"],
+                    "window_idx": sub["window_idx"],
+                    "start_ms": sub["start_ms"],
+                    "feature": pd.Series(feats, dtype="object"),
                 }
             )
 
@@ -374,6 +413,7 @@ def perceptual_hash(
     fake: bool = False,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """payload → 64-bit perceptual hash via mapInPandas (Arrow-batched).
 
@@ -388,15 +428,22 @@ def perceptual_hash(
     ``dedup.simhash``, so ``dedup.hamming_near_pairs`` runs unchanged
     on media."""
 
+    _check_on_error(on_error)
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
             from . import codecs
         for pdf in batches:
-            out = []
-            for p in pdf[payload_col]:
+            keep, out = [], []
+            for i, p in enumerate(pdf[payload_col]):
                 b = bytes(p) if p is not None else b""
                 if not fake:
-                    out.append(codecs.phash64(codecs.decode_image(b)))
+                    try:
+                        out.append(codecs.phash64(codecs.decode_image(b)))
+                        keep.append(i)
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
                     continue
                 v = 0
                 for j, byte in enumerate(b[:64]):
@@ -405,8 +452,12 @@ def perceptual_hash(
                 if v >= 1 << 63:
                     v -= 1 << 64
                 out.append(v)
+                keep.append(i)
             yield pd.DataFrame(
-                {"media_id": pdf[id_col], "phash64": pd.array(out, dtype="int64")}
+                {
+                    "media_id": pdf[id_col].iloc[keep].reset_index(drop=True),
+                    "phash64": pd.array(out, dtype="int64"),
+                }
             )
 
     return df.select(
