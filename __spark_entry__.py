@@ -396,8 +396,14 @@ def q_outer_join_coalesce(spark, sf):
 
 def q_theta_join(spark, sf):
     """J4: equi keys + inequality residual (nfp↔mint/burn join shape,
-    allium.py:193-210)."""
-    o = _t(spark, sf, "orders")
+    allium.py:193-210). SHUFFLE_HASH hint: both sides of this join grow
+    with the fact data, so the broadcast plan's single-threaded hashed-
+    relation build becomes the bottleneck exactly as data grows (measured
+    1.11 s -> 0.70 s at 10x sf0.1; a wash at sf0.1) — and the shuffled
+    hash join IS the 1000-executor plan once orders outgrows any
+    broadcast cap. Broadcast remains the default for genuinely bounded
+    dims elsewhere."""
+    o = _t(spark, sf, "orders").hint("SHUFFLE_HASH")
     li = _t(spark, sf, "lineitem")
     j = o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate))
     return j.groupBy("o_orderpriority").agg(
