@@ -399,7 +399,7 @@ def q_theta_join(spark, sf):
     allium.py:193-210). SHUFFLE_HASH hint: both sides of this join grow
     with the fact data, so the broadcast plan's single-threaded hashed-
     relation build becomes the bottleneck exactly as data grows (measured
-    1.11 s -> 0.70 s at 10x sf0.1; a wash at sf0.1) — and the shuffled
+    1.11 s -> 0.67 s at 10x sf0.1; a wash at sf0.1) — and the shuffled
     hash join IS the 1000-executor plan once orders outgrows any
     broadcast cap. Broadcast remains the default for genuinely bounded
     dims elsewhere."""

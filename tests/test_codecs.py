@@ -393,11 +393,30 @@ class TestOnErrorSkip:
         from v3_polars_spark.datapipe.multimodal import MEDIA_SCHEMA
 
         good = make_real_media(spark, n=6, seed=7)
+        import struct
+        import zlib
+
+        from v3_polars_spark.datapipe import codecs as CC
+
+        zero_png = (
+            CC._PNG_SIG
+            + CC._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+            + CC._png_chunk(b"IDAT", zlib.compress(b""))
+            + CC._png_chunk(b"IEND", b"")
+        )
+        trunc_wav = (
+            b"RIFF" + struct.pack("<I", 20) + b"WAVEfmt "
+            + struct.pack("<I", 2) + b"\x01\x00"
+        )
         bad = spark.createDataFrame(
             [
                 (100, "image", bytearray(b"\xff\xd8garbage not a real jpeg"),
                  "image/jpeg", 8, 8, None),
                 (101, "audio", bytearray(b"RIFFxxxxWAVEgarbage"),
+                 "audio/wav", None, None, 2000),
+                (102, "image", bytearray(zero_png),  # decodes to 0x0 then fails
+                 "image/png", 0, 0, None),
+                (103, "audio", bytearray(trunc_wav),  # truncated fmt chunk
                  "audio/wav", None, None, 2000),
             ],
             MEDIA_SCHEMA,
@@ -412,7 +431,9 @@ class TestOnErrorSkip:
             media.filter("kind='image'"), dim=16, on_error="skip"
         ).collect()
         assert {r.media_id for r in got} == {0, 1, 3, 4}  # 100 dropped
-        with pytest.raises(Exception, match="JPEG"):
+        # pure path says "JPEG ..."; a Pillow-equipped cluster says
+        # "corrupt image: cannot identify..." — both are the ValueError contract
+        with pytest.raises(Exception, match="JPEG|corrupt image"):
             decode_image_features(media.filter("kind='image'"), dim=16).collect()
 
     def test_phash_and_resize_skip(self, spark):

@@ -118,6 +118,8 @@ def _decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if w == 0 or h == 0:
+        raise ValueError("corrupt PNG: zero width/height")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
@@ -656,7 +658,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload to (samples float64 in [-1,1] with shape
-    (n_frames, n_channels), sample_rate)."""
+    (n_frames, n_channels), sample_rate). Truncated or corrupt streams
+    raise ValueError, never raw struct.error/IndexError."""
+    try:
+        return _decode_wav(data)
+    except (struct.error, IndexError, KeyError, ZeroDivisionError):
+        raise ValueError("truncated or corrupt WAV stream") from None
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF header)")
     pos, fmt, raw = 12, None, None
@@ -687,6 +697,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     else:
         raise ValueError(f"unsupported WAV format code {audio_fmt}")
+    if n_ch < 1:
+        raise ValueError("corrupt WAV: zero channels")
     return x.reshape(-1, n_ch), rate
 
 
@@ -782,19 +794,26 @@ def decode_image(data: bytes) -> np.ndarray:
     8-bit, CMYK/YCbCr -> RGB — without this, the same image would hash
     and embed differently depending on which cluster decoded it."""
     if _PILImage is not None:
-        img = _PILImage.open(io.BytesIO(data))
-        if img.mode in ("P", "CMYK", "YCbCr"):
-            img = img.convert("RGB")
-        elif img.mode in ("I", "I;16", "F"):
-            img = img.convert("L")
-        elif img.mode == "PA":
-            img = img.convert("LA")
-        return np.asarray(img)
-    if data[:8] == _PNG_SIG:
-        return decode_png(data)
-    if data[:2] == b"\xff\xd8":
-        return decode_jpeg(data)
-    raise ValueError("unsupported image format (need PNG or JPEG bytes)")
+        try:
+            img = _PILImage.open(io.BytesIO(data))
+            if img.mode in ("P", "CMYK", "YCbCr"):
+                img = img.convert("RGB")
+            elif img.mode in ("I", "I;16", "F"):
+                img = img.convert("L")
+            elif img.mode == "PA":
+                img = img.convert("LA")
+            out = np.asarray(img)
+        except OSError as e:  # UnidentifiedImageError and friends
+            raise ValueError(f"corrupt image: {e}") from None
+    elif data[:8] == _PNG_SIG:
+        out = decode_png(data)
+    elif data[:2] == b"\xff\xd8":
+        out = decode_jpeg(data)
+    else:
+        raise ValueError("unsupported image format (need PNG or JPEG bytes)")
+    if out.shape[0] == 0 or out.shape[1] == 0:
+        raise ValueError("corrupt image: zero width/height")
+    return out
 
 
 def encode_image(arr: np.ndarray, mime: str = "image/png", quality: int = 90) -> bytes:
