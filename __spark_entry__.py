@@ -2026,7 +2026,11 @@ def mm_real_codec(spark, sf):
 
     media = make_real_media(spark, n=24, seed=7)
     imgs = media.filter(F.col("kind") == "image")
-    feats = decode_image_features(imgs, dim=16).select(
+    # pure=True pins the numpy decoders even on a Pillow-equipped cluster:
+    # the 0.05 / Hamming-3 margins below were measured against the pure
+    # IDCT, and the oracle pins them as literal TRUE — the result must not
+    # depend on which decode path the container happens to ship.
+    feats = decode_image_features(imgs, dim=16, pure=True).select(
         (F.col("media_id") / 3).cast("long").alias("group_id"),
         (F.col("media_id") % 3).alias("r"),
         "feature",
@@ -2044,7 +2048,7 @@ def mm_real_codec(spark, sf):
             < 0.05
         ).alias("feat_close"),
     )
-    ph = perceptual_hash(imgs).select(
+    ph = perceptual_hash(imgs, pure=True).select(
         (F.col("media_id") / 3).cast("long").alias("group_id"),
         (F.col("media_id") % 3).alias("r"),
         "phash64",

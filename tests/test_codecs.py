@@ -460,3 +460,101 @@ class TestOnErrorSkip:
 
         with pytest.raises(ValueError, match="on_error"):
             decode_image_features(self._mixed_media(spark), on_error="ignore")
+
+
+class TestAllocationGuards:
+    """ADVICE round-4: decoders size output arrays from untrusted header
+    fields. A crafted 8-byte header must raise ValueError (flowing through
+    the multimodal on_error='skip' boundary), never MemoryError."""
+
+    def test_png_header_bomb_rejected(self):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+        bomb = (
+            C._PNG_SIG
+            + C._png_chunk(b"IHDR", ihdr)
+            + C._png_chunk(b"IDAT", zlib.compress(b"\x00"))
+            + C._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="decode cap"):
+            C.decode_png(bomb)
+
+    def test_png_zlib_bomb_bounded(self):
+        """IDAT inflating past the header-implied pixel-stream size must
+        not balloon memory: decompression is bounded to the expected
+        byte count and the declared pixels still decode exactly."""
+        import struct
+        import zlib
+
+        a = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        raw = np.concatenate(
+            [np.zeros((4, 1), dtype=np.uint8), a.reshape(4, 12)], axis=1
+        ).tobytes()
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        data = (
+            C._PNG_SIG
+            + C._png_chunk(b"IHDR", ihdr)
+            + C._png_chunk(b"IDAT", zlib.compress(raw + b"\x00" * (64 << 20)))
+            + C._png_chunk(b"IEND", b"")
+        )
+        out = C.decode_png(data)
+        assert np.array_equal(out, a)
+
+    def test_png_short_pixel_stream_rejected(self):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        data = (
+            C._PNG_SIG
+            + C._png_chunk(b"IHDR", ihdr)
+            + C._png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + C._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            C.decode_png(data)
+
+    def test_jpeg_header_bomb_rejected(self):
+        a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        j = bytearray(C.encode_jpeg(a, 90))
+        sof = j.index(b"\xff\xc0")
+        j[sof + 5 : sof + 9] = (60000).to_bytes(2, "big") * 2  # h=w=60000
+        with pytest.raises(ValueError, match="decode cap"):
+            C.decode_jpeg(bytes(j))
+
+    def test_jpeg_bad_sampling_rejected(self):
+        a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        j = bytearray(C.encode_jpeg(a, 90))
+        sof = j.index(b"\xff\xc0")
+        j[sof + 11] = 0x55  # comp0 sampling 5x5, > T.81 cap of 4
+        with pytest.raises(ValueError, match="sampling factor"):
+            C.decode_jpeg(bytes(j))
+
+    def test_wav_float16_rejected(self):
+        """Format code 3 (IEEE float) with bits not in {32,64} must be a
+        clean rejection, not a silent f8 misparse into garbage samples."""
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", 8)
+            + b"\x00" * 8
+        )
+        data = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="float bit depth"):
+            C.decode_wav(data)
+
+    def test_decode_image_pure_flag(self):
+        """pure=True must take the numpy path (and agree with the default
+        dispatch in this PIL-less container)."""
+        a = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        png = C.encode_png(a)
+        assert np.array_equal(C.decode_image(png, pure=True), a)
+        assert np.array_equal(C.decode_image(png), C.decode_image(png, pure=True))

@@ -2,6 +2,8 @@
 (/root/reference/v3/data/examples, read-only) using the independently
 cross-checked anchor values from SURVEY.md §8.3."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -487,3 +489,51 @@ def test_save_path_roundtrip(spark, ref_examples, tmp_path):
     assert len(rows) == 123
     assert rows[0]["tick"] == -127620
     assert p2.get_price_at(AS_OF) == pytest.approx(8.781412307951676e27, rel=1e-12)
+
+
+def test_save_path_staleness_rebuild(spark, ref_examples, tmp_path):
+    """ADVICE round-4: a persisted save_path frame must not serve stale
+    state forever. Appending new events to the raw table changes the
+    source-directory fingerprint, so the next Pool init rebuilds the
+    cache and sees the new rows; an untouched source keeps serving the
+    save (same fingerprint)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from v3_polars_spark import fsutil
+    from v3_polars_spark.v3 import Pool
+
+    data = str(tmp_path / "data")
+    for t in ("factory_pool_created", "pool_swap_events", "pool_mint_burn_events"):
+        shutil.copytree(os.path.join(ref_examples, t), os.path.join(data, t))
+    sp = str(tmp_path / "pool_state")
+
+    p1 = Pool(spark, POOL, "ethereum", data, save_path=sp)
+    n1 = p1.swaps.count()
+    fp1 = fsutil.dir_fingerprint(spark, os.path.join(data, "pool_swap_events"))
+
+    # untouched source: same fingerprint, cache served as-is
+    assert fsutil.dir_fingerprint(
+        spark, os.path.join(data, "pool_swap_events")
+    ) == fp1
+
+    # append one synthetic swap (copy of the latest row, bumped block)
+    raw = spark.read.parquet(os.path.join(data, "pool_swap_events"))
+    extra = (
+        raw.filter(F.col("address") == POOL)  # must hit THIS tenant's filter
+        .orderBy(F.col("block_number").desc())
+        .limit(1)
+        .withColumn("block_number", F.col("block_number") + 1)
+    )
+    extra.write.mode("append").parquet(os.path.join(data, "pool_swap_events"))
+    assert (
+        fsutil.dir_fingerprint(spark, os.path.join(data, "pool_swap_events")) != fp1
+    )
+
+    p2 = Pool(spark, POOL, "ethereum", data, save_path=sp)
+    assert p2.swaps.count() == n1 + 1  # rebuilt, not the stale save
+
+    # refresh=True forces a rebuild even with an unchanged source
+    p3 = Pool(spark, POOL, "ethereum", data, save_path=sp, refresh=True)
+    assert p3.swaps.count() == n1 + 1

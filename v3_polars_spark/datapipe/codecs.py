@@ -49,6 +49,25 @@ except ImportError:  # the baked container has no Pillow
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Allocation guard for untrusted headers: PNG/JPEG dimensions are
+# attacker-controlled 16/32-bit fields, and the decoders size their output
+# arrays from them BEFORE touching pixel data. Without a cap, an 8-byte
+# crafted header demands a multi-GB np.zeros -> MemoryError, which is NOT a
+# ValueError and so would sail past the multimodal on_error='skip' boundary
+# and kill the whole task. 2^26 px (64 Mpx ~ 8Kx8K, 192 MB RGB f8) is far
+# above any sane training-corpus image and far below task memory.
+_MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int, fmt: str) -> None:
+    if w == 0 or h == 0:
+        raise ValueError(f"corrupt {fmt}: zero width/height")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(
+            f"corrupt or hostile {fmt} header: {w}x{h} exceeds the "
+            f"{_MAX_PIXELS}-pixel decode cap"
+        )
+
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
     crc = zlib.crc32(tag + body) & 0xFFFFFFFF
@@ -118,11 +137,17 @@ def _decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if w == 0 or h == 0:
-        raise ValueError("corrupt PNG: zero width/height")
+    _check_dims(w, h, "PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
+    # Bounded inflate: a zlib bomb in IDAT could otherwise expand to GBs.
+    # The pixel stream's exact size is known from the header — ask for
+    # exactly that and reject short or over-long streams.
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected)
+    if len(raw) < expected:
+        raise ValueError("truncated PNG pixel data")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     bpp = channels
@@ -411,13 +436,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 off += 17 + nvals
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
             h, w = struct.unpack_from(">HH", body, 1)
+            _check_dims(w, h, "JPEG")
             ncomp = body[5]
+            if not 1 <= ncomp <= 4:
+                raise ValueError(f"corrupt JPEG: {ncomp} components")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
+                sh, sv = hv >> 4, hv & 15
+                # T.81 caps sampling factors at 4; anything else both
+                # violates the spec and would scale the plane allocation.
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"corrupt JPEG: sampling factor {sh}x{sv}")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
         elif marker == 0xC2:
             raise ValueError("progressive JPEG not supported (baseline only)")
         elif marker == 0xDD:  # DRI
@@ -683,6 +714,10 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt == 3:  # IEEE float
+        if bits not in (32, 64):
+            # mirror the PCM branch: a stream declaring e.g. bits=16 with
+            # format code 3 would otherwise be silently misparsed as f8
+            raise ValueError(f"unsupported IEEE-float bit depth {bits}")
         x = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8").astype(
             np.float64
         )
@@ -785,15 +820,20 @@ def phash64(arr: np.ndarray) -> int:
 # ---------------------------------------------------------------------------
 
 
-def decode_image(data: bytes) -> np.ndarray:
+def decode_image(data: bytes, pure: bool = False) -> np.ndarray:
     """Decode PNG or JPEG bytes to (H,W[,C]) uint8, via Pillow when it is
     installed, else the pure decoders above (magic-byte dispatch).
 
     The Pillow path normalizes modes so both paths agree: palette ->
     RGB (matching the pure decoder's PLTE mapping), 16-bit/float ->
     8-bit, CMYK/YCbCr -> RGB — without this, the same image would hash
-    and embed differently depending on which cluster decoded it."""
-    if _PILImage is not None:
+    and embed differently depending on which cluster decoded it.
+
+    ``pure=True`` bypasses the Pillow dispatch entirely — for results
+    that must be byte-identical regardless of which cluster decodes
+    (e.g. the driver-verified mm_real_codec invariants, whose JPEG
+    tolerance margins were measured against the pure IDCT)."""
+    if _PILImage is not None and not pure:
         try:
             img = _PILImage.open(io.BytesIO(data))
             if img.mode in ("P", "CMYK", "YCbCr"):

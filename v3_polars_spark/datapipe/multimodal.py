@@ -73,13 +73,13 @@ def _fake_decode(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
-def _thumb_features(payload: bytes, dim: int, codecs) -> list[float]:
+def _thumb_features(payload: bytes, dim: int, codecs, pure: bool = False) -> list[float]:
     """Real visual feature: decode, grayscale, bilinear-resize to the
     smallest k×k grid with k² >= dim, flatten, scale to [0,1]."""
     import math as _math
 
     k = _math.ceil(_math.sqrt(dim))
-    img = codecs.decode_image(payload)
+    img = codecs.decode_image(payload, pure=pure)
     thumb = codecs.resize_bilinear(codecs.to_gray(img), k, k)
     return [float(v) / 255.0 for v in thumb.flatten()[:dim]]
 
@@ -90,6 +90,7 @@ def decode_image_features(
     fake: bool = False,
     batch_size_hint: int | None = None,
     on_error: str = "raise",
+    pure: bool = False,
 ) -> DataFrame:
     """payload → feature vector via mapInPandas (Arrow-batched).
 
@@ -104,7 +105,12 @@ def decode_image_features(
     payloads; ``"raise"`` (default) fails the task on the first bad
     image, ``"skip"`` drops those rows (mapInPandas output is
     variable-length, so the row simply doesn't exist downstream —
-    count inputs vs outputs to monitor the drop rate)."""
+    count inputs vs outputs to monitor the drop rate).
+
+    ``pure=True`` pins the pure-numpy decoders even where Pillow is
+    installed, making output values cluster-independent (the
+    mm_real_codec correctness query uses this so its tolerance margins
+    cannot flip when a Pillow-equipped cluster runs the same plan)."""
     _check_on_error(on_error)
     if batch_size_hint:
         df.sparkSession.conf.set(
@@ -121,7 +127,7 @@ def decode_image_features(
                 try:
                     feats.append(
                         _fake_decode(b, dim) if fake
-                        else _thumb_features(b, dim, codecs)
+                        else _thumb_features(b, dim, codecs, pure=pure)
                     )
                     keep.append(i)
                 except ValueError:
@@ -175,6 +181,7 @@ def resize_images(
     height: int,
     fake: bool = False,
     on_error: str = "raise",
+    pure: bool = False,
 ) -> DataFrame:
     """payload → resized payload via mapInPandas — the write-side twin of
     ``decode_image_features``: binary in, binary out, metadata updated.
@@ -198,7 +205,7 @@ def resize_images(
                 if not fake:
                     try:
                         resized = codecs.resize_bilinear(
-                            codecs.decode_image(b), width, height
+                            codecs.decode_image(b, pure=pure), width, height
                         )
                     except ValueError:
                         if on_error == "raise":
@@ -414,6 +421,7 @@ def perceptual_hash(
     id_col: str = "media_id",
     payload_col: str = "payload",
     on_error: str = "raise",
+    pure: bool = False,
 ) -> DataFrame:
     """payload → 64-bit perceptual hash via mapInPandas (Arrow-batched).
 
@@ -439,7 +447,7 @@ def perceptual_hash(
                 b = bytes(p) if p is not None else b""
                 if not fake:
                     try:
-                        out.append(codecs.phash64(codecs.decode_image(b)))
+                        out.append(codecs.phash64(codecs.decode_image(b, pure=pure)))
                         keep.append(i)
                     except ValueError:
                         if on_error == "raise":

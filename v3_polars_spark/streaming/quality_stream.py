@@ -36,11 +36,15 @@ def _write_batch_state(df: DataFrame, batch_id: int, state_path: str) -> None:
     version of this module kept root-level parquet files with batch_id
     as a DATA column; mixing the two layouts in one directory breaks
     partition discovery for every reader. Fail loudly with a migration
-    hint instead of corrupting the table."""
-    import os
+    hint instead of corrupting the table. The check goes through the
+    Hadoop FileSystem API (fsutil) so it holds for hdfs:// and s3a://
+    state paths too — os.listdir would silently no-op exactly where a
+    corrupted mixed layout is hardest to notice."""
+    from .. import fsutil
 
-    if os.path.isdir(state_path) and any(
-        f.endswith(".parquet") for f in os.listdir(state_path)
+    if any(
+        f.endswith(".parquet")
+        for f in fsutil.list_file_names(df.sparkSession, state_path)
     ):
         raise ValueError(
             f"{state_path} holds flat-layout state from a previous version; "

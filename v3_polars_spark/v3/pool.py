@@ -43,6 +43,7 @@ class Pool:
         data_path: str,
         pull: bool = True,
         save_path: str | None = None,
+        refresh: bool = False,
     ):
         """``save_path`` is the cross-session analog of the reference's
         ``readFromMemoryOrDisk(save=True)`` (state.py:114-174): the
@@ -50,12 +51,23 @@ class Pool:
         frames are persisted as parquet under ``save_path/<table>/`` on
         first access and read straight back on later Pool inits —
         skipping the raw-table scan + filter entirely. In-session reuse
-        is covered either way by ``.cache()``."""
+        is covered either way by ``.cache()``.
+
+        Staleness: unlike the reference's per-session in-memory cache
+        (which can never outlive its data), a persisted frame CAN go
+        stale when new events land in the raw tables. Each save carries
+        a fingerprint of the source directory's file listing
+        (fsutil.dir_fingerprint — names/sizes/mtimes, no data scan);
+        a later init whose raw listing differs rebuilds automatically.
+        ``refresh=True`` forces a rebuild regardless. All marker/
+        fingerprint IO goes through the Hadoop FS API, so remote
+        (hdfs://, s3a://) save_paths behave the same as local ones."""
         self.spark = spark
         self.chain = chain
         self.pool = pool.lower()  # normalize checksummed addresses (state.py:45)
         self.data_path = data_path
         self.save_path = save_path
+        self.refresh = refresh
         self._cache: dict = {"as_of": None}
 
         # initializePoolFromFactory (reference pool_helpers.py:10-34)
@@ -87,18 +99,45 @@ class Pool:
     # readFromMemoryOrDisk analogs (reference state.py:114-174) ------------
     def _saved_or(self, table: str, build) -> DataFrame:
         """Return the preprocessed frame from ``save_path`` if previously
-        persisted, else build it (and persist when save_path is set).
+        persisted AND still current, else (re)build and persist it.
         The location is namespaced by (chain, pool) — the frames are
         tenant-FILTERED, so a table-only key would silently serve one
-        pool's events as another's when two Pools share a save_path."""
-        import os
+        pool's events as another's when two Pools share a save_path.
+
+        Currency check: the save carries ``_RAW_FINGERPRINT`` (a listing
+        fingerprint of the SOURCE table directory). If the raw table
+        gained/changed files since the save, the cache rebuilds instead
+        of silently serving pre-append state forever. Spark's file index
+        ignores underscore-prefixed files, so the extra marker never
+        pollutes the parquet read."""
+        import posixpath
+
+        from .. import fsutil
 
         if self.save_path is None:
             return build()
-        loc = os.path.join(self.save_path, self.chain, self.pool, table)
-        marker = os.path.join(loc, "_SUCCESS")
-        if not os.path.exists(marker):
+        loc = posixpath.join(self.save_path, self.chain, self.pool, table)
+        raw_dir = posixpath.join(self.data_path, table)
+        current = fsutil.dir_fingerprint(self.spark, raw_dir)
+        saved = fsutil.read_text(self.spark, posixpath.join(loc, "_RAW_FINGERPRINT"))
+        fresh = (
+            not self.refresh
+            and saved == current
+            and fsutil.exists(self.spark, posixpath.join(loc, "_SUCCESS"))
+        )
+        if not fresh:
+            # Drop session-level caches for both paths: the raw dir's
+            # file-status listing may predate the append that made the
+            # save stale, and an earlier Pool's .cache() of the save
+            # location would otherwise serve the pre-overwrite rows
+            # (CacheManager matches by plan, i.e. by path).
+            self.spark.catalog.refreshByPath(raw_dir)
+            self.spark.catalog.refreshByPath(loc)
             build().write.mode("overwrite").parquet(loc)
+            fsutil.write_text(
+                self.spark, posixpath.join(loc, "_RAW_FINGERPRINT"), current
+            )
+            self.spark.catalog.refreshByPath(loc)
         return self.spark.read.parquet(loc)
 
     @property
