@@ -99,28 +99,86 @@ def liquidity_distribution_multi(
 
 
 def liquidity_timeline(
-    mb: DataFrame, frame_as_ofs: list[float], by: list[str] | None = None
+    mb: DataFrame,
+    frame_as_ofs: list[float],
+    by: list[str] | None = None,
+    wide_threshold: int = 64,
 ) -> DataFrame:
     """Liquidity distribution at MANY as-of frames in one distributed plan
     — the scale re-expression of the crosschain animation notebook, which
     loops slice(i,1) over a resampled series re-running createLiq per frame
     (reference Crosschain_Liquidity_GIF.ipynb cell 12).
 
-    Instead of #frames passes over the events, each event row contributes
-    its two signed tick deltas once, tagged with the FIRST frame that
-    includes it (first frame_t > as_of — the strict-< as-of convention,
-    SURVEY §8.2). Two stacked prefix sums finish the job:
-      1. over the frame axis (window by tick): per-frame cumulative net
-         delta = the frame's group-sum in liquidity_distribution;
-      2. over the tick axis (window by frame): the distribution cumsum.
-    A dense (frame x tick) grid (broadcast frames — O(#frames) literals)
-    carries ticks through frames where they had no new events.
+    Two physical plans, same semantics (each event's two signed tick
+    deltas contribute to every frame strictly after its as_of — SURVEY
+    §8.2's strict-< convention):
+
+    - **fused** (#frames <= ``wide_threshold``): ONE hash aggregation
+      computes, per tick, the frame-axis cumulative net delta for every
+      frame as a conditional sum column (``sum(when(as_of < frame_i,
+      delta))`` — the "cumulative" is free because an event counts toward
+      all later frames), then explodes the columns to rows and runs the
+      single tick-axis cumsum window. Exactly TWO exchanges (group-by,
+      window) regardless of #frames — the floor-dominant shape for the
+      animation workload's dozens of frames.
+    - **grid** (#frames > ``wide_threshold``): tag each delta with its
+      first covering frame, group once per (frame, tick), densify with a
+      frame x tick grid, and stack two prefix-sum windows (frame axis,
+      then tick axis). O(#frames) rows instead of O(#frames) agg columns
+      — the right trade once the conditional-sum row width outgrows the
+      aggregation buffer.
 
     Output: (frame_as_of, tick, liquidity). With ``by`` (e.g. chain+pool),
-    every window/grid additionally partitions by those keys.
+    every aggregation/window additionally partitions by those keys.
     """
     by = list(by or [])
     frames = sorted(float(x) for x in frame_as_ofs)
+    if len(frames) <= wide_threshold:
+        return _timeline_fused(mb, frames, by)
+    return _timeline_grid(mb, frames, by)
+
+
+def _timeline_fused(mb: DataFrame, frames: list[float], by: list[str]) -> DataFrame:
+    signed = F.col("amount") * F.col("type_of_event")
+    lower = mb.select(
+        *by, F.col("as_of"), F.col("tick_lower").alias("tick"), signed.alias("delta")
+    )
+    upper = mb.select(
+        *by, F.col("as_of"), F.col("tick_upper").alias("tick"), (-signed).alias("delta")
+    )
+    deltas = lower.unionByName(upper)
+    nets = deltas.groupBy(*by, "tick").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("as_of") < F.lit(f), F.col("delta"))),
+                F.lit(0.0),
+            ).alias(f"_net_{i}")
+            for i, f in enumerate(frames)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(f).cast(DoubleType()).alias("frame_as_of"),
+                F.col(f"_net_{i}").alias("net"),
+            )
+            for i, f in enumerate(frames)
+        ]
+    )
+    dense = nets.select(*by, "tick", F.explode(pairs).alias("p")).select(
+        *by, "tick", "p.frame_as_of", "p.net"
+    )
+    w_ticks = (
+        Window.partitionBy(*by, "frame_as_of")
+        .orderBy(F.col("tick").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        *by, "frame_as_of", "tick", F.sum("net").over(w_ticks).alias("liquidity")
+    )
+
+
+def _timeline_grid(mb: DataFrame, frames: list[float], by: list[str]) -> DataFrame:
     frames_arr = F.array(*[F.lit(x).cast(DoubleType()) for x in frames])
 
     signed = F.col("amount") * F.col("type_of_event")
