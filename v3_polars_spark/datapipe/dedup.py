@@ -535,17 +535,25 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, rep): each node labeled with the minimum id reachable through
     the (undirected) ``pairs`` edges — singletons keep themselves.
 
-    Min-label propagation: every iteration each node takes the min of its
-    own label and its neighbors' labels; converges in O(component
-    diameter) rounds (near-dup components are shallow — duplicates of one
-    source document). Each round is one join + one map-side-combinable
-    min aggregate; results are persisted per round so lineage stays flat.
-    The iterative driver loop is bounded and data-independent per round —
-    the standard Spark shape for label propagation."""
+    Min-label propagation WITH pointer doubling: every round each node
+    takes the min of its own label and its neighbors' labels (one join +
+    one map-side-combinable min aggregate), then shortcuts through its
+    representative (``rep <- label(rep)``, one self-join on the label
+    table). The shortcut gives the same O(log diameter) round bound the
+    large-star/small-star alternation achieves (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") while keeping the
+    per-round plan a fixed three-shuffle shape with NO per-node
+    neighborhood materialization — a 100-node duplicate chain converges
+    in ~8 rounds instead of 100 (pinned by test_props). Labels only
+    decrease and never leave the component (the label table maps every
+    node to a node id in its own component), so the fixpoint is the
+    exact component minimum. Results are persisted per round so lineage
+    stays flat; the loop is bounded and data-independent per round."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -555,20 +563,38 @@ def connected_components(
         .persist()
     )  # unpersisted below once the fixpoint loop ends
     labels = nodes.select(F.col(id_col).alias("src"), F.col(id_col).alias("rep"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = it + 1  # convergence budget, pinned by tests
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("rep").alias("nmin"))
         )
-        new_labels = _track(
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias(
-                    "rep"
-                ),
+        prop = labels.join(neighbor_min, "src", "left").select(
+            "src",
+            F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias(
+                "rep"
+            ),
+        )
+        # pointer doubling: rep <- label(rep). Every rep IS a node id, so
+        # the self-join always matches; coalesce guards regardless. This
+        # is what collapses long chains logarithmically — propagation
+        # alone moves the min one hop per round. localCheckpoint (not
+        # persist) because the self-join references the round's plan
+        # TWICE: without truncating lineage the logical plan doubles
+        # every round and Catalyst blows the stack by round ~10.
+        new_labels = (
+            prop.alias("l")
+            .join(
+                prop.select(
+                    F.col("src").alias("rep"), F.col("rep").alias("rep2")
+                ).alias("r"),
+                "rep",
+                "left",
             )
+            .select("src", F.coalesce(F.col("rep2"), F.col("rep")).alias("rep"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("rep", "old"), "src")
@@ -584,8 +610,9 @@ def connected_components(
 
         warnings.warn(
             f"connected_components: no fixpoint within max_iter={max_iter} "
-            "rounds — labels are min-id within that many hops; components "
-            "with larger diameter keep multiple representatives",
+            "rounds — labels are min-id within that many hops with doubling; "
+            "components with diameter beyond ~2^max_iter keep multiple "
+            "representatives",
             stacklevel=2,
         )
     edges.unpersist()
