@@ -54,6 +54,71 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+# Above this, the per-cell loop (O(rows x cols) Python) and the
+# astype(str) lexsort stop being viable — switch to the vectorized
+# order-insensitive row-hash multiset compare. 60 M-row results (sf1
+# derived_math) compare in seconds instead of never.
+BIG_ROWS = 1_000_000
+
+
+def _canon_pair(a: pd.Series, b: pd.Series):
+    """Map the same logical column from the two engines onto one dtype so
+    equal values hash equally (Spark int32 vs DuckDB int64, Decimal vs
+    float, us- vs ns-timestamps, -0.0 vs 0.0, NaN bit patterns)."""
+    import numpy as np
+
+    def is_dt(s):
+        return pd.api.types.is_datetime64_any_dtype(s)
+
+    def to_int_ns(s):
+        if getattr(s.dtype, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        return s.astype("datetime64[ns]").astype("int64")
+
+    if is_dt(a) and is_dt(b):
+        return to_int_ns(a), to_int_ns(b)
+    num = (
+        pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b)
+    )
+    if num:
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            out = []
+            for s in (a, b):
+                arr = s.to_numpy(dtype="float64", na_value=np.nan) + 0.0
+                arr[np.isnan(arr)] = np.nan  # one canonical NaN pattern
+                out.append(pd.Series(arr))
+            return out[0], out[1]
+        return a.astype("int64"), b.astype("int64")
+    return a.astype(str), b.astype(str)
+
+
+def compare_hashed(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    """Order-insensitive exact multiset compare via per-row 64-bit hashes
+    (vectorized, no Python loops). Collision masking odds at 60 M rows are
+    ~1e-4 under the birthday bound — and a collision can only hide a diff,
+    never invent one."""
+    import numpy as np
+
+    cols = sorted(spark_df.columns)
+    canon_s, canon_d = {}, {}
+    for c in cols:
+        canon_s[c], canon_d[c] = _canon_pair(spark_df[c], duck_df[c])
+    hashes = []
+    for canon in (canon_s, canon_d):
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame(canon), index=False
+        ).to_numpy()
+        h.sort()
+        hashes.append(h)
+    if not np.array_equal(hashes[0], hashes[1]):
+        n_bad = int((hashes[0] != hashes[1]).sum())
+        return [
+            f"hashed multiset mismatch: {n_bad} of {len(hashes[0])} "
+            "row-hash slots differ"
+        ]
+    return []
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     errs = []
     if len(spark_df) != len(duck_df):
@@ -63,6 +128,8 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         errs.append(f"columns spark={sc} duck={dc}")
     if errs:
         return errs
+    if len(spark_df) > BIG_ROWS:
+        return compare_hashed(spark_df, duck_df)
     s, d = _normalize(spark_df), _normalize(duck_df)
     n_bad = 0
     for col in s.columns:
@@ -84,7 +151,18 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from v3_polars_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    # The compare collects full results driver-side (that is the harness's
+    # job, not an engine pattern): lift the collect cap so scale-point
+    # audits (60 M-row results at sf1) reach the hashed compare instead of
+    # dying at spark.driver.maxResultSize's 1g default.
+    spark = get_spark(
+        app_name="oracle-check",
+        extra_conf={
+            "spark.driver.maxResultSize": os.environ.get(
+                "SPARK_ORACLE_MAX_RESULT", "8g"
+            )
+        },
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

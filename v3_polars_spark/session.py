@@ -25,6 +25,7 @@ def get_spark(
     app_name: str = "v3-polars-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
@@ -71,6 +72,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
