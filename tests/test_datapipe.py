@@ -78,6 +78,34 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (0, 3) not in pairs
 
 
+def test_minhash_lsh_collapse_equivalence(docs, spark):
+    """The exact-dup collapse path must be row-identical to the
+    uncollapsed pipeline — including empty docs (no shingles → no pairs)
+    and same-set/different-order duplicates."""
+    extra = spark.createDataFrame(
+        [
+            (5, ""),  # empty: must never appear in any pair
+            (6, "x"),  # <n tokens: empty shingle set too
+            (7, BASE),  # third exact copy -> a 3-member group
+        ],
+        ["doc_id", "text"],
+    )
+    d = docs.unionByName(extra)
+    key = lambda rows: sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in rows
+    )
+    fast = key(minhash_lsh_pairs(d, verify_threshold=0.05).collect())
+    slow = key(
+        minhash_lsh_pairs(d, verify_threshold=0.05, collapse_exact=False).collect()
+    )
+    assert fast == slow
+    ids_in_pairs = {i for a, b, _ in fast for i in (a, b)}
+    assert 5 not in ids_in_pairs and 6 not in ids_in_pairs
+    # the 3-member exact group emits all three within pairs at 1.0
+    ones = {(a, b) for a, b, j in fast if j == 1.0}
+    assert {(0, 1), (0, 7), (1, 7)} <= ones
+
+
 def test_simhash_near_pairs(docs, spark):
     sig = simhash(docs)
     vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
