@@ -106,6 +106,24 @@ def test_minhash_lsh_collapse_equivalence(docs, spark):
     assert {(0, 1), (0, 7), (1, 7)} <= ones
 
 
+def test_ngram_jaccard_collapse_equivalence(docs, spark):
+    extra = spark.createDataFrame(
+        [(5, ""), (6, "x y"), (7, BASE)], ["doc_id", "text"]
+    )
+    d = docs.unionByName(extra)
+    key = lambda rows: sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in rows
+    )
+    fast = key(ngram_jaccard_pairs(d, threshold=0.05).collect())
+    slow = key(
+        ngram_jaccard_pairs(d, threshold=0.05, collapse_exact=False).collect()
+    )
+    assert fast == slow
+    ids = {i for a, b, _ in fast for i in (a, b)}
+    assert 5 not in ids and 6 not in ids
+    assert {(0, 1), (0, 7), (1, 7)} <= {(a, b) for a, b, j in fast if j == 1.0}
+
+
 def test_simhash_near_pairs(docs, spark):
     sig = simhash(docs)
     vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}

@@ -168,13 +168,42 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for all pairs
     sharing at least one shingle. Output: (id_a, id_b, jaccard), id_a<id_b.
 
     The shared-shingle equi-join bounds the pair space to actually-similar
-    candidates; |A∪B| = |A|+|B|-|A∩B| avoids a second pass over sets."""
+    candidates; |A∪B| = |A|+|B|-|A∩B| avoids a second pass over sets.
+
+    ``collapse_exact`` (default on): the shared-shingle self-join emits
+    d^2 rows per shingle appearing in d docs, so d-fold exact duplication
+    inflates the join quadratically. As in :func:`minhash_lsh_pairs`, docs
+    are first grouped by shingle-set equality (md5 of the to_json'd sorted
+    set — escaping-proof against separator ambiguity in shingle strings),
+    the join runs on one representative per distinct set, and the full
+    pair list is reconstructed afterward — row-identical, since identical
+    sets have identical intersections with every other set."""
     sh = _track(shingles(df, text_col, id_col, n))
+    if collapse_exact:
+        per_doc = sh.groupBy(id_col).agg(
+            F.md5(F.to_json(F.sort_array(F.collect_set("shingle")))).alias("__gk")
+        )
+        groups = per_doc.groupBy("__gk").agg(F.min(id_col).alias("__rep"))
+        members = _track(
+            per_doc.join(groups, "__gk").select(id_col, "__rep")
+        )
+        reps = sh.join(
+            groups.select(F.col("__rep").alias(id_col)), id_col, "leftsemi"
+        )
+        rep_pairs = _ngram_jaccard_core(reps, id_col, threshold)
+        return _expand_collapsed_pairs(rep_pairs, members, id_col, threshold)
+    return _ngram_jaccard_core(sh, id_col, threshold)
+
+
+def _ngram_jaccard_core(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """The shared-shingle join + Jaccard over an exploded (id, shingle)
+    frame — see :func:`ngram_jaccard_pairs`."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -383,8 +412,20 @@ def minhash_lsh_pairs(
         reps, id_col, num_hashes, bands, verify_threshold
     )
 
-    # cross-group: every member of rep_a's group pairs with every member
-    # of rep_b's group at the representatives' jaccard
+    return _expand_collapsed_pairs(rep_pairs, members, id_col, verify_threshold)
+
+
+def _expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Reconstruct the full (id_a, id_b, jaccard) list from representative
+    pairs plus the ``(id_col, __rep)`` membership map: cross-group pairs
+    inherit the representatives' jaccard (every member of rep_a's group
+    pairs with every member of rep_b's); within-group pairs are identical
+    sets, jaccard exactly 1.0."""
     ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__db"))
     cross = (
@@ -396,7 +437,6 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    # within-group: identical sets, jaccard exactly 1.0
     wa = members.select("__rep", F.col(id_col).alias("id_a"))
     wb = members.select("__rep", F.col(id_col).alias("id_b"))
     within = (
@@ -404,7 +444,7 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
-    if verify_threshold > 1.0:
+    if threshold > 1.0:
         within = within.filter(F.lit(False))
     return cross.unionByName(within)
 
