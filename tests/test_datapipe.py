@@ -229,6 +229,32 @@ def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     assert n_hit / n_exact >= 0.5  # recall floor at these LSH params
 
 
+def test_embedding_lsh_collapse_equivalence(spark, sf_dir):
+    """Vector exact-dup collapse must be bit-identical to the uncollapsed
+    pipeline — within-group pairs carry the COMPUTED self-cosine, so even
+    last-ulp FP behavior matches. (A zero vector raises ANSI
+    DIVIDE_BY_ZERO identically in both paths once it lands in a shared
+    bucket — also parity, exercised implicitly by the singleton guard in
+    the operator.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    first = emb.first()
+    dup = spark.createDataFrame(
+        [
+            (90001, first["embedding"], 0),  # exact copy of vec 0's embedding
+            (90002, first["embedding"], 0),  # second copy -> 3-member group
+        ],
+        emb.schema,
+    )
+    d = emb.unionByName(dup)
+    kw = dict(dim=64, threshold=0.4, bits=4, tables=8)
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["cosine"]) for r in rows)
+    fast = key(embedding_near_dup_lsh(d, **kw).collect())
+    slow = key(embedding_near_dup_lsh(d, **kw, collapse_exact=False).collect())
+    assert fast == slow  # bit-exact incl. cosines
+    pair_ids = {(a, b) for a, b, _ in fast}
+    assert {(first["vec_id"], 90001), (first["vec_id"], 90002), (90001, 90002)} <= pair_ids
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(

@@ -164,6 +164,7 @@ def embedding_near_dup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Approximate embedding near-dup pairs — the scale path.
 
@@ -172,8 +173,78 @@ def embedding_near_dup_lsh(
     (table, bucket); the exact cosine filter then removes false positives,
     so precision is 1.0 and only recall is approximate. Recall for a pair
     at angle theta: 1-(1-p^bits)^tables with p = 1-theta/pi. The pair join
-    shuffles on (table, bucket) — no O(n^2) cross product."""
+    shuffles on (table, bucket) — no O(n^2) cross product.
+
+    ``collapse_exact`` (default on): within-bucket candidate pairs grow
+    quadratically with exact vector duplication (dup docs carry dup
+    embeddings), so — as in the text dedup family — vectors are grouped
+    by exact content (md5 of the double-array rendering; distinct doubles
+    render distinctly, so groups merge only true bit-equals), LSH runs on
+    one representative per distinct vector, and pairs are reconstructed
+    afterward. Cross-group pairs inherit the representatives' cosine
+    (identical vectors ⇒ identical buckets and identical cosine);
+    within-group pairs carry the COMPUTED self-cosine ``_cos(v, v)`` —
+    not a literal 1.0 — so the last-ulp FP behavior (and the zero-vector
+    NaN → filtered case) is bit-identical to the uncollapsed pipeline
+    and its SQL oracle."""
     v = F.col(vec_col).cast("array<double>")
+    if collapse_exact:
+        keyed = df.select(
+            F.col(id_col),
+            v.alias("__v"),
+            F.md5(v.cast("string")).alias("__gk"),
+        )
+        groups = keyed.groupBy("__gk").agg(
+            F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__gn")
+        )
+        members = keyed.select(id_col, "__gk").join(groups, "__gk").select(
+            id_col, "__rep"
+        )
+        reps = (
+            keyed.join(
+                groups.select(F.col("__rep").alias(id_col)), id_col, "leftsemi"
+            ).select(F.col(id_col), F.col("__v").alias(vec_col))
+        )
+        rep_pairs = embedding_near_dup_lsh(
+            reps, dim, threshold, bits, tables, seed, id_col, vec_col,
+            collapse_exact=False,
+        )
+        ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
+        mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__db"))
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__da", "__db").alias("id_a"),
+                F.greatest("__da", "__db").alias("id_b"),
+                "cosine",
+            )
+        )
+        # self-cosine only for groups that actually have within pairs:
+        # evaluating _cos on singleton reps the uncollapsed path never
+        # pairs would add failure modes it doesn't have (ANSI
+        # divide-by-zero on a lone all-zero vector)
+        vv = F.col(vec_col).cast("array<double>")
+        rep_self = (
+            reps.join(
+                groups.filter(F.col("__gn") > 1).select(
+                    F.col("__rep").alias(id_col)
+                ),
+                id_col,
+                "leftsemi",
+            )
+            .select(F.col(id_col).alias("__rep"), _cos(vv, vv).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+        wa = members.select("__rep", F.col(id_col).alias("id_a"))
+        wb = members.select("__rep", F.col(id_col).alias("id_b"))
+        within = (
+            wa.join(wb, "__rep")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(rep_self, "__rep")
+            .select("id_a", "id_b", "cosine")
+        )
+        return cross.unionByName(within)
     buckets = F.array(
         *[lsh_bucket(v, dim, bits, seed + 1000003 * t) for t in range(tables)]
     )
