@@ -21,7 +21,7 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, normalize_text
@@ -398,15 +398,23 @@ def minhash_lsh_pairs(
     # array-order, the grouping relation. Docs with empty sets produce no
     # signature in the uncollapsed pipeline, hence no pairs — exclude them
     # from groups so within-group expansion cannot invent pairs for them.
+    # one window shuffle derives BOTH the membership map and the
+    # representative rows (min-id per set-equality group); a
+    # groupBy+join+semi-join formulation costs two extra exchanges
     nonempty = sets.filter(F.size(F.col("shset")) > 0)
     keyed = nonempty.select(
         F.col(id_col),
+        F.col("shset"),
         F.md5(F.sort_array(F.col("shset")).cast("string")).alias("__gk"),
     )
-    groups = keyed.groupBy("__gk").agg(F.min(id_col).alias("__rep"))
-    members = _track(keyed.join(groups, "__gk").select(id_col, "__rep"))
-    reps = nonempty.join(
-        groups.select(F.col("__rep").alias(id_col)), id_col, "leftsemi"
+    labeled = _track(
+        keyed.withColumn(
+            "__rep", F.min(id_col).over(Window.partitionBy("__gk"))
+        )
+    )
+    members = labeled.select(id_col, "__rep")
+    reps = labeled.filter(F.col(id_col) == F.col("__rep")).select(
+        F.col(id_col), F.col("shset")
     )
     rep_pairs = _lsh_pairs_from_sets(
         reps, id_col, num_hashes, bands, verify_threshold

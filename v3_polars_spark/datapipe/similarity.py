@@ -189,21 +189,28 @@ def embedding_near_dup_lsh(
     and its SQL oracle."""
     v = F.col(vec_col).cast("array<double>")
     if collapse_exact:
+        # one window shuffle derives the membership map, the group size,
+        # and the representative rows together (vs groupBy+join+semi-join
+        # = two extra exchanges)
         keyed = df.select(
             F.col(id_col),
             v.alias("__v"),
             F.md5(v.cast("string")).alias("__gk"),
         )
-        groups = keyed.groupBy("__gk").agg(
-            F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__gn")
+        gw = Window.partitionBy("__gk")
+        from .dedup import _track
+
+        labeled = _track(
+            keyed.select(
+                F.col(id_col),
+                F.col("__v"),
+                F.min(id_col).over(gw).alias("__rep"),
+                F.count(F.lit(1)).over(gw).alias("__gn"),
+            )
         )
-        members = keyed.select(id_col, "__gk").join(groups, "__gk").select(
-            id_col, "__rep"
-        )
-        reps = (
-            keyed.join(
-                groups.select(F.col("__rep").alias(id_col)), id_col, "leftsemi"
-            ).select(F.col(id_col), F.col("__v").alias(vec_col))
+        members = labeled.select(id_col, "__rep")
+        reps = labeled.filter(F.col(id_col) == F.col("__rep")).select(
+            F.col(id_col), F.col("__v").alias(vec_col)
         )
         rep_pairs = embedding_near_dup_lsh(
             reps, dim, threshold, bits, tables, seed, id_col, vec_col,
@@ -224,16 +231,14 @@ def embedding_near_dup_lsh(
         # evaluating _cos on singleton reps the uncollapsed path never
         # pairs would add failure modes it doesn't have (ANSI
         # divide-by-zero on a lone all-zero vector)
-        vv = F.col(vec_col).cast("array<double>")
         rep_self = (
-            reps.join(
-                groups.filter(F.col("__gn") > 1).select(
-                    F.col("__rep").alias(id_col)
-                ),
-                id_col,
-                "leftsemi",
+            labeled.filter(
+                (F.col(id_col) == F.col("__rep")) & (F.col("__gn") > 1)
             )
-            .select(F.col(id_col).alias("__rep"), _cos(vv, vv).alias("cosine"))
+            .select(
+                F.col("__rep"),
+                _cos(F.col("__v"), F.col("__v")).alias("cosine"),
+            )
             .filter(F.col("cosine") >= threshold)
         )
         wa = members.select("__rep", F.col(id_col).alias("id_a"))
