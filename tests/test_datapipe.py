@@ -13,6 +13,7 @@ from v3_polars_spark.datapipe import (
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     fingerprint_md5,
+    hamming_near_pairs,
     ivf_topk,
     fingerprint_rolling,
     frame_sample_plan,
@@ -104,6 +105,30 @@ def test_minhash_lsh_collapse_equivalence(docs, spark):
     # the 3-member exact group emits all three within pairs at 1.0
     ones = {(a, b) for a, b, j in fast if j == 1.0}
     assert {(0, 1), (0, 7), (1, 7)} <= ones
+
+
+def test_hamming_collapse_equivalence(docs, spark):
+    """Signature collapse must be row-identical to the uncollapsed banded
+    join, including the auto-widened-band regime and null signatures
+    (excluded from pairs in both paths)."""
+    sig = simhash(docs)
+    null_row = spark.createDataFrame(
+        [(99, None)], "doc_id bigint, simhash bigint"
+    )
+    with_null = sig.unionByName(null_row)
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["hamming"]) for r in rows)
+    for mh in (3, 16):
+        fast = key(hamming_near_pairs(with_null, max_hamming=mh).collect())
+        slow = key(
+            hamming_near_pairs(
+                with_null, max_hamming=mh, collapse_exact=False
+            ).collect()
+        )
+        assert fast == slow
+        assert all(99 not in (a, b) for a, b, _ in fast)
+    # identical signatures -> within pairs at hamming exactly 0
+    zeros = {(a, b) for a, b, h in fast if h == 0}
+    assert (0, 1) in zeros
 
 
 def test_ngram_jaccard_collapse_equivalence(docs, spark):

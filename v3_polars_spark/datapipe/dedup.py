@@ -428,12 +428,17 @@ def _expand_collapsed_pairs(
     members: DataFrame,
     id_col: str,
     threshold: float,
+    value_col: str = "jaccard",
+    within_value: Column | None = None,
+    within_keep: bool | None = None,
 ) -> DataFrame:
-    """Reconstruct the full (id_a, id_b, jaccard) list from representative
+    """Reconstruct the full (id_a, id_b, <value>) list from representative
     pairs plus the ``(id_col, __rep)`` membership map: cross-group pairs
-    inherit the representatives' jaccard (every member of rep_a's group
+    inherit the representatives' value (every member of rep_a's group
     pairs with every member of rep_b's); within-group pairs are identical
-    sets, jaccard exactly 1.0."""
+    inputs — jaccard exactly 1.0 / hamming exactly 0 (``within_value``),
+    kept iff the operator's threshold admits the self-similarity
+    (``within_keep``, default: jaccard semantics ``threshold <= 1.0``)."""
     ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__db"))
     cross = (
@@ -442,17 +447,21 @@ def _expand_collapsed_pairs(
         .select(
             F.least("__da", "__db").alias("id_a"),
             F.greatest("__da", "__db").alias("id_b"),
-            "jaccard",
+            value_col,
         )
     )
     wa = members.select("__rep", F.col(id_col).alias("id_a"))
     wb = members.select("__rep", F.col(id_col).alias("id_b"))
+    if within_value is None:
+        within_value = F.lit(1.0)
     within = (
         wa.join(wb, "__rep")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        .select("id_a", "id_b", within_value.alias(value_col))
     )
-    if threshold > 1.0:
+    if within_keep is None:
+        within_keep = threshold <= 1.0
+    if not within_keep:
         within = within.filter(F.lit(False))
     return cross.unionByName(within)
 
@@ -590,6 +599,7 @@ def hamming_near_pairs(
     hash_col: str = "simhash",
     max_hamming: int = 3,
     prefix_bands: int = 4,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Banded Hamming-distance self-join over ANY 64-bit signature column
     (SimHash, perceptual image hash, audio fingerprint): band into
@@ -597,7 +607,15 @@ def hamming_near_pairs(
     exact distance with bit_count(xor). Exact — not approximate — while
     ``max_hamming < prefix_bands`` (pigeonhole: a qualifying pair must
     agree on at least one whole chunk), with candidate generation a plain
-    bucketed equi-join, never all-pairs."""
+    bucketed equi-join, never all-pairs.
+
+    ``collapse_exact`` (default on): d identical signatures put d^2 rows
+    in every one of their chunk buckets; as in the other pair operators,
+    the banded join runs on one representative per distinct signature
+    (the hash value itself is the group key — a plain long) and pairs
+    are reconstructed afterward, within-group at hamming exactly 0.
+    Null-signature rows can never match a chunk join and are excluded
+    from groups, exactly as the uncollapsed join excludes them."""
     # pigeonhole guarantee (every qualifying pair shares a chunk) only
     # holds for max_hamming < prefix_bands; auto-widen the banding so the
     # exact-recall contract always holds instead of silently degrading.
@@ -617,6 +635,25 @@ def hamming_near_pairs(
         prefix_bands = widened
     if 64 % prefix_bands:
         raise ValueError("prefix_bands must divide 64")
+    if collapse_exact:
+        gw = Window.partitionBy(hash_col)
+        labeled = _track(
+            sig.filter(F.col(hash_col).isNotNull())
+            .select(F.col(id_col), F.col(hash_col))
+            .withColumn("__rep", F.min(id_col).over(gw))
+        )
+        members = labeled.select(id_col, "__rep")
+        reps = labeled.filter(F.col(id_col) == F.col("__rep")).select(
+            id_col, hash_col
+        )
+        rep_pairs = hamming_near_pairs(
+            reps, id_col, hash_col, max_hamming, prefix_bands,
+            collapse_exact=False,
+        )
+        return _expand_collapsed_pairs(
+            rep_pairs, members, id_col, threshold=0.0, value_col="hamming",
+            within_value=F.lit(0), within_keep=max_hamming >= 0,
+        )
     chunk_bits = 64 // prefix_bands
     # posexplode (see minhash_lsh_pairs): one pass over sig, not a
     # prefix_bands-way union re-executing the signature subtree.
