@@ -189,12 +189,18 @@ def ngram_jaccard_pairs(
         per_doc = sh.groupBy(id_col).agg(
             F.md5(F.to_json(F.sort_array(F.collect_set("shingle")))).alias("__gk")
         )
-        groups = per_doc.groupBy("__gk").agg(F.min(id_col).alias("__rep"))
-        members = _track(
-            per_doc.join(groups, "__gk").select(id_col, "__rep")
+        # one window shuffle for the membership map (vs groupBy+join);
+        # the exploded shingle stream still needs the semi-join filter
+        labeled = _track(
+            per_doc.withColumn(
+                "__rep", F.min(id_col).over(Window.partitionBy("__gk"))
+            )
         )
+        members = labeled.select(id_col, "__rep")
         reps = sh.join(
-            groups.select(F.col("__rep").alias(id_col)), id_col, "leftsemi"
+            labeled.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+            id_col,
+            "leftsemi",
         )
         rep_pairs = _ngram_jaccard_core(reps, id_col, threshold)
         return _expand_collapsed_pairs(rep_pairs, members, id_col, threshold)
@@ -379,7 +385,12 @@ def minhash_lsh_pairs(
     pair: on a corpus with d-fold exact duplication the verify join and
     candidate distinct shrink by d^2 (measured at the 60 M-row scale
     point, where 100x replication means 10,000x fewer candidate rows:
-    36.5 s → the shingle-bound floor)."""
+    36.5 s → the shingle-bound floor).
+
+    Contract (all pair operators): ``id_col`` is unique per row — the
+    engine's table-key invariant. Rows sharing an id are a caller error
+    (the uncollapsed and collapsed paths diverge on how they merge
+    them)."""
     assert num_hashes % bands == 0
 
     # No size(shset)>0 filter: docs with no shingles yield no exploded
