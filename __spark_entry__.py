@@ -792,12 +792,13 @@ def dp_dedup_near(spark, sf):
     """Near-dup clustering: MinHash-LSH verified pairs -> connected
     components (min-label propagation; iterative — the oracle replays it
     with a recursive transitive-closure CTE). Output: every doc with its
-    component representative (self for singletons)."""
-    from v3_polars_spark.datapipe import connected_components, minhash_lsh_pairs
+    component representative (self for singletons). Runs on the
+    representative graph (datapipe.near_dup_components): duplication-
+    linear, exact."""
+    from v3_polars_spark.datapipe import near_dup_components
 
     d = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d, n=3, num_hashes=16, bands=4, verify_threshold=0.05)
-    return connected_components(pairs, d.select("doc_id"))
+    return near_dup_components(d, n=3, num_hashes=16, bands=4, verify_threshold=0.05)
 
 
 def dp_embed_neardup(spark, sf):

@@ -402,16 +402,30 @@ def minhash_lsh_pairs(
         return _lsh_pairs_from_sets(
             sets, id_col, num_hashes, bands, verify_threshold
         )
+    members, rep_pairs = _minhash_collapse_graph(
+        sets, id_col, num_hashes, bands, verify_threshold
+    )
+    return _expand_collapsed_pairs(rep_pairs, members, id_col, verify_threshold)
 
-    # exact-collapse: one row per distinct shingle set. Group key = md5 of
-    # the SORTED set rendered to string (16-byte shuffle keys instead of
-    # shuffling the arrays themselves); sort_array makes set-equality, not
-    # array-order, the grouping relation. Docs with empty sets produce no
-    # signature in the uncollapsed pipeline, hence no pairs — exclude them
-    # from groups so within-group expansion cannot invent pairs for them.
-    # one window shuffle derives BOTH the membership map and the
-    # representative rows (min-id per set-equality group); a
-    # groupBy+join+semi-join formulation costs two extra exchanges
+
+def _minhash_collapse_graph(
+    sets: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    verify_threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """(members, rep_pairs) over a ``(id_col, shset)`` frame.
+
+    exact-collapse: one row per distinct shingle set. Group key = md5 of
+    the SORTED set rendered to string (16-byte shuffle keys instead of
+    shuffling the arrays themselves); sort_array makes set-equality, not
+    array-order, the grouping relation. Docs with empty sets produce no
+    signature in the uncollapsed pipeline, hence no pairs — exclude them
+    from groups so within-group expansion cannot invent pairs for them.
+    One window shuffle derives BOTH the membership map and the
+    representative rows (min-id per set-equality group); a
+    groupBy+join+semi-join formulation costs two extra exchanges."""
     nonempty = sets.filter(F.size(F.col("shset")) > 0)
     keyed = nonempty.select(
         F.col(id_col),
@@ -430,8 +444,55 @@ def minhash_lsh_pairs(
     rep_pairs = _lsh_pairs_from_sets(
         reps, id_col, num_hashes, bands, verify_threshold
     )
+    return members, rep_pairs
 
-    return _expand_collapsed_pairs(rep_pairs, members, id_col, verify_threshold)
+
+def near_dup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, rep): connected components of the MinHash-LSH verified
+    near-dup graph — the clustering step of :func:`dedup_near` /
+    :func:`dedup_near_best` as a first-class op.
+
+    Duplication-linear: the iterative component search runs on the
+    REPRESENTATIVE graph (one node per distinct shingle set, edges =
+    verified rep pairs) and labels are then broadcast to members through
+    the membership map. Exact, because every member is connected to its
+    representative by a jaccard-1.0 pair in the full graph (identical
+    sets), so full-graph components are unions of whole groups, and the
+    min doc id of a component equals the min over its groups' min-ids —
+    i.e. the min over rep labels. Docs with empty shingle sets have no
+    edges and keep themselves. (With ``verify_threshold > 1.0`` the
+    within-group edges vanish and the equivalence breaks, so that regime
+    falls back to components over the expanded pair list.)"""
+    if verify_threshold > 1.0:
+        pairs = minhash_lsh_pairs(
+            df, text_col, id_col, n, num_hashes, bands, verify_threshold
+        )
+        return connected_components(pairs, df.select(id_col), id_col, max_iter)
+    sets = _track(shingle_hash_sets(df, text_col, id_col, n))
+    members, rep_pairs = _minhash_collapse_graph(
+        sets, id_col, num_hashes, bands, verify_threshold
+    )
+    rep_nodes = members.select(F.col("__rep").alias(id_col)).distinct()
+    comp_rep = connected_components(
+        rep_pairs.select("id_a", "id_b"), rep_nodes, id_col, max_iter
+    )
+    labels = members.join(
+        comp_rep.withColumnRenamed(id_col, "__rep"), "__rep"
+    ).select(id_col, "rep")
+    return (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .select(F.col(id_col), F.coalesce("rep", F.col(id_col)).alias("rep"))
+    )
 
 
 def _expand_collapsed_pairs(
@@ -801,11 +862,11 @@ def dedup_near(
 ) -> DataFrame:
     """Keep-one near-duplicate dedup: MinHash-LSH candidate pairs ->
     exact-Jaccard verify -> connected components -> keep each component's
-    min-id document. Output: the surviving rows of ``df``."""
-    pairs = minhash_lsh_pairs(
+    min-id document. Output: the surviving rows of ``df``. Clustering is
+    duplication-linear via :func:`near_dup_components`."""
+    comp = near_dup_components(
         df, text_col, id_col, n, num_hashes, bands, verify_threshold
     )
-    comp = connected_components(pairs, df.select(id_col), id_col)
     keep = comp.filter(F.col(id_col) == F.col("rep")).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
@@ -827,10 +888,9 @@ def dedup_near_best(
     among near-identical crawls keep the cleanest/longest one, not the
     first-seen one. One extra hash aggregate (max_by per component) on
     the components frame — nothing data-sized beyond dedup_near."""
-    pairs = minhash_lsh_pairs(
+    comp = near_dup_components(
         df, text_col, id_col, n, num_hashes, bands, verify_threshold
     )
-    comp = connected_components(pairs, df.select(id_col), id_col)
     scored = comp.join(df.select(id_col, score_col), id_col)
     winners = scored.groupBy("rep").agg(
         F.max_by(
