@@ -101,12 +101,11 @@ def main() -> None:
 
     # state-read cost at a long-lived monitor's batch count: append
     # synthetic delta partitions up to 512 batches, then time the rollup
+    target_batches = max(512, n_batches)
     one = spark.read.parquet(state_path).drop("batch_id").limit(32)
-    extra = []
-    for b in range(n_batches, 512):
-        extra.append(b)
-    if extra:
-        grid = spark.range(len(extra)).select(
+    n_extra = target_batches - n_batches
+    if n_extra > 0:
+        grid = spark.range(n_extra).select(
             (F.col("id") + n_batches).alias("batch_id")
         )
         (
@@ -119,7 +118,7 @@ def main() -> None:
     rolled = read_bin_counts(spark, state_path)
     n_bins = rolled.count()
     dt = time.perf_counter() - t0
-    out["state_read_batches"] = 512
+    out["state_read_batches"] = target_batches
     out["state_read_sec"] = round(dt, 3)
     out["state_read_bins"] = n_bins
     print(json.dumps(out))

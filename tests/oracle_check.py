@@ -77,17 +77,35 @@ def _canon_pair(a: pd.Series, b: pd.Series):
 
     if is_dt(a) and is_dt(b):
         return to_int_ns(a), to_int_ns(b)
+    # Spark DecimalType collects as object-dtype Decimal; if the other
+    # engine returned a numeric dtype for the same column, bring both to
+    # float64 (the equality the per-cell path applies: Decimal('1.50') ==
+    # 1.5) instead of comparing str renderings ('1.50' != '1.5')
+    def is_obj_num(s):
+        return s.dtype == object and pd.api.types.is_numeric_dtype(
+            pd.to_numeric(s.dropna().head(100), errors="coerce")
+        ) and not pd.to_numeric(s.dropna().head(100), errors="coerce").isna().any()
+
+    def canon_floats(x, y):
+        out = []
+        for s in (x, y):
+            arr = s.astype("float64").to_numpy(
+                dtype="float64", na_value=np.nan
+            ) + 0.0
+            arr[np.isnan(arr)] = np.nan  # one canonical NaN pattern
+            out.append(pd.Series(arr))
+        return out[0], out[1]
+
+    if (pd.api.types.is_numeric_dtype(a) and is_obj_num(b)) or (
+        pd.api.types.is_numeric_dtype(b) and is_obj_num(a)
+    ):
+        return canon_floats(a, b)
     num = (
         pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b)
     )
     if num:
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            out = []
-            for s in (a, b):
-                arr = s.to_numpy(dtype="float64", na_value=np.nan) + 0.0
-                arr[np.isnan(arr)] = np.nan  # one canonical NaN pattern
-                out.append(pd.Series(arr))
-            return out[0], out[1]
+            return canon_floats(a, b)
         return a.astype("int64"), b.astype("int64")
     return a.astype(str), b.astype(str)
 

@@ -63,6 +63,22 @@ def test_column_order_insensitive():
     assert compare_hashed(a, b) == []
 
 
+def test_decimal_vs_float_canonicalized():
+    """Spark DecimalType collects as object-dtype Decimal; the other
+    engine's float64 twin must hash-match (and real diffs must not)."""
+    from decimal import Decimal as D
+
+    a = pd.DataFrame({"x": [D("1.50"), D("2.25"), None]})
+    b = pd.DataFrame({"x": [2.25, 1.5, np.nan]})
+    assert compare_hashed(a, b) == []
+    bad = pd.DataFrame({"x": [D("1.51"), D("2.25"), None]})
+    assert compare_hashed(bad, b)
+    # object-vs-object numeric-looking strings stay string-compared
+    s1 = pd.DataFrame({"x": pd.Series(["001", "2"], dtype=object)})
+    s2 = pd.DataFrame({"x": pd.Series(["1", "2"], dtype=object)})
+    assert compare_hashed(s1, s2)
+
+
 def test_dispatch_threshold():
     # compare() routes big frames to the hashed path and still catches
     # a diff there; small frames keep the exact per-cell path

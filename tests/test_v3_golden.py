@@ -146,6 +146,16 @@ def test_liquidity_timeline_matches_per_frame_distribution(
             )
 
 
+def test_liquidity_timeline_empty_frames(pool):
+    """Zero frames -> empty frame with the contract schema (the fused
+    plan must not build a zero-aggregate groupBy)."""
+    from v3_polars_spark.v3 import liquidity_timeline
+
+    out = liquidity_timeline(pool.mb, [])
+    assert out.columns == ["frame_as_of", "tick", "liquidity"]
+    assert out.count() == 0
+
+
 def test_price_series_gas_branch(pool):
     """gas=True adds median gas columns, forward-filled across sparse
     buckets (reference pool_helpers.py:168-180)."""

@@ -836,6 +836,12 @@ def decode_image(data: bytes, pure: bool = False) -> np.ndarray:
     if _PILImage is not None and not pure:
         try:
             img = _PILImage.open(io.BytesIO(data))
+            # header-bomb guard BEFORE any pixel decode, same cap as the
+            # pure path (Image.open reads only the header): without this
+            # the two paths would skip different rows, and PIL's own
+            # DecompressionBombError (a plain Exception) would escape the
+            # on_error='skip' handlers that catch ValueError
+            _check_dims(img.size[0], img.size[1], img.format or "image")
             if img.mode in ("P", "CMYK", "YCbCr"):
                 img = img.convert("RGB")
             elif img.mode in ("I", "I;16", "F"):
@@ -843,7 +849,11 @@ def decode_image(data: bytes, pure: bool = False) -> np.ndarray:
             elif img.mode == "PA":
                 img = img.convert("LA")
             out = np.asarray(img)
-        except OSError as e:  # UnidentifiedImageError and friends
+        except ValueError:
+            raise
+        except Exception as e:  # OSError/UnidentifiedImageError/Decompression...
+            # normalize every Pillow failure to the decode boundary's
+            # single exception type — the skip policy's contract
             raise ValueError(f"corrupt image: {e}") from None
     elif data[:8] == _PNG_SIG:
         out = decode_png(data)

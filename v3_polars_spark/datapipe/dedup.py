@@ -503,6 +503,7 @@ def _expand_collapsed_pairs(
     value_col: str = "jaccard",
     within_value: Column | None = None,
     within_keep: bool | None = None,
+    within_values: DataFrame | None = None,
 ) -> DataFrame:
     """Reconstruct the full (id_a, id_b, <value>) list from representative
     pairs plus the ``(id_col, __rep)`` membership map: cross-group pairs
@@ -510,7 +511,10 @@ def _expand_collapsed_pairs(
     pairs with every member of rep_b's); within-group pairs are identical
     inputs — jaccard exactly 1.0 / hamming exactly 0 (``within_value``),
     kept iff the operator's threshold admits the self-similarity
-    (``within_keep``, default: jaccard semantics ``threshold <= 1.0``)."""
+    (``within_keep``, default: jaccard semantics ``threshold <= 1.0``).
+    When the self-similarity is a COMPUTED per-group quantity (FP cosine),
+    pass ``within_values`` — a ``(__rep, value_col)`` frame joined onto
+    the within pairs; groups absent from it emit nothing."""
     ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__db"))
     cross = (
@@ -524,13 +528,15 @@ def _expand_collapsed_pairs(
     )
     wa = members.select("__rep", F.col(id_col).alias("id_a"))
     wb = members.select("__rep", F.col(id_col).alias("id_b"))
-    if within_value is None:
-        within_value = F.lit(1.0)
-    within = (
-        wa.join(wb, "__rep")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", within_value.alias(value_col))
-    )
+    within = wa.join(wb, "__rep").filter(F.col("id_a") < F.col("id_b"))
+    if within_values is not None:
+        within = within.join(within_values, "__rep").select(
+            "id_a", "id_b", value_col
+        )
+    else:
+        if within_value is None:
+            within_value = F.lit(1.0)
+        within = within.select("id_a", "id_b", within_value.alias(value_col))
     if within_keep is None:
         within_keep = threshold <= 1.0
     if not within_keep:
@@ -833,7 +839,12 @@ def connected_components(
             .filter(F.col("rep") != F.col("old"))
             .isEmpty()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        # localCheckpoint blocks are not CacheManager entries, so there
+        # is no synchronous unpersist for them; reassigning `labels`
+        # drops the only reference (CPython refcounts immediately) and
+        # Spark's ContextCleaner reclaims the round's blocks off-thread.
+        # Bounded exposure: O(log diameter) rounds x a 2-long-per-node
+        # label table in flight at once.
         labels = new_labels
         if changed:
             break

@@ -216,17 +216,6 @@ def embedding_near_dup_lsh(
             reps, dim, threshold, bits, tables, seed, id_col, vec_col,
             collapse_exact=False,
         )
-        ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
-        mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__db"))
-        cross = (
-            rep_pairs.join(ma, "id_a")
-            .join(mb, "id_b")
-            .select(
-                F.least("__da", "__db").alias("id_a"),
-                F.greatest("__da", "__db").alias("id_b"),
-                "cosine",
-            )
-        )
         # self-cosine only for groups that actually have within pairs:
         # evaluating _cos on singleton reps the uncollapsed path never
         # pairs would add failure modes it doesn't have (ANSI
@@ -241,15 +230,12 @@ def embedding_near_dup_lsh(
             )
             .filter(F.col("cosine") >= threshold)
         )
-        wa = members.select("__rep", F.col(id_col).alias("id_a"))
-        wb = members.select("__rep", F.col(id_col).alias("id_b"))
-        within = (
-            wa.join(wb, "__rep")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .join(rep_self, "__rep")
-            .select("id_a", "id_b", "cosine")
+        from .dedup import _expand_collapsed_pairs
+
+        return _expand_collapsed_pairs(
+            rep_pairs, members, id_col, threshold=threshold,
+            value_col="cosine", within_values=rep_self, within_keep=True,
         )
-        return cross.unionByName(within)
     buckets = F.array(
         *[lsh_bucket(v, dim, bits, seed + 1000003 * t) for t in range(tables)]
     )

@@ -63,8 +63,15 @@ def dir_fingerprint(spark: SparkSession, path: str) -> str:
         name = str(st.getPath())
         if name.startswith(prefix):
             name = name[len(prefix):]
-        base = name.rsplit("/", 1)[-1]
-        if base.startswith(("_", ".")):
+        # skip bookkeeping files AND anything under a hidden/temp
+        # directory (.spark-staging-*, _temporary, ...): a concurrent
+        # writer's staging files must not perturb the fingerprint of the
+        # committed file set
+        if any(
+            seg.startswith(("_", "."))
+            for seg in name.split("/")
+            if seg
+        ):
             continue
         entries.append(f"{name}:{st.getLen()}:{st.getModificationTime()}")
     entries.sort()

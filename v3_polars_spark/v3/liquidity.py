@@ -133,6 +133,19 @@ def liquidity_timeline(
     """
     by = list(by or [])
     frames = sorted(float(x) for x in frame_as_ofs)
+    if not frames:
+        # zero frames -> empty result with the contract schema (the fused
+        # plan would otherwise build a zero-aggregate groupBy, which
+        # GroupedData.agg rejects)
+        return (
+            mb.select(
+                *by,
+                F.lit(0.0).alias("frame_as_of"),
+                F.col("tick_lower").alias("tick"),
+                F.lit(0.0).alias("liquidity"),
+            )
+            .filter(F.lit(False))
+        )
     if len(frames) <= wide_threshold:
         return _timeline_fused(mb, frames, by)
     return _timeline_grid(mb, frames, by)
