@@ -858,3 +858,56 @@ def test_connected_components_matches_union_find(spark, edges):
         r["doc_id"]: r["rep"] for r in connected_components(pairs, nodes).collect()
     }
     assert got == _uf_components(n, edges)
+
+
+@settings(**{**SETTINGS, "max_examples": 5})
+@given(
+    dup_counts=st.lists(st.integers(1, 5), min_size=2, max_size=6),
+    drop_words=st.integers(0, 2),
+)
+def test_minhash_collapse_equivalence_random_duplication(
+    spark, dup_counts, drop_words
+):
+    """Random duplication profiles: N base docs (one a near-dup of
+    another via word drops), each replicated 1-5x, must produce an
+    identical pair list through the collapsed and uncollapsed pipelines
+    — including near_dup_components vs components over expanded pairs."""
+    from v3_polars_spark.datapipe import (
+        connected_components,
+        minhash_lsh_pairs,
+        near_dup_components,
+    )
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    rows, next_id = [], 0
+    for base_i, d in enumerate(dup_counts):
+        toks = words[base_i:] + words[:base_i]
+        if base_i == 1 and drop_words:
+            toks = toks[:-drop_words]  # near-dup of base 1's rotation
+        text = " ".join(toks)
+        for _ in range(d):
+            rows.append((next_id, text))
+            next_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    key = lambda rs: sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in rs
+    )
+    kw = dict(n=3, num_hashes=16, bands=4, verify_threshold=0.05)
+    fast = key(minhash_lsh_pairs(docs, **kw).collect())
+    slow = key(minhash_lsh_pairs(docs, **kw, collapse_exact=False).collect())
+    assert fast == slow
+
+    comp_fast = {
+        r["doc_id"]: r["rep"]
+        for r in near_dup_components(docs, **kw).collect()
+    }
+    pairs = minhash_lsh_pairs(docs, **kw, collapse_exact=False)
+    comp_slow = {
+        r["doc_id"]: r["rep"]
+        for r in connected_components(pairs, docs.select("doc_id")).collect()
+    }
+    assert comp_fast == comp_slow
