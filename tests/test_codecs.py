@@ -483,8 +483,10 @@ class TestAllocationGuards:
 
     def test_png_zlib_bomb_bounded(self):
         """IDAT inflating past the header-implied pixel-stream size must
-        not balloon memory: decompression is bounded to the expected
-        byte count and the declared pixels still decode exactly."""
+        not balloon memory: decompression stops at the expected byte
+        count (plus a 1-byte over-run probe) and the stream is REJECTED
+        as corrupt — an over-long pixel stream is never silently
+        truncated into a 'valid' image."""
         import struct
         import zlib
 
@@ -499,8 +501,28 @@ class TestAllocationGuards:
             + C._png_chunk(b"IDAT", zlib.compress(raw + b"\x00" * (64 << 20)))
             + C._png_chunk(b"IEND", b"")
         )
-        out = C.decode_png(data)
-        assert np.array_equal(out, a)
+        with pytest.raises(ValueError):
+            C.decode_png(data)
+
+    def test_png_trailing_garbage_after_zlib_rejected(self):
+        """Bytes after the zlib terminator inside IDAT are corrupt, not
+        ignorable padding."""
+        import struct
+        import zlib
+
+        a = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        raw = np.concatenate(
+            [np.zeros((4, 1), dtype=np.uint8), a.reshape(4, 12)], axis=1
+        ).tobytes()
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        data = (
+            C._PNG_SIG
+            + C._png_chunk(b"IHDR", ihdr)
+            + C._png_chunk(b"IDAT", zlib.compress(raw) + b"\xde\xad\xbe\xef")
+            + C._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            C.decode_png(data)
 
     def test_png_short_pixel_stream_rejected(self):
         import struct

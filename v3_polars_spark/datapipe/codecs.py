@@ -148,6 +148,14 @@ def _decode_png(data: bytes) -> np.ndarray:
     raw = dec.decompress(b"".join(idat), expected)
     if len(raw) < expected:
         raise ValueError("truncated PNG pixel data")
+    # Enforce the exact-size contract: the zlib stream must end cleanly
+    # right after the header-derived byte count. A stream that inflates
+    # past it, or an IDAT with trailing bytes after the zlib terminator,
+    # is corrupt — not merely truncated to `expected`.
+    if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+        raise ValueError("over-long PNG pixel data")
+    if not dec.eof or dec.unused_data:
+        raise ValueError("trailing garbage in PNG pixel data")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     bpp = channels

@@ -791,7 +791,18 @@ def connected_components(
     decrease and never leave the component (the label table maps every
     node to a node id in its own component), so the fixpoint is the
     exact component minimum. Results are persisted per round so lineage
-    stays flat; the loop is bounded and data-independent per round."""
+    stays flat; the loop is bounded and data-independent per round.
+
+    Fault-tolerance trade: each round's label table is pinned with
+    ``localCheckpoint`` (truncates lineage — required, the self-join
+    references the round's plan twice and the doubled plan blows
+    Catalyst's stack by round ~10). localCheckpoint blocks are NOT
+    recoverable after executor loss, so on a long cluster run a lost
+    executor mid-loop fails the job instead of recomputing from lineage;
+    rerun the job (rounds are cheap and the loop is deterministic), or
+    swap in ``df.checkpoint()`` with a reliable checkpoint dir for
+    multi-hour runs where a restart is more expensive than the HDFS
+    writes."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(

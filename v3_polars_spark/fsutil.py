@@ -104,3 +104,25 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Marker write that can never be observed torn: write to a hidden
+    temp sibling, then delete+rename into place. The delete/rename pair
+    is not one atomic op across filesystems, but every intermediate
+    state reads as *absent marker* (= stale cache), never as a
+    half-written marker — which is the property cache-validity markers
+    need. The temp name is dot-prefixed so directory fingerprints and
+    Spark's file index skip it."""
+    fs, jpath = _fs_and_path(spark, path)
+    tmp = jpath.getParent().suffix("/." + jpath.getName() + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        fs.delete(tmp, False)
+        raise IOError(f"atomic marker rename failed for {path}")

@@ -98,6 +98,12 @@ def tune_shuffle_partitions(
     tasks at scale). Floor = the working-set cache's split width (8), so
     reduce stages are never narrower than the cached map stages feeding
     them. AQE still adapts per-stage on top of this static default.
+
+    Session-wide side effects: both ``spark.sql.shuffle.partitions`` and
+    ``spark.sql.files.maxPartitionBytes`` are set on the session, so later
+    scans of differently-sized tables inherit a split size tuned for this
+    one. Call again before switching working sets, or snapshot/restore
+    the confs if a caller needs to scope the change.
     """
     floor = min(8, spark.sparkContext.defaultParallelism)
     parts = max(floor, int(input_bytes * expansion) // per_partition_bytes)

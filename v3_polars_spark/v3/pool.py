@@ -134,7 +134,12 @@ class Pool:
             self.spark.catalog.refreshByPath(raw_dir)
             self.spark.catalog.refreshByPath(loc)
             build().write.mode("overwrite").parquet(loc)
-            fsutil.write_text(
+            # Atomic marker: a rebuild that dies between the overwrite
+            # and the marker leaves no/old fingerprint -> reads stale ->
+            # rebuilt next init. save_path still assumes one writer at a
+            # time (concurrent overwrites of the *parquet* can interleave);
+            # the marker just guarantees a torn rebuild is never trusted.
+            fsutil.write_text_atomic(
                 self.spark, posixpath.join(loc, "_RAW_FINGERPRINT"), current
             )
             self.spark.catalog.refreshByPath(loc)
