@@ -4133,7 +4133,13 @@ def oracle_sql() -> dict[str, str]:
                        || '#frag' AS url
                 FROM documents
             ), canon AS (
+                -- scheme-less inputs pass through UNCHANGED, mirroring
+                -- datapipe/urls.py (they must never merge onto '://')
                 SELECT doc_id, n_chars,
+                       CASE WHEN lower(regexp_extract(
+                                url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = ''
+                       THEN url
+                       ELSE
                        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
                        || '://'
                        || regexp_replace(
@@ -4146,7 +4152,7 @@ def oracle_sql() -> dict[str, str]:
                                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2),
                             '/$', '')
                        || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END)
-                         AS url_canon
+                       END AS url_canon
                 FROM (
                     SELECT *,
                            array_to_string(list_sort(list_filter(

@@ -60,9 +60,17 @@ def _force(df) -> int:
 
 def main() -> None:
     import __spark_entry__ as entrymod
-    from v3_polars_spark.session import get_spark, tune_shuffle_partitions
+    from v3_polars_spark.session import (
+        get_spark,
+        quiet_expected_jvm_warnings,
+        tune_shuffle_partitions,
+    )
 
     spark = get_spark(app_name="bench")
+    # mute the expected WindowExec no-partition warning from the O(ticks)
+    # v3 frames; data-sized frames are pinned window-partitioned by
+    # test_plans, so anything still noisy in the tail is a real problem
+    quiet_expected_jvm_warnings(spark)
     # size shuffle partitions to the benchmark working set (the same rule
     # that yields thousands of partitions at 100 TB yields the floor here)
     input_bytes = sum(

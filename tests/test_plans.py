@@ -343,3 +343,67 @@ def test_hll_sketches_partial_aggregation(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = hll_sketches(ev, "user_id", ["event_type"])
     assert count_exchanges(out) == 1
+
+
+def test_expression_queries_run_in_codegen(spark, sf_dir):
+    """The EXECUTED final AQE plan must show whole-stage codegen for the
+    expression-heavy queries. Pre-execution explain under AQE is a
+    placeholder (isFinalPlan=false, no codegen tags), which is why
+    plans/audit.py executes before explaining — this pins the same
+    contract the PLANS.md codegen column now records."""
+    import __spark_entry__ as em
+    from v3_polars_spark.plans import executed_plan_str, has_codegen
+
+    qs = em.queries()
+    for name in ("derived_math", "groupby_having"):
+        plan = executed_plan_str(qs[name](spark, sf_dir))
+        assert "isFinalPlan=true" in plan, name
+        assert has_codegen(plan), name
+
+
+def test_no_unpartitioned_window_on_data(spark, sf_dir):
+    """Inventory of single-partition windows across the ENTIRE query
+    surface: only the O(ticks) v3 frames (tick ladders are a few thousand
+    rows by construction — SURVEY §3.2) may move all rows to one task.
+    A data-sized frame acquiring an unpartitioned window is a scale bug
+    this test turns into a named failure instead of a WARN in log spam."""
+    import __spark_entry__ as em
+    from v3_polars_spark.plans import explain_str
+    from v3_polars_spark.plans.inspect import unpartitioned_window_specs
+
+    EXEMPT_TICK_FRAMES = {"quote_fees", "quote_ladder", "swap_frame"}
+    offenders = {}
+    for name, fn in em.queries().items():
+        specs = unpartitioned_window_specs(explain_str(fn(spark, sf_dir)))
+        if specs:
+            offenders[name] = specs[0]
+    assert set(offenders) <= EXEMPT_TICK_FRAMES, offenders
+
+
+def test_quiet_expected_jvm_warnings_no_crash(spark):
+    """The bench log-quieting helper must be safe to call on any session."""
+    from v3_polars_spark.session import quiet_expected_jvm_warnings
+
+    quiet_expected_jvm_warnings(spark)
+
+
+def test_partition_pruning_executed_metrics(spark, tmp_path):
+    """Executed-plan scan metrics must show the scan actually SKIPPED
+    files under a partition predicate — the runtime truth behind the
+    PLANS.md files_read column (explain strings never carry file counts)."""
+    from v3_polars_spark.plans import executed_scan_metrics
+
+    path = str(tmp_path / "part")
+    spark.range(10_000).select(
+        (F.col("id") % 8).alias("p"), F.col("id")
+    ).write.partitionBy("p").parquet(path)
+
+    pruned = executed_scan_metrics(
+        spark.read.parquet(path).filter(F.col("p") == 3).agg(F.sum("id"))
+    )
+    full = executed_scan_metrics(spark.read.parquet(path).agg(F.sum("id")))
+    ps = next(s for s in pruned if "parquet" in s["node"].lower())
+    fs = next(s for s in full if "parquet" in s["node"].lower())
+    assert int(ps["numPartitions"]) == 1
+    assert int(fs["numPartitions"]) == 8
+    assert int(ps["numFiles"]) * 2 <= int(fs["numFiles"])

@@ -600,3 +600,210 @@ def test_batch_state_replay_idempotent(spark, tmp_path):
     _write_batch_state(spark.createDataFrame([(0, 2)], ["bin", "n"]), 1, state)
     got = {r.bin: r.n for r in read_bin_counts(spark, state).collect()}
     assert got == {0: 7, 1: 7}
+
+
+# ---------------------------------------------------------------------------
+# Failure injection: the checkpoint-resume tests above stop CLEANLY between
+# batches; these kill the drain mid-flight and prove exactly-once after
+# resume — the contract a 100 TB continuous ingest actually depends on.
+# ---------------------------------------------------------------------------
+
+
+def test_quality_stream_crash_midbatch_replay_idempotent(spark, tmp_path):
+    """Kill the quality_stream drain AFTER batch 1's state lands but BEFORE
+    the streaming commit (the worst-case crash window: work done, progress
+    not recorded). The resumed drain replays batch 1 with the SAME
+    batch_id; the dynamic partition overwrite in _write_batch_state must
+    leave exactly one copy, so summed bin counts equal the one-shot batch
+    result — no double count, no gap."""
+    from v3_polars_spark.ops.drift import bin_counts
+    from v3_polars_spark.streaming import quality_stream as qsm
+
+    schema = "id long, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    segs = [
+        [(i, float(i % 10)) for i in range(0, 40)],
+        [(i, float(i % 10)) for i in range(40, 90)],
+        [(i, float(i % 10)) for i in range(90, 150)],
+    ]
+    for k, rows in enumerate(segs):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/seg{k}"
+        )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def crashing(df, batch_id):
+        qsm._write_batch_state(
+            bin_counts(df, "value", 0.0, 10.0, 5), batch_id, state
+        )
+        if batch_id == 1:
+            raise RuntimeError("injected crash: state written, commit lost")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/seg*")
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    assert not q.isActive
+
+    # resume with the REAL drain API on the same checkpoint: batch 1
+    # replays (same id, same rows), batch 2 runs fresh
+    qsm.streaming_bin_counts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/seg*"),
+        "value", 0.0, 10.0, 5, state, ckpt,
+    )
+    got = {
+        r["bin"]: r["n"] for r in qsm.read_bin_counts(spark, state).collect()
+    }
+    allrows = [r for seg in segs for r in seg]
+    exp = {
+        r["bin"]: r["n"]
+        for r in bin_counts(
+            spark.createDataFrame(allrows, schema), "value", 0.0, 10.0, 5
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_ingest_drain_killed_midway_resumes_exactly_once(spark, tmp_path):
+    """Kill the parquet-sink drain while segments are still queued, then
+    resume with the same checkpoint. The file sink's _spark_metadata
+    commit log must hide any uncommitted part files from the aborted
+    batch, and the resumed drain must land every row exactly once."""
+    import time
+
+    from v3_polars_spark.streaming import run_available_now
+
+    schema = "id long, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    n_segs, per_seg = 24, 500
+    for k in range(n_segs):
+        spark.createDataFrame(
+            [(k * per_seg + i, float(i)) for i in range(per_seg)], schema
+        ).coalesce(1).write.parquet(f"{src}/seg{k:02d}")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/seg*")
+        )
+
+    q = (
+        reader()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # kill as soon as at least one batch committed (mid-drain, not clean)
+    deadline = time.time() + 120
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(120)
+    n_mid = spark.read.parquet(sink).count()
+    assert n_mid < n_segs * per_seg  # genuinely interrupted
+
+    run_available_now(reader(), sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == n_segs * per_seg
+    assert out.select("id").distinct().count() == n_segs * per_seg
+
+
+def test_stream_dedup_crash_resume_state_intact(spark, tmp_path):
+    """Crash the streaming dedup AFTER batch 1 was processed but before
+    its commit, resume, and require the final output to equal the
+    one-shot batch dedup: the dropDuplicates state store must replay
+    batch 1 against the batch-0 state version (not against state
+    polluted by the failed attempt), or re-occurrences would slip
+    through / survivors would vanish."""
+    from v3_polars_spark.streaming import stream_dedup_exact
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    segs = [
+        [(0, "alpha beta"), (1, "gamma delta")],
+        [(2, "ALPHA   beta"), (3, "epsilon zeta")],   # 2 dups 0 normalized
+        [(4, "gamma delta"), (5, "unique tail doc")],  # 4 dups 1
+    ]
+    for k, rows in enumerate(segs):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/seg{k}"
+        )
+    sink, ckpt, state = (
+        str(tmp_path / "sink"), str(tmp_path / "ckpt"), str(tmp_path / "st")
+    )
+    os.makedirs(sink)
+
+    def write_idempotent(df, batch_id):
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state)
+        )
+        if batch_id == 1:
+            raise RuntimeError("injected crash after batch-1 work")
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/seg*")
+        )
+
+    q = (
+        stream_dedup_exact(reader())
+        .writeStream.foreachBatch(write_idempotent)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+
+    def write_clean(df, batch_id):
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state)
+        )
+
+    q2 = (
+        stream_dedup_exact(reader())
+        .writeStream.foreachBatch(write_clean)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(state).collect())
+    # survivors: one of {0,2} (same normal form), 1, 3, 5; 4 must be
+    # dropped by CROSS-BATCH state that survived the crash
+    assert 4 not in ids
+    assert sum(1 for i in ids if i in (0, 2)) == 1
+    assert set(ids) >= {1, 3, 5} and len(ids) == 4

@@ -150,8 +150,16 @@ def contamination_check(
 
 # Lookaround-free ASCII patterns that parse and match identically under
 # java.util.regex (Spark) and RE2 (DuckDB oracle).
+#
+# Every quantifier is BOUNDED. An unbounded `[...]+` before a required
+# literal is quadratic under a backtracking engine: on a multi-megabyte
+# run of word characters (a real crawl artifact — see tests/test_hostile.py)
+# `[A-Za-z0-9._%+-]+@` costs O(run) per start position, O(run^2) total —
+# measured minutes per row at 2 MB. The bounds are the RFC limits anyway
+# (local part <= 64, domain <= 255, TLD <= 24), so matches on actual PII
+# are unchanged and the worst-case scan is O(n * 64).
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "email": r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "phone": r"(\+?[0-9]{1,3}[-. (]{1,2})?[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{4}\b",
 }

@@ -30,6 +30,12 @@ def canonicalize_url(url: Column) -> Column:
 
     Implemented with regexp field extraction rather than ``parse_url`` so
     the exact same expressions exist in ANSI/DuckDB SQL for verification.
+
+    Inputs with no ``scheme://`` prefix (relative paths, ``mailto:`` /
+    ``javascript:`` pseudo-URLs, garbage) pass through UNCHANGED rather
+    than all collapsing to the empty-field concat ``'://'`` — a
+    scheme-less crawl record must never merge with every other
+    scheme-less record under URL dedup.
     """
     scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
     host = F.lower(F.regexp_extract(url, _HOST, 2))
@@ -48,13 +54,14 @@ def canonicalize_url(url: Column) -> Column:
         )
     )
     qstr = F.array_join(kept, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
     )
+    return F.when(scheme == "", url).otherwise(canon)
 
 
 def dedup_by_url(

@@ -1,15 +1,21 @@
 from .inspect import (
     count_exchanges,
+    executed_plan_str,
+    executed_scan_metrics,
     explain_str,
     has_broadcast_hash_join,
+    has_codegen,
     pushed_filters,
     read_schema_columns,
 )
 
 __all__ = [
     "count_exchanges",
+    "executed_plan_str",
+    "executed_scan_metrics",
     "explain_str",
     "has_broadcast_hash_join",
+    "has_codegen",
     "pushed_filters",
     "read_schema_columns",
 ]

@@ -43,6 +43,30 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return schemas
 
 
+def executed_plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Execute the query, then explain the FINAL adaptive plan.
+
+    Under AQE the pre-execution ``explain`` prints ``AdaptiveSparkPlan
+    isFinalPlan=false`` — a placeholder with no whole-stage-codegen
+    annotations and pre-coalesce exchange counts, so auditing that string
+    measures nothing about what actually ran. Collecting first forces AQE
+    to finalize; the same DataFrame's ``explain`` then shows
+    ``isFinalPlan=true`` with per-node ``[codegen id : N]`` tags,
+    ``AQEShuffleRead`` coalescing, and any runtime join-strategy switches.
+    """
+    df.collect()
+    return explain_str(df, mode)
+
+
+def has_codegen(plan: str) -> bool:
+    """True if the plan string shows whole-stage-codegen participation.
+
+    Formatted FINAL plans tag nodes with ``[codegen id : N]``; simple-mode
+    plans show ``WholeStageCodegen`` spans. Accept either spelling.
+    """
+    return ("codegen id" in plan) or ("WholeStageCodegen" in plan)
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchanges in the plan (BroadcastExchange excluded —
     broadcasts are the cheap kind)."""
@@ -51,3 +75,68 @@ def count_exchanges(df: DataFrame) -> int:
 
 def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
+
+
+def _walk_scan_nodes(jnode, acc: list) -> None:
+    """Recursive descent over the EXECUTED physical plan, crossing AQE
+    stage boundaries (Spark 4 wraps every materialized stage in a
+    ``*QueryStageExec`` whose subtree hangs off ``.plan()``, so a naive
+    ``collectLeaves`` sees only the opaque stage wrapper)."""
+    cls = jnode.getClass().getName()
+    if jnode.nodeName().startswith("Scan"):
+        acc.append(jnode)
+    ch = jnode.children()
+    for i in range(ch.size()):
+        _walk_scan_nodes(ch.apply(i), acc)
+    if "QueryStageExec" in cls:
+        _walk_scan_nodes(jnode.plan(), acc)
+    elif "AdaptiveSparkPlanExec" in cls:
+        _walk_scan_nodes(jnode.executedPlan(), acc)
+
+
+def executed_scan_metrics(df: DataFrame, run: bool = True) -> list[dict]:
+    """Per-scan runtime metrics of the EXECUTED plan — the ground truth
+    for partition/file pruning ("did the scan actually skip files?"),
+    which no explain string carries. Runs the query unless the caller
+    already has (``run=False``). Keys of interest: ``numFiles``,
+    ``filesSize``, ``numPartitions`` (plus whatever else the scan node
+    reports).
+    """
+    if run:
+        df.collect()
+    acc: list = []
+    _walk_scan_nodes(df._jdf.queryExecution().executedPlan(), acc)
+    out = []
+    for n in acc:
+        d = {"node": n.nodeName()}
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            d[kv._1()] = kv._2().value()
+        out.append(d)
+    return out
+
+
+_WINDOWSPEC = re.compile(r"windowspecdefinition\(((?:[^()]|\([^()]*\))*)\)")
+
+
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """``windowspecdefinition(...)`` instances with an EMPTY partition list.
+
+    Spark prints a window spec's arguments as partition columns, then order
+    columns (each tagged ``ASC``/``DESC``), then the frame. A spec whose
+    FIRST argument is already an order column or the frame itself partitions
+    by nothing: every input row is shuffled to a single task. That is the
+    documented-correct idiom only for the O(ticks) v3 frames; on a
+    data-sized table it is a scale bug, so tests pin the offender set.
+    """
+    out = []
+    for m in _WINDOWSPEC.finditer(plan):
+        first = m.group(1).split(",")[0].strip()
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
+            out.append(m.group(0)[:120])
+    return out

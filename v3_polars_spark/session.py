@@ -124,6 +124,32 @@ def tune_shuffle_partitions(
     return parts
 
 
+def quiet_expected_jvm_warnings(spark: SparkSession) -> None:
+    """Silence the JVM warn spam that known-correct plans emit, so bench
+    tails stay readable and a REAL regression can't hide in 60 lines of
+    expected noise.
+
+    Today that is one message: ``WindowExec: No Partition Defined`` from
+    the O(ticks) v3 frames (v3/swap.py, v3/liquidity.py), where a global
+    window over a few-thousand-row tick frame is the documented-correct
+    idiom. Data-sized frames are separately FORBIDDEN from unpartitioned
+    windows by tests/test_plans.py::test_no_unpartitioned_window_on_data —
+    the log level only mutes the logger, never the contract.
+    """
+    try:
+        jvm = spark._jvm
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowExecBase",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                cls, level
+            )
+    except Exception:
+        pass  # non-log4j2 deployments: warnings are cosmetic, never fail
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an externally created
     session (e.g. the driver's). Only touches confs that are safe to set

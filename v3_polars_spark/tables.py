@@ -339,3 +339,45 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_partitioned_zorder(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cols: list[str],
+    num_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Hive-partitioned + Z-ordered-within-partition layout — the
+    ``chain_name=``-style 100 TB resting format (reference keeps one
+    directory per chain, data_update.py:51-59; this adds multi-dimension
+    file stats inside each partition).
+
+    Partition columns give the scanner DIRECTORY pruning (a predicate on
+    ``partition_by`` never lists the other partitions' files); the Morton
+    key over ``cols`` gives FILE pruning within each partition via tight
+    per-file min/max stats. One range partitioning over
+    ``(partition cols, z)`` co-locates each hive partition's z-ranges, so
+    every output task writes a contiguous z-slice of one (or few)
+    partition directories.
+
+    ``num_files`` is the TOTAL write-task count across all partitions —
+    scale it with data volume exactly like ``write_zorder``.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).first()
+    bounds = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+    z = zorder_key(cols, bounds, bits=bits)
+    part_cols = [F.col(c) for c in partition_by]
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, *part_cols, F.col("__z"))
+        .sortWithinPartitions(*part_cols, F.col("__z"))
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
