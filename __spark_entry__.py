@@ -51,12 +51,27 @@ _TABLE_CACHE: dict = {}
 # scans, join probes) to one core. On a real cluster the scan has natural
 # splits; locally the working-set cache is split at materialization (the
 # one-time cost the reference pays collecting+sorting its tables into
-# RAM). Capped at 8 ways: full local parallelism (32) makes every
-# shuffle a 32-map-task stage whose scheduling dominates sub-second
-# queries (measured 7.1s vs 4.1s across the headline set), while 8 still
-# unpins the compute-bound map stages (regex scans 0.40->0.26s, partial
-# aggs 0.35->0.19s).
+# RAM). Split width scales with ROW COUNT (parquet footer, no extra
+# scan): floor 8 for interactive sizes — full local parallelism on tiny
+# tables makes every shuffle a 32-map-task stage whose scheduling
+# dominates sub-second queries (measured 7.1s vs 4.1s across the sf0.01
+# headline) — growing one split per ~16k rows up to the core count. The
+# round-6 parallelism curve exposed the old fixed 8-way cap: every
+# per-row-heavy query (text stats, minhash, chunking, asof pre-filters)
+# plateaued at exactly local[8] on 500k-row sf1 tables because the CACHE,
+# not the operator, capped the map width.
 _WIDE_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+_CACHE_ROWS_PER_SPLIT = 16_000
+
+
+def _cache_splits(spark: SparkSession, path: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    return min(
+        spark.sparkContext.defaultParallelism,
+        max(8, n_rows // _CACHE_ROWS_PER_SPLIT),
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,19 +84,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 nanos and floor to micros —
         # exactly DuckDB's truncation of nanos to its native µs timestamps.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    par = min(8, spark.sparkContext.defaultParallelism)
-    if name in _WIDE_TABLES and df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+        df = spark.read.parquet(path)
+    if name in _WIDE_TABLES:
+        par = _cache_splits(spark, path)
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     df = df.cache()
     _TABLE_CACHE[key] = df
     return df

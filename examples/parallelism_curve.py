@@ -54,11 +54,12 @@ def worker(cores: int, sf_dir: str) -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    trials = int(os.environ.get("SPARK_GRAFT_CURVE_TRIALS", "2"))
     walls = {}
     for name in bench.HEADLINE:
         force(qs[name](spark, sf_dir))  # warm-up (JIT, cache build)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(trials):
             t0 = time.time()
             force(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
@@ -70,23 +71,31 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
         return
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     results = {}
-    for c in CORES:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(c), sf_dir],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = next(
-            (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_JSON:")),
-            None,
-        )
-        if line is None:
-            print(out.stdout[-2000:], out.stderr[-2000:])
-            raise RuntimeError(f"worker local[{c}] produced no result")
-        results[c] = json.loads(line[len("WORKER_JSON:"):])["walls"]
-        total = sum(results[c].values())
-        print(f"local[{c}]: total {total:.2f}s", flush=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "--report":
+        # aggregate pre-run worker outputs (grep WORKER_JSON > /tmp/curve_N.json)
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+        for c in CORES:
+            with open(f"/tmp/curve_{c}.json") as f:
+                line = f.read().strip()
+            results[c] = json.loads(line[len("WORKER_JSON:"):])["walls"]
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+        for c in CORES:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(c), sf_dir],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = next(
+                (ln for ln in out.stdout.splitlines() if ln.startswith("WORKER_JSON:")),
+                None,
+            )
+            if line is None:
+                print(out.stdout[-2000:], out.stderr[-2000:])
+                raise RuntimeError(f"worker local[{c}] produced no result")
+            results[c] = json.loads(line[len("WORKER_JSON:"):])["walls"]
+            total = sum(results[c].values())
+            print(f"local[{c}]: total {total:.2f}s", flush=True)
 
     names = list(results[CORES[0]])
     print(f"\n{'query':<22}" + "".join(f"local[{c}]".rjust(10) for c in CORES)

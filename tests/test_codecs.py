@@ -431,9 +431,12 @@ class TestOnErrorSkip:
             media.filter("kind='image'"), dim=16, on_error="skip"
         ).collect()
         assert {r.media_id for r in got} == {0, 1, 3, 4}  # 100 dropped
-        # pure path says "JPEG ..."; a Pillow-equipped cluster says
-        # "corrupt image: cannot identify..." — both are the ValueError contract
-        with pytest.raises(Exception, match="JPEG|corrupt image"):
+        # TWO bad rows race (whichever task dies first surfaces): the bad
+        # JPEG says "JPEG ...", the zero-dim PNG says "corrupt PNG: zero
+        # width/height", and a Pillow-equipped cluster says "corrupt
+        # image: cannot identify..." — all three are the ValueError
+        # contract (the old JPEG-only match made this a ~25% flake)
+        with pytest.raises(Exception, match="JPEG|corrupt image|corrupt PNG"):
             decode_image_features(media.filter("kind='image'"), dim=16).collect()
 
     def test_phash_and_resize_skip(self, spark):
