@@ -63,10 +63,39 @@ _TABLE_CACHE: dict = {}
 _WIDE_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 _CACHE_ROWS_PER_SPLIT = 16_000
 
+# The cache is HASH-partitioned on each table's primary access key — the
+# in-memory analog of tables.write_bucketed, and the layout a 100 TB
+# deployment would choose at rest. Spark keeps outputPartitioning through
+# .cache(), so every groupBy/window/join clustered on (a superset of) the
+# key skips its exchange outright: the orders⋈lineitem theta join runs
+# with ZERO shuffles (both sides bucketed on orderkey at the same width),
+# dedup_last/cumsum aggregate events in place, and the minhash shingle
+# distinct + signature assembly never reshuffle the exploded documents
+# (HashPartitioning(doc_id) satisfies ClusteredDistribution(doc_id,
+# shingle)). Keys are unique-per-row (doc_id) or uniform (orderkey: ≤7
+# lineitems per order by construction), so bucketing cannot skew;
+# entity keys on a skewed corpus are exactly where a real deployment
+# would pick a different bucket key — which is why the key table is
+# per-table data, not a global policy. embeddings stays round-robin:
+# its queries cluster on computed values (IVF cluster ids, LSH buckets),
+# never on the row key.
+_CACHE_KEYS = {
+    "events": "user_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+}
+# Co-located join partners must share ONE bucket width (a co-partitioned
+# join requires equal numPartitions); size the family from its largest
+# member, exactly as a bucketed layout picks one bucket count per family.
+_BUCKET_FAMILY = {"orders": "lineitem", "lineitem": "lineitem"}
 
-def _cache_splits(spark: SparkSession, path: str) -> int:
+
+def _cache_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
+    sizer = _BUCKET_FAMILY.get(name, name)
+    path = os.path.join(sf_dir, f"{sizer}.parquet")
     n_rows = pq.ParquetFile(path).metadata.num_rows
     return min(
         spark.sparkContext.defaultParallelism,
@@ -96,8 +125,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if name in _WIDE_TABLES:
-        par = _cache_splits(spark, path)
-        if df.rdd.getNumPartitions() < par:
+        par = _cache_splits(spark, sf_dir, name)
+        key_col = _CACHE_KEYS.get(name)
+        if key_col is not None:
+            df = df.repartition(par, F.col(key_col))
+        elif df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     df = df.cache()
     _TABLE_CACHE[key] = df
@@ -413,14 +445,19 @@ def q_outer_join_coalesce(spark, sf):
 
 def q_theta_join(spark, sf):
     """J4: equi keys + inequality residual (nfp↔mint/burn join shape,
-    allium.py:193-210). SHUFFLE_HASH hint: both sides of this join grow
-    with the fact data, so the broadcast plan's single-threaded hashed-
-    relation build becomes the bottleneck exactly as data grows (measured
-    1.11 s -> 0.67 s at 10x sf0.1; a wash at sf0.1) — and the shuffled
-    hash join IS the 1000-executor plan once orders outgrows any
-    broadcast cap. Broadcast remains the default for genuinely bounded
-    dims elsewhere."""
-    o = _t(spark, sf, "orders").hint("SHUFFLE_HASH")
+    allium.py:193-210). MERGE hint: both sides grow with the fact data
+    (broadcast's single-threaded hashed-relation build becomes the
+    bottleneck exactly as data grows — measured 1.11 s -> 0.67 s vs
+    SHUFFLE_HASH at 10x sf0.1), and both arrive co-partitioned on
+    orderkey from the bucketed working-set cache, so sort-merge runs
+    with ZERO exchanges at every scale — the canonical bucketed-layout
+    fact-fact join on a 1000-executor cluster. SHUFFLE_HASH was the
+    prior pick; on the co-partitioned cache its per-task hash build
+    shares a stage with cache materialization and can starve unified
+    memory at sf1 (observed: "Can't acquire ... to build hash
+    relation"), while SMJ spills gracefully. Broadcast remains the
+    default for genuinely bounded dims elsewhere."""
+    o = _t(spark, sf, "orders").hint("MERGE")
     li = _t(spark, sf, "lineitem")
     j = o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate))
     return j.groupBy("o_orderpriority").agg(
