@@ -750,6 +750,18 @@ def dp_dedup_exact(spark, sf):
     return dedup_exact(d).select("doc_id", "lang", "source", "n_chars")
 
 
+def dp_substring_dedup(spark, sf):
+    """Substring-level dedup (Lee et al. 2022 suffix-array dedup,
+    reformulated as hashed rolling k-token windows — datapipe/dedup.py
+    dedup_substrings): every token span whose exact k-gram occurs >= 2
+    times corpus-wide is removed from every document. k=8 suits the
+    short synthetic docs; production crawls use k~50."""
+    from v3_polars_spark.datapipe import dedup_substrings
+
+    d = _t(spark, sf, "documents")
+    return dedup_substrings(d, k=8)
+
+
 def dp_fingerprint(spark, sf):
     """md5 content fingerprint over normalized text."""
     from v3_polars_spark.datapipe import fingerprint_md5
@@ -2446,6 +2458,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_ladder": q_quote_ladder,
         "normalize": q_normalize,
         "dp_dedup_exact": dp_dedup_exact,
+        "dp_substring_dedup": dp_substring_dedup,
         "dp_fingerprint": dp_fingerprint,
         "dp_text_stats": dp_text_stats,
         "dp_lang_id": dp_lang_id,
@@ -3713,6 +3726,48 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, min(doc_id) OVER (PARTITION BY md5({_NORM})) AS keeper
                 FROM documents
             ) WHERE doc_id = keeper
+        """,
+        "dp_substring_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS tokens
+                FROM documents
+            ),
+            wins0 AS (
+                SELECT doc_id,
+                       unnest([{'pos': i,
+                                'h': md5(array_to_string(tokens[i+1 : i+8], ' '))}
+                               for i in range(0, greatest(len(tokens) - 7, 0))]) AS w
+                FROM toks
+            ),
+            wins AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM wins0),
+            dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx
+                FROM wins JOIN dup USING (h)
+            ),
+            tok AS (
+                SELECT doc_id, unnest(tokens) AS token,
+                       generate_subscripts(tokens, 1) - 1 AS idx
+                FROM toks
+            ),
+            kept AS (
+                SELECT t.doc_id, t.idx, t.token
+                FROM tok t ANTI JOIN cov c
+                  ON t.doc_id = c.doc_id AND t.idx = c.idx
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(token, ' ' ORDER BY idx) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT tk.doc_id,
+                   coalesce(a.text_clean, '') AS text_clean,
+                   len(tk.tokens) AS n_tokens,
+                   len(tk.tokens) - coalesce(a.n_kept, 0) AS n_removed
+            FROM toks tk LEFT JOIN agg a USING (doc_id)
         """,
         "dp_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
         "dp_text_stats": _text_stats_sql(),

@@ -1,5 +1,5 @@
 """Runnable tour of the training-data pipeline operators: clean → dedup →
-chunk → pack over the synthetic documents/embeddings tables.
+substring-scrub → chunk → pack over the synthetic documents/embeddings tables.
 
     python examples/datapipe_quickstart.py [sf_dir]
 
@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from v3_polars_spark.datapipe import (
     chunk_documents,
     dedup_exact,
+    dedup_substrings,
     language_id,
     minhash_lsh_pairs,
     pack_offsets,
@@ -54,12 +55,22 @@ def main() -> None:
     pairs = minhash_lsh_pairs(unique, text_col="text", id_col="doc_id")
     print(f"near-dup candidates:     {pairs.count()} pairs above threshold")
 
-    # 5. chunk for a 512-char context with 64 overlap (map stage only)
-    chunks = chunk_documents(unique, chunk_size=512, overlap=64)
+    # 5. substring-level dedup: remove duplicated >=8-token spans that
+    # survive document-level dedup (boilerplate, quoted passages)
+    scrubbed = dedup_substrings(unique, k=8)
+    n_rm = scrubbed.agg(F.sum("n_removed")).first()[0] or 0
+    clean = (
+        unique.drop("text")
+        .join(scrubbed.select("doc_id", F.col("text_clean").alias("text")), "doc_id")
+    )
+    print(f"substring dedup:         removed {n_rm} duplicated-span tokens")
+
+    # 6. chunk for a 512-char context with 64 overlap (map stage only)
+    chunks = chunk_documents(clean, chunk_size=512, overlap=64)
     print(f"chunking:                {chunks.count()} chunks")
 
-    # 6. token counting + sequence packing to a 4096-token context
-    with_counts = token_counts(unique).select(
+    # 7. token counting + sequence packing to a 4096-token context
+    with_counts = token_counts(clean).select(
         "doc_id", "source", "n_tokens_bpe_est"
     )
     packed = pack_offsets(

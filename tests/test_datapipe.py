@@ -688,3 +688,66 @@ def test_sample_weighted_per_group(spark):
     df = spark.createDataFrame(rows, ["doc_id", "g", "w"])
     out = sample_weighted(df, "w", k=4, by=["g"]).groupBy("g").count().collect()
     assert all(r["count"] == 4 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# substring dedup (duplicated-span removal)
+# ---------------------------------------------------------------------------
+
+
+class TestDedupSubstrings:
+    def _run(self, spark, rows, k=3, min_count=2):
+        from v3_polars_spark.datapipe import dedup_substrings
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in dedup_substrings(df, k=k, min_count=min_count).collect()
+        }
+
+    def test_cross_doc_span_removed_from_all(self, spark):
+        out = self._run(
+            spark,
+            [
+                (0, "alpha beta gamma delta unique0 tail0"),
+                (1, "head1 alpha beta gamma delta unique1"),
+                (2, "nothing shared here at all friend"),
+            ],
+        )
+        # "alpha beta gamma delta" (4 tokens >= k=3, shared by 0 and 1)
+        # is fully covered by its two duplicated 3-windows in both docs
+        assert out[0] == ("unique0 tail0", 6, 4)
+        assert out[1] == ("head1 unique1", 6, 4)
+        assert out[2] == ("nothing shared here at all friend", 6, 0)
+
+    def test_within_doc_repeat_removed(self, spark):
+        out = self._run(spark, [(0, "x y z middle x y z end tok")])
+        # "x y z" occurs twice in the SAME doc -> both occurrences removed
+        assert out[0] == ("middle end tok", 9, 6)
+
+    def test_short_doc_untouched(self, spark):
+        out = self._run(spark, [(0, "one two"), (1, "one two")])
+        # both docs shorter than k=3: no windows, nothing removed
+        assert out[0] == ("one two", 2, 0)
+        assert out[1] == ("one two", 2, 0)
+
+    def test_fully_duplicated_doc_emptied(self, spark):
+        out = self._run(spark, [(0, "a b c d"), (1, "a b c d")])
+        assert out[0] == ("", 4, 4)
+        assert out[1] == ("", 4, 4)
+
+    def test_whitespace_normalized_and_empty_text(self, spark):
+        out = self._run(
+            spark, [(0, "  spaced   out\ttokens \n here  "), (1, "")]
+        )
+        # survivors rejoin with single spaces (documented contract)
+        assert out[0] == ("spaced out tokens here", 4, 0)
+        assert out[1] == ("", 0, 0)
+
+    def test_min_count_threshold(self, spark):
+        rows = [(i, "common span here uniq%d" % i) for i in range(3)]
+        out3 = self._run(spark, rows, k=3, min_count=4)
+        # "common span here" occurs 3x < min_count=4 -> kept everywhere
+        assert out3[0][2] == 0
+        out2 = self._run(spark, rows, k=3, min_count=3)
+        assert all(v[2] == 3 for v in out2.values())

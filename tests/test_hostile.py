@@ -279,3 +279,25 @@ class TestHostileUrls:
         assert len(kept) == 6
         hot = [r for r in kept if "hot" in r["url_canon"]]
         assert len(hot) == 1 and hot[0]["doc_id"] == 99_999  # max score wins
+
+
+class TestHostileSubstringDedup:
+    def test_substring_dedup_hostile_corpus(self, hostile):
+        from v3_polars_spark.datapipe import dedup_substrings
+
+        out = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in dedup_substrings(hostile, k=3).collect()
+        }
+        # 2 MB single token: 1 token < k -> no windows, passes through
+        assert out[5] == (MB_TOKEN, 1, 0)
+        # null text == empty doc, not size(null)=-1 poison
+        assert out[3] == ("", 0, 0)
+        assert out[4] == ("", 0, 0)
+        # identical hostile-unicode docs >= k tokens: both fully removed
+        assert out[20] == ("", 10, 10)
+        assert out[21] == ("", 10, 10)
+        # 2000x one token: every window is "spam spam spam" -> all removed
+        assert out[13] == ("", 2000, 2000)
+        # regex metacharacters survive tokenization untouched
+        assert out[8] == (REGEX_META, 4, 0)

@@ -921,3 +921,113 @@ def dedup_near_best(
     )
     keep = winners.select(F.col("__keep").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# cross-document substring dedup (duplicated-span removal)
+# ---------------------------------------------------------------------------
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove duplicated token spans from every document — the substring-
+    level dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), reformulated from their suffix array into
+    hashed rolling k-token windows so it runs as pure shuffle-friendly
+    DataFrame ops. The reference repo has no counterpart; this is an
+    LLM-pipeline operator over the ``documents`` table.
+
+    Semantics: tokenize on whitespace; a k-token window is *duplicated*
+    when its exact token sequence occurs >= ``min_count`` times across the
+    corpus (within- and cross-document alike). Every token covered by any
+    duplicated window is removed; survivors are rejoined with single
+    spaces (whitespace-normalized output, documented contract). Because a
+    duplicated substring of L >= k tokens contains L-k+1 duplicated
+    windows that cover it entirely, this removes exactly the spans the
+    suffix-array method finds at threshold k — at window granularity
+    rather than character granularity.
+
+    Scale shape (the reason for this formulation): windows are one
+    posexplode + md5 projection (no Python); the duplicate set is a hash
+    aggregate with map-side combine on 32-hex keys; cover indexes are a
+    bounded k-fold explode of *duplicated* windows only, deduped by one
+    (id, idx) distinct; reassembly is a single hash aggregate per doc.
+    Nothing is O(corpus^2) and no window function touches the full
+    corpus. Determinism: md5 + integer positions only, so the DuckDB
+    oracle replays it exactly.
+
+    Output: ``id_col``, ``text_clean``, ``n_tokens`` (original token
+    count), ``n_removed``.
+    """
+    toks = _track(
+        df.select(
+            F.col(id_col),
+            F.filter(
+                # null text ≡ empty doc (0 tokens, nothing to remove) —
+                # without the coalesce, size(null)=-1 poisons n_tokens
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                lambda t: t != "",
+            ).alias("tokens"),
+        )
+    )
+    # window hashes; transform index == window start, so posexplode's pos
+    # IS the start offset
+    idxs = F.when(
+        F.size("tokens") >= k, F.sequence(F.lit(0), F.size("tokens") - k)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idxs,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tokens"), i + 1, F.lit(k)))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+    cov = (
+        wins.join(dup, "h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    tok = toks.select(
+        F.col(id_col), F.posexplode("tokens").alias("idx", "token")
+    )
+    kept = tok.join(cov, [id_col, "idx"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        toks.select(F.col(id_col), F.size("tokens").cast("long").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
