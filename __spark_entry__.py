@@ -1894,6 +1894,23 @@ def dp_dedup_cross(spark, sf):
     return dedup_against(fresh, corpus)
 
 
+def dp_dedup_cross_near(spark, sf):
+    """Cross-corpus NEAR-dup dedup (datapipe/dedup.dedup_against_near):
+    the incremental-ingest shape — odd-id docs are the fresh crawl
+    batch, even-id docs the kept corpus; fresh docs whose shingle-set
+    Jaccard vs ANY corpus doc reaches 0.5 are dropped. Fresh x reference
+    band-bucket join (same permutation family both sides), never a
+    corpus self-join."""
+    from v3_polars_spark.datapipe import dedup_against_near
+
+    d = _t(spark, sf, "documents")
+    fresh = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup_against_near(fresh, corpus).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_merge_upsert(spark, sf):
     """MERGE semantics as one full-outer join (ops/merge.py): a CDC-style
     batch (updated status+price, every 10th key a delete) applied onto an
@@ -2510,6 +2527,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "merge_upsert": q_merge_upsert,
         "dp_dedup_cross": dp_dedup_cross,
+        "dp_dedup_cross_near": dp_dedup_cross_near,
         "funnel": q_funnel,
         "retention": q_retention,
         "dp_embed_quantize": dp_embed_quantize,
@@ -3039,6 +3057,57 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) 
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
         WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
+    """
+
+
+def _minhash_cross_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Oracle for dp_dedup_cross_near: same signature/band machinery as
+    _minhash_sql, candidates restricted to fresh(odd) x corpus(even),
+    output = surviving fresh docs (no verified match)."""
+    from v3_polars_spark.datapipe.dedup import PERM_P, POLY_MOD, minhash_perm_constants
+
+    r = num_hashes // bands
+    P, M = PERM_P, POLY_MOD
+    sig_cols = ", ".join(
+        f"min(({a} * (shingle % {P}) + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        acc = f"(h{b * r} % {M})"
+        for i in range(b * r + 1, (b + 1) * r):
+            acc = f"(({acc} * 131 + h{i}) % {M})"
+        band_selects.append(f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH {_hashed_shingles_cte()},
+        sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+        buckets AS ({buckets}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+            FROM buckets a JOIN buckets b USING (band, bucket)
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ),
+        inter AS (
+            SELECT id_new, id_ref, count(*) AS n_inter
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_new
+            JOIN sh sb ON sb.doc_id = id_ref AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        matched AS (
+            SELECT DISTINCT id_new
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_new
+            JOIN sz sb ON sb.doc_id = id_ref
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_new = doc_id)
     """
 
 
@@ -4315,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
                       = trim(regexp_replace(lower(d1.text), '\\s+', ' ', 'g'))
               )
         """,
+        "dp_dedup_cross_near": _minhash_cross_sql(),
         "dp_embed_quantize": """
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound

@@ -751,3 +751,59 @@ class TestDedupSubstrings:
         assert out3[0][2] == 0
         out2 = self._run(spark, rows, k=3, min_count=3)
         assert all(v[2] == 3 for v in out2.values())
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dup dedup
+# ---------------------------------------------------------------------------
+
+
+class TestDedupAgainstNear:
+    def test_near_dups_of_reference_dropped(self, spark):
+        from v3_polars_spark.datapipe import dedup_against_near
+
+        fresh = spark.createDataFrame(
+            [(10, BASE), (11, NEAR_DUP), (12, UNRELATED)], ["doc_id", "text"]
+        )
+        ref = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_against_near(fresh, ref, verify_threshold=0.5)
+            .select("doc_id")
+            .collect()
+        )
+        # 10 is an exact copy of ref, 11 a near dup -> both dropped;
+        # 12 shares nothing with the reference corpus
+        assert kept == [12]
+
+    def test_empty_reference_keeps_everything(self, spark):
+        from v3_polars_spark.datapipe import dedup_against_near
+
+        fresh = spark.createDataFrame(
+            [(1, BASE), (2, UNRELATED)], ["doc_id", "text"]
+        )
+        ref = spark.createDataFrame([], "doc_id long, text string")
+        assert dedup_against_near(fresh, ref).count() == 2
+
+    def test_threshold_controls_drop(self, spark):
+        from v3_polars_spark.datapipe import dedup_against_near
+
+        fresh = spark.createDataFrame([(1, NEAR_DUP)], ["doc_id", "text"])
+        ref = spark.createDataFrame([(0, BASE)], ["doc_id", "text"])
+        # one changed token: high threshold keeps it, low threshold drops
+        assert dedup_against_near(fresh, ref, verify_threshold=0.95).count() == 1
+        assert dedup_against_near(fresh, ref, verify_threshold=0.5).count() == 0
+
+    def test_distinct_id_spaces_and_columns(self, spark):
+        from v3_polars_spark.datapipe import dedup_against_near
+
+        # overlapping ids between the two corpora must not leak matches,
+        # and custom column names work on the reference side
+        fresh = spark.createDataFrame(
+            [(0, UNRELATED, "keepme")], ["doc_id", "text", "tag"]
+        )
+        ref = spark.createDataFrame([(0, BASE)], ["rid", "body"])
+        out = dedup_against_near(
+            fresh, ref, ref_text_col="body", ref_id_col="rid"
+        ).collect()
+        assert len(out) == 1 and out[0]["tag"] == "keepme"

@@ -911,3 +911,46 @@ def test_minhash_collapse_equivalence_random_duplication(
         for r in connected_components(pairs, docs.select("doc_id")).collect()
     }
     assert comp_fast == comp_slow
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+    min_count=st.integers(min_value=2, max_value=3),
+)
+def test_dedup_substrings_matches_bruteforce(spark, texts, k, min_count):
+    """Window-hash duplicated-span removal agrees with a direct Python
+    reimplementation of the contract (count every k-gram occurrence
+    corpus-wide, remove all tokens covered by any k-gram occurring
+    >= min_count times) on tiny random corpora with heavy collisions."""
+    from collections import Counter
+
+    from v3_polars_spark.datapipe import dedup_substrings
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in dedup_substrings(df, k=k, min_count=min_count).collect()
+    }
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    counts = Counter(
+        " ".join(t[i : i + k])
+        for t in toks.values()
+        for i in range(len(t) - k + 1)
+    )
+    for i, t in toks.items():
+        cov = set()
+        for j in range(len(t) - k + 1):
+            if counts[" ".join(t[j : j + k])] >= min_count:
+                cov.update(range(j, j + k))
+        kept = [tok for j, tok in enumerate(t) if j not in cov]
+        assert got[i] == (" ".join(kept), len(t), len(t) - len(kept)), (
+            i, texts, k, min_count, got[i],
+        )

@@ -544,6 +544,47 @@ def _expand_collapsed_pairs(
     return cross.unionByName(within)
 
 
+def _band_buckets(
+    sets: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id_col, band, bucket)`` LSH band buckets over a ``(id_col,
+    shset)`` frame. Shared by the self-join pair path and the
+    cross-corpus anti path — identical permutation constants make
+    buckets comparable across independently-built frames.
+
+    Signatures on the EXPLODED form, not array_min(transform(...)):
+    higher-order-function lambdas run interpreted, while explode +
+    hash-aggregate min is whole-stage-codegen'd with map-side partials
+    (the explode never moves rows, so the groupBy shuffles only tiny
+    per-doc partial aggregates). expr strings, not Column arithmetic: K
+    permutations x ~6 ops each is hundreds of py4j round trips (~0.3s of
+    driver latency per build); one parsed string per aggregate is sub-ms
+    and yields the same tree. One posexplode pass instead of a bands-way
+    union: a union of N selects over `sig` re-executes the signature
+    subtree N times; exploding an array of band hashes evaluates it once
+    per doc. Each band bucket is the modular polynomial fold of its R
+    signature components — pure long arithmetic (no md5-of-concat
+    strings), identical in the oracle."""
+    rows_per_band = num_hashes // bands
+    sh = sets.select(F.col(id_col), F.explode(F.col("shset")).alias("shingle"))
+    mins = [
+        F.expr(f"min(({a} * (shingle % {PERM_P}) + {b}) % {PERM_P}) AS h{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+
+    def _band_bucket(b: int) -> Column:
+        acc = f"(h{b * rows_per_band} % {POLY_MOD})"
+        for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band):
+            acc = f"(({acc} * 131 + h{i}) % {POLY_MOD})"
+        return F.expr(acc)
+
+    band_arr = F.array(*[_band_bucket(b) for b in range(bands)])
+    return sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bucket")
+    )
+
+
 def _lsh_pairs_from_sets(
     sets: DataFrame,
     id_col: str,
@@ -552,37 +593,9 @@ def _lsh_pairs_from_sets(
     verify_threshold: float,
 ) -> DataFrame:
     """The LSH core over a ``(id_col, shset)`` frame — see
-    :func:`minhash_lsh_pairs` for the design notes."""
-    rows_per_band = num_hashes // bands
-    shset = F.col("shset")
-    # signatures on the EXPLODED form, not array_min(transform(...)):
-    # higher-order-function lambdas run interpreted, while explode +
-    # hash-aggregate min is whole-stage-codegen'd with map-side partials
-    # (the explode never moves rows, so the groupBy shuffles only tiny
-    # per-doc partial aggregates).
-    sh = sets.select(F.col(id_col), F.explode(shset).alias("shingle"))
-    # expr strings, not Column arithmetic: K permutations x ~6 ops each is
-    # hundreds of py4j round trips (~0.3s of driver latency per build);
-    # one parsed string per aggregate is sub-ms and yields the same tree
-    mins = [
-        F.expr(f"min(({a} * (shingle % {PERM_P}) + {b}) % {PERM_P}) AS h{i}")
-        for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
-    ]
-    sig = sh.groupBy(id_col).agg(*mins)
-
-    # One posexplode pass instead of a bands-way union: a union of N selects
-    # over `sig` re-executes the signature subtree N times; exploding an
-    # array of band hashes evaluates it once per doc. Each band bucket is
-    # the modular polynomial fold of its R signature components — pure long
-    # arithmetic (no md5-of-concat strings), identical in the oracle.
-    def _band_bucket(b: int) -> Column:
-        acc = f"(h{b * rows_per_band} % {POLY_MOD})"
-        for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band):
-            acc = f"(({acc} * 131 + h{i}) % {POLY_MOD})"
-        return F.expr(acc)
-
-    band_arr = F.array(*[_band_bucket(b) for b in range(bands)])
-    buckets = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
+    :func:`minhash_lsh_pairs` and :func:`_band_buckets` for the design
+    notes."""
+    buckets = _band_buckets(sets, id_col, num_hashes, bands)
 
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b2 = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -595,6 +608,7 @@ def _lsh_pairs_from_sets(
 
     # exact verify: |A∩B| / (|A|+|B|-|A∩B|) via array_intersect on the
     # candidate pair rows (candidates are rare; AQE broadcasts them)
+    shset = F.col("shset")
     pairs = cand.join(
         sets.select(F.col(id_col).alias("id_a"), shset.alias("__sa")), "id_a"
     ).join(sets.select(F.col(id_col).alias("id_b"), shset.alias("__sb")), "id_b")
@@ -921,6 +935,81 @@ def dedup_near_best(
     )
     keep = winners.select(F.col("__keep").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def dedup_against_near(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    ref_id_col: str | None = None,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus NEAR-dup dedup: drop rows of ``df`` whose text is a
+    verified near-duplicate (exact Jaccard >= ``verify_threshold`` over
+    hashed shingle sets) of ANY ``reference`` document — the incremental
+    ingest shape: dedup each fresh crawl batch against the corpus
+    already kept, without ever re-running the self-join over the full
+    corpus. :func:`dedup_against` is the exact-match fast pass that runs
+    first; this is the fuzzy second pass.
+
+    Scale design: both sides build band buckets independently with the
+    SAME permutation constants (:func:`_band_buckets`), so the candidate
+    step is a fresh-x-reference join on short (band, bucket) keys — the
+    reference side can be precomputed/persisted by the caller, and
+    nothing is quadratic in either corpus. Verification joins the two
+    shingle-set frames only on candidate rows (rare; AQE broadcasts
+    them). A fresh doc with an empty shingle set has no buckets and
+    always survives (Jaccard is undefined on empty sets) — run the
+    exact pass first to drop verbatim copies of degenerate texts.
+
+    Output: the surviving rows of ``df``, all columns intact.
+    """
+    rid = ref_id_col or id_col
+    sets_new = _track(shingle_hash_sets(df, text_col, id_col, n))
+    sets_ref = _track(
+        shingle_hash_sets(reference, ref_text_col or text_col, rid, n)
+    )
+    bk_new = _band_buckets(sets_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("__id_new"), "band", "bucket"
+    )
+    bk_ref = _band_buckets(sets_ref, rid, num_hashes, bands).select(
+        F.col(rid).alias("__id_ref"), "band", "bucket"
+    )
+    cand = (
+        bk_new.join(bk_ref, ["band", "bucket"])
+        .select("__id_new", "__id_ref")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets_new.select(
+                F.col(id_col).alias("__id_new"), F.col("shset").alias("__sa")
+            ),
+            "__id_new",
+        )
+        .join(
+            sets_ref.select(
+                F.col(rid).alias("__id_ref"), F.col("shset").alias("__sb")
+            ),
+            "__id_ref",
+        )
+        .withColumn(
+            "__inter", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        )
+        .filter(
+            F.col("__inter")
+            / (F.size(F.col("__sa")) + F.size(F.col("__sb")) - F.col("__inter"))
+            >= verify_threshold
+        )
+        .select(F.col("__id_new").alias(id_col))
+        .distinct()
+    )
+    return df.join(verified, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
