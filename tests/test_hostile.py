@@ -301,3 +301,24 @@ class TestHostileSubstringDedup:
         assert out[13] == ("", 2000, 2000)
         # regex metacharacters survive tokenization untouched
         assert out[8] == (REGEX_META, 4, 0)
+
+
+class TestHostileCrossNear:
+    def test_dedup_against_near_self_reference(self, hostile):
+        """Fresh batch == reference corpus: every doc with a non-empty
+        shingle set is (trivially) a verified near-dup of itself in the
+        reference, so only degenerate docs survive — empty/null/
+        whitespace text, and single-token docs shorter than the shingle
+        width (no shingles -> no buckets -> Jaccard undefined -> keep;
+        the exact pass is documented to run first and catches those)."""
+        from v3_polars_spark.datapipe import dedup_against_near
+
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_against_near(hostile, hostile)
+            .select("doc_id")
+            .collect()
+        )
+        # exactly the docs with < n=3 normalized tokens: 2=empty, 3=null,
+        # 4=whitespace-only, 5=one 2MB token, 9=two CJK tokens
+        assert kept == [2, 3, 4, 5, 9]
