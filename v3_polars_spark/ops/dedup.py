@@ -32,6 +32,17 @@ def _dedup(df, keys, order, value_cols, agg_fn, by_fn):
     value_cols = value_cols or [c for c in df.columns if c not in keys]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     packed = order + [c for c in value_cols if c not in order]
+    if len(packed) == 1 and _orderable(dtypes[packed[0]]) and not isinstance(
+        dtypes[packed[0]], (T.ArrayType, T.StructType)
+    ):
+        # single packed column: max/min of the bare column is the same row
+        # selection as max/min of a 1-field struct, but keeps the aggregate
+        # HASH-aggregable — a 1-field-struct buffer forces SortAggregate
+        # (two full sorts of the fact table at scale; measured 1.8 s -> ?
+        # on the 10 M-row series_pipeline shape, see BENCH_NOTES r6)
+        c = packed[0]
+        agged = df.groupBy(*keys).agg(agg_fn(F.col(c)).alias(c))
+        return agged.select(*keys, *[F.col(c).alias(v) for v in value_cols])
     if all(_orderable(dtypes[c]) for c in packed):
         # min/max over a struct whose leading fields are the order columns:
         # selects the same row as min_by/max_by when the order tuple is
