@@ -96,7 +96,15 @@ def _cache_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
 
     sizer = _BUCKET_FAMILY.get(name, name)
     path = os.path.join(sf_dir, f"{sizer}.parquet")
-    n_rows = pq.ParquetFile(path).metadata.num_rows
+    if os.path.isdir(path):
+        # Spark-written tables are directories of part files; sum the
+        # fragment row counts instead of assuming a single parquet file.
+        n_rows = sum(
+            frag.metadata.num_rows
+            for frag in pq.ParquetDataset(path).fragments
+        )
+    else:
+        n_rows = pq.ParquetFile(path).metadata.num_rows
     return min(
         spark.sparkContext.defaultParallelism,
         max(8, n_rows // _CACHE_ROWS_PER_SPLIT),

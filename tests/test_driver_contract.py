@@ -82,3 +82,25 @@ def test_queries_callable_registry_consistent():
     raw = em._raw_queries()
     assert set(qs) == set(raw)
     assert list(qs)[:50] == em._DRIVER_WINDOW
+
+
+def test_cache_splits_handles_directory_parquet(tmp_path):
+    """_cache_splits tolerates Spark-written directory-style tables
+    (ADVICE r6): row counts come from summing fragment metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "lineitem.parquet"
+    d.mkdir()
+    t = pa.table({"a": list(range(100))})
+    pq.write_table(t[:50], str(d / "part-0.parquet"))
+    pq.write_table(t[50:], str(d / "part-1.parquet"))
+    (d / "_SUCCESS").touch()
+
+    class _SC:
+        defaultParallelism = 32
+
+    class _Spark:
+        sparkContext = _SC()
+
+    assert em._cache_splits(_Spark(), str(tmp_path), "lineitem") == 8

@@ -85,3 +85,26 @@ def test_gif_roundtrip_random(n, h, w, k, seed):
     got, pal = decode_gif(encode_gif(frames, palette))
     np.testing.assert_array_equal(got, frames)
     np.testing.assert_array_equal(pal[:k], palette)
+
+
+def test_gif_truncated_raises_valueerror():
+    """Every truncation point raises the documented ValueError, never a raw
+    IndexError from walking past end-of-buffer (ADVICE r6)."""
+    f = (np.arange(64, dtype=np.uint8).reshape(8, 8)) % 4
+    g = encode_gif(np.stack([f, f.T]), PALETTE)
+    for cut in range(3, len(g)):
+        try:
+            decode_gif(g[:cut])
+        except ValueError:
+            pass  # the documented failure mode
+        except IndexError:  # pragma: no cover
+            raise AssertionError(f"raw IndexError at truncation {cut}")
+
+
+def test_gif_no_image_blocks_raises():
+    f = (np.arange(64, dtype=np.uint8).reshape(8, 8)) % 4
+    g = encode_gif(f, PALETTE)
+    # header + global palette, straight to trailer: no image descriptor
+    headerless = g[:13 + 3 * len(PALETTE)] + b"\x3b"
+    with pytest.raises(ValueError, match="no image blocks"):
+        decode_gif(headerless)

@@ -201,6 +201,15 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     full-size frames): returns (frames [n, h, w] uint8 indices,
     palette [k, 3] uint8). Independent of the encoder's tables — the
     roundtrip test in tests/test_gif.py is meaningful."""
+    n = len(data)
+
+    def _need(upto: int) -> None:
+        # every header/sub-block read is bounds-checked so truncated input
+        # raises the documented ValueError, not a raw IndexError
+        if upto > n:
+            raise ValueError("truncated GIF")
+
+    _need(13)
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack_from("<HH", data, 6)
@@ -209,19 +218,23 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     palette = np.zeros((2, 3), dtype=np.uint8)
     if packed & 0x80:
         k = 2 << (packed & 0x07)
+        _need(pos + 3 * k)
         palette = np.frombuffer(data[pos:pos + 3 * k], dtype=np.uint8).reshape(k, 3)
         pos += 3 * k
     frames = []
-    while pos < len(data):
+    while pos < n:
         b = data[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: skip sub-blocks
             pos += 2
+            _need(pos + 1)
             while data[pos] != 0:
                 pos += 1 + data[pos]
+                _need(pos + 1)
             pos += 1
         elif b == 0x2C:  # image descriptor
+            _need(pos + 11)
             fx, fy, fw, fh = struct.unpack_from("<HHHH", data, pos + 1)
             if (fx, fy, fw, fh) != (0, 0, w, h):
                 raise ValueError("partial frames unsupported")
@@ -232,10 +245,13 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
             min_code = data[pos]
             pos += 1
             payload = bytearray()
+            _need(pos + 1)
             while data[pos] != 0:
                 ln = data[pos]
+                _need(pos + 1 + ln)
                 payload += data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
+                _need(pos + 1)
             pos += 1
             px = _lzw_decode(bytes(payload), min_code, w * h)
             if len(px) != w * h:
@@ -245,4 +261,6 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
             )
         else:
             raise ValueError(f"unknown block 0x{b:02x} at {pos}")
+    if not frames:
+        raise ValueError("GIF contains no image blocks")
     return np.stack(frames), palette

@@ -158,6 +158,12 @@ def contamination_check(
 # measured minutes per row at 2 MB. The bounds are the RFC limits anyway
 # (local part <= 64, domain <= 255, TLD <= 24), so matches on actual PII
 # are unchanged and the worst-case scan is O(n * 64).
+#
+# Known edge: a local part LONGER than 64 chars (not a deliverable address
+# per RFC 5321) matches only its trailing 64 chars, so pii_scrub leaves the
+# over-long prefix unredacted. Accepted: full-span scrubbing of over-RFC
+# tokens would need an unbounded quantifier or lookbehind, reintroducing
+# the quadratic scan / RE2-compat problems this bound exists to fix.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",

@@ -38,8 +38,17 @@ def _dedup(df, keys, order, value_cols, agg_fn, by_fn):
         # single packed column: max/min of the bare column is the same row
         # selection as max/min of a 1-field struct, but keeps the aggregate
         # HASH-aggregable — a 1-field-struct buffer forces SortAggregate
-        # (two full sorts of the fact table at scale; measured 1.8 s -> ?
-        # on the 10 M-row series_pipeline shape, see BENCH_NOTES r6)
+        # (two full sorts of the fact table at scale; post-change plan on
+        # the 10 M-row series_pipeline shape: 4 HashAggregates, zero sorts —
+        # BENCH_NOTES r6 parallelism-curve audit).
+        #
+        # NULL note: min/max of a bare column SKIPS nulls (same as
+        # min_by/max_by), while min/max of a struct orders a NULL field
+        # FIRST — so this path and the struct path below can pick different
+        # rows when the order column contains NULLs. The op's determinism
+        # contract already requires the order tuple to be a total order per
+        # key, which NULLs break; callers must supply non-null order
+        # columns (see the docstrings).
         c = packed[0]
         agged = df.groupBy(*keys).agg(agg_fn(F.col(c)).alias(c))
         return agged.select(*keys, *[F.col(c).alias(v) for v in value_cols])
@@ -75,6 +84,11 @@ def dedup_last(
     An ordinary hash/sort aggregate (partial agg on the map side, one
     shuffle) — strictly cheaper at scale than the window-row_number
     formulation which must sort every partition's full rowset.
+
+    Contract: ``order`` columns must be NON-NULL — the op's determinism
+    guarantee requires the order tuple to totally order rows within a key,
+    and NULLs break totality (they also make the single-column fast path
+    NULL-skipping where the struct path is NULLs-first).
     """
     return _dedup(df, keys, order, value_cols, F.max, F.max_by)
 
