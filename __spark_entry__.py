@@ -67,9 +67,15 @@ _CACHE_ROWS_PER_SPLIT = 16_000
 # in-memory analog of tables.write_bucketed, and the layout a 100 TB
 # deployment would choose at rest. Spark keeps outputPartitioning through
 # .cache(), so every groupBy/window/join clustered on (a superset of) the
-# key skips its exchange outright: the orders⋈lineitem theta join runs
-# with ZERO shuffles (both sides bucketed on orderkey at the same width),
-# dedup_last/cumsum aggregate events in place, and the minhash shingle
+# key skips its exchange outright: the orders⋈lineitem theta join's SMJ
+# runs with ZERO join-side shuffles (both sides bucketed on orderkey at
+# the same width; its one query-time Exchange is the O(#priorities)-row
+# post-agg regroup — pinned by tests/test_plans.py::
+# test_theta_join_only_exchange_is_agg_regroup, and PLANS.md's
+# exchanges/cache_exch columns attribute query-time vs cache-build
+# shuffles for every query), dedup_last/cumsum/asof_join aggregate
+# events in place at zero query-time exchanges (pinned by
+# test_keyed_cache_zero_query_time_exchanges), and the minhash shingle
 # distinct + signature assembly never reshuffle the exploded documents
 # (HashPartitioning(doc_id) satisfies ClusteredDistribution(doc_id,
 # shingle)). Keys are unique-per-row (doc_id) or uniform (orderkey: ≤7
@@ -458,8 +464,11 @@ def q_theta_join(spark, sf):
     bottleneck exactly as data grows — measured 1.11 s -> 0.67 s vs
     SHUFFLE_HASH at 10x sf0.1), and both arrive co-partitioned on
     orderkey from the bucketed working-set cache, so sort-merge runs
-    with ZERO exchanges at every scale — the canonical bucketed-layout
-    fact-fact join on a 1000-executor cluster. SHUFFLE_HASH was the
+    with ZERO join-side exchanges at every scale (the one query-time
+    Exchange is the O(#priorities)-row post-agg regroup; pinned by
+    test_plans.py::test_theta_join_only_exchange_is_agg_regroup) — the
+    canonical bucketed-layout fact-fact join on a 1000-executor
+    cluster. SHUFFLE_HASH was the
     prior pick; on the co-partitioned cache its per-task hash build
     shares a stage with cache materialization and can starve unified
     memory at sf1 (observed: "Can't acquire ... to build hash

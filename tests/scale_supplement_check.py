@@ -16,11 +16,24 @@ docs/embeddings):
   in pandas — cross-group pairs inherit the representative pair's value,
   within-group pairs are the self-similarity (1.0 for jaccard; the
   engine-computed self-cosine fetched from DuckDB for embeddings).
+- ``dp_dedup_cross_near``: same d^2 blowup on the fresh x reference
+  candidate join. The committed oracle SQL runs UNCHANGED over docs
+  collapsed to one representative per (normalized text, doc_id-parity)
+  group — parity-aware because the fresh/corpus split is doc_id % 2 and
+  a text can appear on both sides. Sound because survivorship is a
+  function of the TEXT alone: identical texts give identical signatures,
+  hence identical band buckets (candidacy) and identical verified
+  Jaccard, and the corpus side enters the oracle only through its
+  distinct texts. Expansion: a fresh doc survives iff its parity-group
+  representative survives the collapsed run.
 
 Every comparison uses the same order-insensitive hashed compare as
 oracle_check. Usage::
 
-    python tests/scale_supplement_check.py [sf_dir] [out_json]
+    python tests/scale_supplement_check.py [sf_dir] [out_json] [only...]
+
+With ``only`` names given, just those sections run and their rows are
+MERGED into an existing out_json (other recorded results kept).
 """
 
 from __future__ import annotations
@@ -43,7 +56,12 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
     REPO, "CORRECTNESS_SF1_SUPPLEMENT.json"
 )
+ONLY = set(sys.argv[3:])
 NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _want(*names: str) -> bool:
+    return not ONLY or bool(ONLY & set(names))
 
 
 def record(results, name, spark_df, exp_df, note):
@@ -101,30 +119,52 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     # ---- dp_dedup_near / dp_dedup_best: committed pair oracle + union-find
-    con.execute("CREATE VIEW documents AS SELECT * FROM documents_raw")
-    print("duckdb: minhash pair oracle ...", flush=True)
-    pairs = con.execute(oracles["dp_minhash_lsh"]).df()
-    docs = con.execute("SELECT doc_id, n_chars FROM documents_raw").df()
-    ids = docs["doc_id"].to_numpy()
-    rep = union_find(ids, pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
-    note_cc = (
-        "committed dp_minhash_lsh oracle (DuckDB) for the verified pair "
-        "list; Python union-find replaces the recursive-CTE closure, "
-        "which exceeds the yardstick's disk at this scale"
-    )
-    exp_near = pd.DataFrame({"doc_id": ids, "rep": rep})
-    record(results, "dp_dedup_near", qs["dp_dedup_near"](spark, SF).toPandas(),
-           exp_near, note_cc)
+    if _want("dp_dedup_near", "dp_dedup_best"):
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_raw")
+        print("duckdb: minhash pair oracle ...", flush=True)
+        pairs = con.execute(oracles["dp_minhash_lsh"]).df()
+        docs = con.execute("SELECT doc_id, n_chars FROM documents_raw").df()
+        ids = docs["doc_id"].to_numpy()
+        rep = union_find(ids, pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
+        note_cc = (
+            "committed dp_minhash_lsh oracle (DuckDB) for the verified pair "
+            "list; Python union-find replaces the recursive-CTE closure, "
+            "which exceeds the yardstick's disk at this scale"
+        )
+        exp_near = pd.DataFrame({"doc_id": ids, "rep": rep})
+        record(results, "dp_dedup_near",
+               qs["dp_dedup_near"](spark, SF).toPandas(), exp_near, note_cc)
 
-    d2 = pd.DataFrame(
-        {"doc_id": ids, "n_chars": docs["n_chars"].to_numpy(), "rep": rep}
-    ).sort_values(["rep", "n_chars", "doc_id"], ascending=[True, False, True])
-    exp_best = d2.groupby("rep").head(1)[["doc_id", "n_chars"]].reset_index(drop=True)
-    record(results, "dp_dedup_best", qs["dp_dedup_best"](spark, SF).toPandas(),
-           exp_best, note_cc)
+        d2 = pd.DataFrame(
+            {"doc_id": ids, "n_chars": docs["n_chars"].to_numpy(), "rep": rep}
+        ).sort_values(["rep", "n_chars", "doc_id"], ascending=[True, False, True])
+        exp_best = (
+            d2.groupby("rep").head(1)[["doc_id", "n_chars"]].reset_index(drop=True)
+        )
+        record(results, "dp_dedup_best",
+               qs["dp_dedup_best"](spark, SF).toPandas(), exp_best, note_cc)
+        con.execute("DROP VIEW documents")
 
+    if _want("dp_ngram_jaccard"):
+        _ngram_section(con, spark, qs, oracles, results)
+    if _want("dp_embed_neardup_lsh"):
+        _embed_section(con, spark, qs, oracles, results)
+    if _want("dp_dedup_cross_near"):
+        _cross_near_section(con, spark, qs, oracles, results)
+
+    out_results = results
+    if ONLY and os.path.exists(OUT):
+        with open(OUT) as f:
+            prior = json.load(f)
+        out_results = {**prior.get("results", {}), **results}
+    with open(OUT, "w") as f:
+        json.dump({"sf_dir": SF, "results": out_results}, f, indent=1)
+    print(f"wrote {OUT}")
+    return 0 if all(r["hash_match"] for r in results.values()) else 1
+
+
+def _ngram_section(con, spark, qs, oracles, results) -> None:
     # ---- dp_ngram_jaccard: committed oracle over text-collapsed reps
-    con.execute("DROP VIEW documents")
     con.execute(f"""
         CREATE VIEW doc_grp AS
         SELECT doc_id, md5({NORM}) AS gk,
@@ -156,7 +196,10 @@ def main() -> int:
         "docs (md5 of normalized text); pandas pair expansion — the "
         "uncollapsed shingle join exceeds the yardstick's disk at this scale",
     )
+    con.execute("DROP VIEW documents")
 
+
+def _embed_section(con, spark, qs, oracles, results) -> None:
     # ---- dp_embed_neardup_lsh: committed oracle over vector-collapsed reps
     con.execute("""
         CREATE VIEW emb_grp AS
@@ -200,10 +243,57 @@ def main() -> int:
         "uncollapsed bucket join exceeds the yardstick's disk at this scale",
     )
 
-    with open(OUT, "w") as f:
-        json.dump({"sf_dir": SF, "results": results}, f, indent=1)
-    print(f"wrote {OUT}")
-    return 0 if all(r["hash_match"] for r in results.values()) else 1
+
+def _cross_near_section(con, spark, qs, oracles, results) -> None:
+    # ---- dp_dedup_cross_near: committed oracle over parity-collapsed docs
+    #
+    # The fresh/corpus split is doc_id % 2, so the collapse keys on
+    # (normalized text, parity) — min doc_id preserves each group's parity.
+    # Survivorship is a function of the text alone (identical texts give
+    # identical minhash signatures -> identical band buckets -> identical
+    # verified Jaccard, and the corpus side enters only through its
+    # distinct texts), so a fresh doc survives iff its parity-group rep
+    # survives the collapsed run.
+    con.execute(f"""
+        CREATE VIEW docx_grp AS
+        SELECT doc_id, doc_id % 2 AS par, md5({NORM}) AS gk
+        FROM documents_raw
+    """)
+    con.execute("""
+        CREATE VIEW docx_reps AS
+        SELECT gk, par, min(doc_id) AS rep
+        FROM docx_grp GROUP BY gk, par
+    """)
+    con.execute("""
+        CREATE VIEW documents AS
+        SELECT r.* FROM documents_raw r JOIN docx_reps g ON r.doc_id = g.rep
+    """)
+    print("duckdb: cross-near oracle on parity reps ...", flush=True)
+    surv_reps = con.execute(oracles["dp_dedup_cross_near"]).df()
+    members = con.execute("""
+        SELECT d.doc_id, g.rep
+        FROM docx_grp d JOIN docx_reps g ON d.gk = g.gk AND d.par = g.par
+        WHERE d.par = 1
+    """).df()
+    keep = set(
+        members[members["rep"].isin(set(surv_reps["doc_id"]))]["doc_id"]
+    )
+    full = con.execute(
+        "SELECT doc_id, lang, source, n_chars FROM documents_raw "
+        "WHERE doc_id % 2 = 1"
+    ).df()
+    exp = full[full["doc_id"].isin(keep)].reset_index(drop=True)
+    record(
+        results, "dp_dedup_cross_near",
+        qs["dp_dedup_cross_near"](spark, SF).toPandas(), exp,
+        "committed oracle SQL unchanged, run over docs collapsed to one rep "
+        "per (normalized text, doc_id-parity); a fresh doc survives iff its "
+        "rep survives — the uncollapsed fresh x reference candidate join is "
+        "duplication-quadratic and exceeds the yardstick's disk at this scale",
+    )
+    con.execute("DROP VIEW documents")
+    con.execute("DROP VIEW docx_reps")
+    con.execute("DROP VIEW docx_grp")
 
 
 def expand_pairs(

@@ -407,3 +407,43 @@ def test_partition_pruning_executed_metrics(spark, tmp_path):
     assert int(ps["numPartitions"]) == 1
     assert int(fs["numPartitions"]) == 8
     assert int(ps["numFiles"]) * 2 <= int(fs["numFiles"])
+
+
+def test_keyed_cache_zero_query_time_exchanges(spark, sf_dir):
+    """Pin the keyed working-set-cache claims (__spark_entry__._CACHE_KEYS):
+    queries whose groupBy/window/join keys cluster on the cache key run
+    with ZERO query-time shuffles — the only Exchange in their executed
+    plan is the cache's one-time population repartition, attributed
+    separately by count_exchanges_split."""
+    import __spark_entry__ as em
+    from v3_polars_spark.plans import count_exchanges_split
+
+    qs = em.queries()
+    for name in ("dedup_last", "cumsum", "asof_join"):
+        split = count_exchanges_split(qs[name](spark, sf_dir))
+        assert split["query"] == 0, (name, split)
+        assert split["cache_build"] >= 1, (name, split)
+
+
+def test_theta_join_only_exchange_is_agg_regroup(spark, sf_dir):
+    """theta_join's orders⋈lineitem SMJ is co-partitioned on the cache key
+    (zero join-side shuffles); its single query-time Exchange is the
+    O(#priorities)-row regroup onto the AGGREGATE key after the partial
+    agg — unavoidable (output keys differ from join keys) and tiny."""
+    import __spark_entry__ as em
+    from v3_polars_spark.plans.inspect import (
+        _walk_exchange_nodes,
+        count_exchanges_split,
+    )
+
+    df = em.queries()["theta_join"](spark, sf_dir)
+    split = count_exchanges_split(df)
+    assert split == {"query": 1, "cache_build": 2}, split
+    acc: list = []
+    _walk_exchange_nodes(
+        df._jdf.queryExecution().executedPlan(), acc, False, set()
+    )
+    q_ex = [n for kind, n in acc if kind == "query"]
+    assert len(q_ex) == 1
+    # the surviving exchange partitions on the agg key, not a join key
+    assert "o_orderpriority" in q_ex[0].outputPartitioning().toString()

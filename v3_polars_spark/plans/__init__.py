@@ -1,5 +1,6 @@
 from .inspect import (
     count_exchanges,
+    count_exchanges_split,
     executed_plan_str,
     executed_scan_metrics,
     explain_str,
@@ -11,6 +12,7 @@ from .inspect import (
 
 __all__ = [
     "count_exchanges",
+    "count_exchanges_split",
     "executed_plan_str",
     "executed_scan_metrics",
     "explain_str",

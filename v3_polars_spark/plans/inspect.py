@@ -77,6 +77,59 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 
 
+def _walk_exchange_nodes(jnode, acc: list, in_cache: bool, seen_caches: set) -> None:
+    """Recursive descent over the EXECUTED plan, tagging each shuffle
+    Exchange as query-time or cache-build.
+
+    The keyed working-set cache repartitions tables once at population
+    (`__spark_entry__._t`); those Exchanges live INSIDE the
+    InMemoryRelation's cached plan and amortize to zero across queries,
+    while Exchanges above the InMemoryTableScan are paid on EVERY run.
+    A text regex over `.explain` cannot tell them apart (the formatted
+    string prints the cache subtree inline and repeats it in the
+    un-executed Initial Plan), so this walks the JVM plan tree: crossing
+    AQE stage wrappers like :func:`_walk_scan_nodes` and descending into
+    each cached relation's ``cachedPlan`` exactly once (a cache scanned
+    from both join sides would otherwise double-count its build).
+    """
+    cls = jnode.getClass().getName()
+    name = jnode.nodeName()
+    if name.startswith("Exchange") or "ShuffleExchangeExec" in cls:
+        acc.append(("cache_build" if in_cache else "query", jnode))
+    ch = jnode.children()
+    for i in range(ch.size()):
+        _walk_exchange_nodes(ch.apply(i), acc, in_cache, seen_caches)
+    if "QueryStageExec" in cls and "TableCacheQueryStage" not in cls:
+        _walk_exchange_nodes(jnode.plan(), acc, in_cache, seen_caches)
+    elif "TableCacheQueryStageExec" in cls:
+        _walk_exchange_nodes(jnode.plan(), acc, in_cache, seen_caches)
+    elif "AdaptiveSparkPlanExec" in cls:
+        _walk_exchange_nodes(jnode.executedPlan(), acc, in_cache, seen_caches)
+    elif "InMemoryTableScanExec" in cls:
+        cached = jnode.relation().cachedPlan()
+        cid = cached.id()
+        if cid not in seen_caches:
+            seen_caches.add(cid)
+            _walk_exchange_nodes(cached, acc, True, seen_caches)
+
+
+def count_exchanges_split(df: DataFrame, run: bool = True) -> dict:
+    """Shuffle-exchange counts of the EXECUTED plan, attributed to where
+    the cost is paid: ``query`` (every run) vs ``cache_build`` (once, at
+    working-set-cache population). Runs the query unless ``run=False``.
+    Broadcast exchanges are excluded from both (the cheap kind)."""
+    if run:
+        df.collect()
+    acc: list = []
+    _walk_exchange_nodes(
+        df._jdf.queryExecution().executedPlan(), acc, False, set()
+    )
+    return {
+        "query": sum(1 for kind, _ in acc if kind == "query"),
+        "cache_build": sum(1 for kind, _ in acc if kind == "cache_build"),
+    }
+
+
 def _walk_scan_nodes(jnode, acc: list) -> None:
     """Recursive descent over the EXECUTED physical plan, crossing AQE
     stage boundaries (Spark 4 wraps every materialized stage in a
