@@ -1945,6 +1945,43 @@ def q_merge_upsert(spark, sf):
     return merge_upsert(target, updates, ["o_orderkey"], delete_col="__delete")
 
 
+def q_stream_corpus_dedup(spark, sf):
+    """§2.8 + incremental ingest as ONE oracle-checked query
+    (streaming/dedup_stream.py): seed the kept corpus with the even-id
+    docs (and their persisted dedup state), drain the odd-id docs
+    through streaming_corpus_dedup in an AvailableNow trigger — exact
+    self-dedup, exact cross vs persisted fingerprints, near cross vs
+    persisted band buckets + shingle sets — and return the committed
+    survivors. Oracle: the dp_dedup_cross_near SQL with
+    exact_first=True (the full three-pass composition). Multi-batch
+    keep-first semantics, checkpoint resume, and exactly-once under
+    mid-batch crashes are pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from v3_polars_spark.streaming import (
+        read_corpus,
+        seed_corpus,
+        streaming_corpus_dedup,
+    )
+
+    _prep(spark)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix="stream_corpus_")
+    seed_corpus(docs.filter(F.col("doc_id") % 2 == 0), root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    streaming_corpus_dedup(stream, root, os.path.join(root, "ckpt"))
+    return (
+        read_corpus(spark, root)
+        .filter(F.col("batch") >= 0)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 def q_stream_dedup(spark, sf):
     """§2.8 dedup as an oracle-checked query: streaming dropDuplicates
     over the events file source (AvailableNow drain into a memory sink),
@@ -2545,6 +2582,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "dp_dedup_cross": dp_dedup_cross,
         "dp_dedup_cross_near": dp_dedup_cross_near,
+        "stream_corpus_dedup": q_stream_corpus_dedup,
         "funnel": q_funnel,
         "retention": q_retention,
         "dp_embed_quantize": dp_embed_quantize,
@@ -3078,11 +3116,21 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) 
 
 
 def _minhash_cross_sql(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    exact_first: bool = False,
 ) -> str:
     """Oracle for dp_dedup_cross_near: same signature/band machinery as
     _minhash_sql, candidates restricted to fresh(odd) x corpus(even),
-    output = surviving fresh docs (no verified match)."""
+    output = surviving fresh docs (no verified match).
+
+    ``exact_first=True`` is the stream_corpus_dedup oracle: the full
+    incremental-ingest composition — exact SELF dedup of the fresh batch
+    (min doc_id per normalized text) and exact CROSS dedup vs the corpus
+    run before the near pass. Sound to express as conjoined conditions
+    because near-match status is a per-doc function of (text, corpus),
+    independent of which other fresh docs survive the exact passes."""
     from v3_polars_spark.datapipe.dedup import PERM_P, POLY_MOD, minhash_perm_constants
 
     r = num_hashes // bands
@@ -3098,6 +3146,28 @@ def _minhash_cross_sql(
             acc = f"(({acc} * 131 + h{i}) % {M})"
         band_selects.append(f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_selects)
+    if exact_first:
+        tail = f""",
+        fresh_fp AS (
+            SELECT doc_id, lang, source, n_chars, md5({_NORM}) AS fp,
+                   min(doc_id) OVER (PARTITION BY md5({_NORM})) AS keeper
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        corpus_fp AS (
+            SELECT DISTINCT md5({_NORM}) AS fp
+            FROM documents WHERE doc_id % 2 = 0
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM fresh_fp f
+        WHERE doc_id = keeper
+          AND NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = f.fp)
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_new = f.doc_id)"""
+    else:
+        tail = """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_new = doc_id)"""
     return f"""
         WITH {_hashed_shingles_cte()},
         sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
@@ -3121,10 +3191,7 @@ def _minhash_cross_sql(
             JOIN sz sb ON sb.doc_id = id_ref
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
         )
-        SELECT doc_id, lang, source, n_chars
-        FROM documents
-        WHERE doc_id % 2 = 1
-          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_new = doc_id)
+        {tail}
     """
 
 
@@ -4402,6 +4469,7 @@ def oracle_sql() -> dict[str, str]:
               )
         """,
         "dp_dedup_cross_near": _minhash_cross_sql(),
+        "stream_corpus_dedup": _minhash_cross_sql(exact_first=True),
         "dp_embed_quantize": """
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound

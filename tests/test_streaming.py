@@ -807,3 +807,237 @@ def test_stream_dedup_crash_resume_state_intact(spark, tmp_path):
     assert 4 not in ids
     assert sum(1 for i in ids if i in (0, 2)) == 1
     assert set(ids) >= {1, 3, 5} and len(ids) == 4
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental corpus dedup (streaming/dedup_stream.py): grow the
+# kept corpus batch-by-batch, each micro-batch deduped exact + near against
+# persisted state — batch-replay equivalence, checkpoint resume growth, and
+# exactly-once under both crash windows (committed-unacknowledged replay,
+# half-written state cleanup).
+# ---------------------------------------------------------------------------
+
+_CD_SCHEMA = "doc_id long, text string"
+
+# each family is a 3-token phrase repeated: base (x3) and near-variant
+# (x4) have IDENTICAL 3-gram shingle sets (Jaccard exactly 1), so LSH
+# candidacy + verification are DETERMINISTIC — the probabilistic
+# mid-Jaccard regime is covered by the seeded sf0.01 test below, which
+# compares against the direct functions rather than a hand expectation.
+# Families share no tokens (J = 0 across), and a near-variant is NOT an
+# exact dup (different normalized text).
+def _fam(phrase: str) -> tuple[str, str]:
+    return " ".join([phrase] * 3), " ".join([phrase] * 4)
+
+
+_A, _A_NEAR = _fam("alpha bravo charlie")
+_B, _B_NEAR = _fam("one two three")
+_C, _C_NEAR = _fam("red orange yellow")
+_D, _D_NEAR = _fam("north south east")
+_E, _E_NEAR = _fam("ant bee cat")
+
+_CD_SEGS = [
+    [(0, _A), (1, _B), (2, "  ALPHA " + _A[6:])],     # 2 == 0 normalized
+    [(3, _A_NEAR), (4, _C), (5, _B)],                 # 3 near-dups 0; 5 exact-dups 1
+    [(6, _C_NEAR), (7, _D), (8, _A)],                 # 6 near-dups 4; 8 exact-dups 0
+    [(9, _D_NEAR), (10, _E), (11, _E_NEAR)],          # 9 near-dups 7; 10+11 BOTH
+]                                                     # survive (within-batch near)
+assert _CD_SEGS[0][2][1].lower().split() == _A.split()  # 2 really exact-dups 0
+_CD_SURVIVORS = {0, 1, 4, 7, 10, 11}
+
+
+def _cd_write_segs(spark, src, segs, start=0):
+    """One parquet file per segment with strictly increasing mtimes so the
+    file source's oldest-first order equals segment order (survivorship
+    is order-dependent: keep-first across batches)."""
+    import glob as _glob
+    import time
+
+    base = time.time() - 3600
+    for k, rows in enumerate(segs, start=start):
+        d = f"{src}/seg{k}"
+        spark.createDataFrame(rows, _CD_SCHEMA).coalesce(1).write.parquet(d)
+        for f in _glob.glob(f"{d}/*"):
+            os.utime(f, (base + k, base + k))
+
+
+def _cd_reader(spark, src):
+    return (
+        spark.readStream.schema(_CD_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/seg*")
+    )
+
+
+def _cd_replay(spark, segs, seed=None):
+    """Driver-loop batch derivation: the examples/incremental_dedup.py flow
+    run segment-by-segment with the DIRECT datapipe functions (raw corpus
+    docs re-shingled each step) — the semantics yardstick the persisted-
+    state streaming path must reproduce exactly."""
+    from v3_polars_spark.datapipe import (
+        dedup_against,
+        dedup_against_near,
+        dedup_exact,
+    )
+
+    corpus = seed
+    kept_ids = set() if seed is None else {r.doc_id for r in seed.collect()}
+    for rows in segs:
+        batch = spark.createDataFrame(rows, _CD_SCHEMA)
+        s = dedup_exact(batch)
+        if corpus is not None:
+            s = dedup_against_near(dedup_against(s, corpus), corpus)
+        corpus = corpus.unionByName(s) if corpus is not None else s
+        corpus = corpus.localCheckpoint()  # keep the lineage flat
+        kept_ids = {r.doc_id for r in corpus.collect()}
+    return kept_ids
+
+
+def test_corpus_dedup_stream_equals_batch_replay(spark, tmp_path):
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _cd_write_segs(spark, src, _CD_SEGS)
+    root, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+
+    got = {r.doc_id for r in read_corpus(spark, root).collect()}
+    assert got == _CD_SURVIVORS
+    assert got == _cd_replay(spark, _CD_SEGS)
+
+
+def test_corpus_dedup_stream_resume_grows_corpus(spark, tmp_path):
+    """Drain two segments, then land two more and re-drain on the SAME
+    checkpoint: the resumed query must process only the new files, and
+    the final corpus must equal the four-segment replay."""
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _cd_write_segs(spark, src, _CD_SEGS[:2])
+    root, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+    assert {r.doc_id for r in read_corpus(spark, root).collect()} == {0, 1, 4}
+
+    _cd_write_segs(spark, src, _CD_SEGS[2:], start=2)
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+    corpus = read_corpus(spark, root)
+    assert {r.doc_id for r in corpus.collect()} == _CD_SURVIVORS
+    # resumed batches appended, none reprocessed: batch ids keep rising
+    assert corpus.select("batch").distinct().count() == 4
+
+
+def test_corpus_dedup_crash_after_commit_replays_as_noop(spark, tmp_path):
+    """Worst-case window A: batch 1 fully committed (docs dir renamed) but
+    the streaming checkpoint never acknowledged it. The restart replays
+    batch 1 with the same id; the commit marker makes it a no-op — no
+    duplicate corpus batch, no re-dedup against itself."""
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+    from v3_polars_spark.streaming.dedup_stream import corpus_dedup_batch_fn
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _cd_write_segs(spark, src, _CD_SEGS)
+    root, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+
+    fn = corpus_dedup_batch_fn(spark, root)
+
+    def crashing(df, batch_id):
+        fn(df, batch_id)
+        if batch_id == 1:
+            raise RuntimeError("injected crash: batch committed, ack lost")
+
+    q = (
+        _cd_reader(spark, src)
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    assert not q.isActive
+
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+    corpus = read_corpus(spark, root)
+    assert {r.doc_id for r in corpus.collect()} == _CD_SURVIVORS
+    # batch 1's replay was a no-op: exactly one corpus batch per segment
+    assert corpus.select("batch").distinct().count() == 4
+
+
+def test_corpus_dedup_half_written_state_cleaned_on_replay(spark, tmp_path):
+    """Worst-case window B: a crashed attempt left batch 1's STATE dirs
+    committed but not its docs dir (docs rename is the commit point).
+    The replay must discard the stale state and recompute — otherwise
+    the survivor fingerprints/buckets of the dead attempt would shadow
+    the real ones."""
+    import shutil
+
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+    from v3_polars_spark.streaming.dedup_stream import (
+        _BUCKETS, _FP, _SHSETS, _batch_dir,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _cd_write_segs(spark, src, _CD_SEGS[:1])
+    root, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+
+    # forge the half-written batch-1 attempt: stale state, no docs
+    for kind in (_FP, _BUCKETS, _SHSETS):
+        shutil.copytree(_batch_dir(root, kind, 0), _batch_dir(root, kind, 1))
+
+    _cd_write_segs(spark, src, _CD_SEGS[1:], start=1)
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+    assert {
+        r.doc_id for r in read_corpus(spark, root).collect()
+    } == _CD_SURVIVORS
+
+
+def test_corpus_dedup_seeded_matches_direct_functions(spark, sf_dir):
+    """Production shape on real testdata: seed the kept corpus with the
+    even-id docs, stream the odd-id docs through in one trigger, and
+    require the survivors to equal the direct dedup_exact →
+    dedup_against → dedup_against_near composition — the persisted-state
+    path and the raw-corpus path must be indistinguishable."""
+    from v3_polars_spark.datapipe import (
+        dedup_against,
+        dedup_against_near,
+        dedup_exact,
+    )
+    from v3_polars_spark.streaming import (
+        read_corpus,
+        seed_corpus,
+        streaming_corpus_dedup,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(docs_path)
+    fresh = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="cd_seeded_")
+    seed_corpus(corpus, root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    streaming_corpus_dedup(stream, root, os.path.join(root, "ckpt"))
+
+    got = {
+        r.doc_id
+        for r in read_corpus(spark, root).filter("batch >= 0").collect()
+    }
+    exp_df = dedup_against_near(
+        dedup_against(dedup_exact(fresh), corpus), corpus
+    )
+    exp = {r.doc_id for r in exp_df.select("doc_id").collect()}
+    assert got == exp and len(got) > 0

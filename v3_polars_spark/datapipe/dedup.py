@@ -974,10 +974,46 @@ def dedup_against_near(
     sets_ref = _track(
         shingle_hash_sets(reference, ref_text_col or text_col, rid, n)
     )
-    bk_new = _band_buckets(sets_new, id_col, num_hashes, bands).select(
+    bk_new = _band_buckets(sets_new, id_col, num_hashes, bands)
+    bk_ref = _band_buckets(sets_ref, rid, num_hashes, bands)
+    matched = near_match_ids(
+        sets_new, bk_new, sets_ref, bk_ref,
+        id_col=id_col, ref_id_col=rid, verify_threshold=verify_threshold,
+    )
+    return df.join(matched, id_col, "left_anti")
+
+
+def near_match_ids(
+    sets_new: DataFrame,
+    buckets_new: DataFrame,
+    sets_ref: DataFrame,
+    buckets_ref: DataFrame,
+    id_col: str = "doc_id",
+    ref_id_col: str | None = None,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Ids of ``sets_new`` docs with at least one VERIFIED near-match in
+    the reference side — the candidate+verify core of
+    :func:`dedup_against_near`, factored out so callers can supply
+    PRECOMPUTED reference state. ``sets_*`` are ``(id, shset)`` frames
+    (:func:`shingle_hash_sets`); ``buckets_*`` are ``(id, band, bucket)``
+    frames (:func:`_band_buckets`) — both sides must share the same
+    permutation family/params or buckets are not comparable.
+
+    This is what makes incremental ingest O(batch), not O(corpus): the
+    streaming pipeline (``streaming/dedup_stream.py``) persists each
+    committed batch's shingle sets and band buckets next to the kept
+    docs, so deduping batch N re-shingles only the ~batch-sized fresh
+    side and joins it against the resting state — the corpus text is
+    never re-read, matching the segment discipline of the reference's
+    incremental loop (data_update.py:191-292).
+
+    Output: one column, ``id_col``, distinct."""
+    rid = ref_id_col or id_col
+    bk_new = buckets_new.select(
         F.col(id_col).alias("__id_new"), "band", "bucket"
     )
-    bk_ref = _band_buckets(sets_ref, rid, num_hashes, bands).select(
+    bk_ref = buckets_ref.select(
         F.col(rid).alias("__id_ref"), "band", "bucket"
     )
     cand = (
@@ -985,7 +1021,7 @@ def dedup_against_near(
         .select("__id_new", "__id_ref")
         .distinct()
     )
-    verified = (
+    return (
         cand.join(
             sets_new.select(
                 F.col(id_col).alias("__id_new"), F.col("shset").alias("__sa")
@@ -1009,7 +1045,6 @@ def dedup_against_near(
         .select(F.col("__id_new").alias(id_col))
         .distinct()
     )
-    return df.join(verified, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

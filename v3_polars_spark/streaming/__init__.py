@@ -11,6 +11,11 @@ from .quality_stream import (
     streaming_bin_counts,
     streaming_kll_state,
 )
+from .dedup_stream import (
+    read_corpus,
+    seed_corpus,
+    streaming_corpus_dedup,
+)
 from .stateful import streaming_liquidity_deltas
 from .upsert_stream import streaming_snapshot_upsert
 
@@ -20,6 +25,9 @@ __all__ = [
     "read_bin_counts",
     "streaming_bin_counts",
     "streaming_snapshot_upsert",
+    "streaming_corpus_dedup",
+    "seed_corpus",
+    "read_corpus",
     "run_available_now",
     "stream_dedup_exact",
     "stream_table",

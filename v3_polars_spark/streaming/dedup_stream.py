@@ -1,0 +1,264 @@
+"""Streaming incremental corpus dedup: grow a kept corpus batch-by-batch
+from a document stream, deduping each micro-batch exactly + near against
+everything kept so far — the production LLM-ingest shape of
+``examples/incremental_dedup.py``, maintained as resumable streaming
+state (reference analog: the segmented incremental ingest loop,
+data_update.py:191-292, which appends one deduped segment per pull).
+
+Per micro-batch (``foreachBatch``):
+
+1. exact self-dedup of the batch              (datapipe.dedup.dedup_exact)
+2. exact cross-dedup vs the kept corpus       (md5-fingerprint anti join —
+                                               the dedup_against plan, run
+                                               against PERSISTED fingerprints)
+3. near cross-dedup vs the kept corpus        (datapipe.dedup.near_match_ids
+                                               over persisted band buckets +
+                                               shingle sets)
+4. append the survivors (and their state) as a new corpus batch
+
+The ordering is the scale contract (see examples/incremental_dedup.py):
+exact passes collapse duplication FIRST so the near pass's candidate
+join never sees duplicate groups.
+
+**O(batch), not O(corpus), per trigger**: alongside each batch's
+surviving docs the pipeline persists their md5 fingerprints, LSH band
+buckets, and hashed shingle sets. Batch N therefore re-shingles only
+the fresh side and joins it against resting state — the corpus TEXT is
+never re-read or re-shingled, so per-trigger cost is bounded by batch
+size + the (columnar, pruned) state scans. At 100 TB the state tables
+are exactly the bucketed layout a warehouse would keep them in.
+
+**Exactly-once**: foreachBatch is at-least-once (a crashed batch replays
+with the same batch_id), so every write is a per-batch directory
+committed by atomic tmp-dir rename, with the DOCS directory renamed
+LAST as the commit point. A replay of a committed batch is a no-op (the
+docs dir exists); a replay of a half-written batch first removes the
+stale state dirs and recomputes from the same corpus state (batches
+run serially, so the kept corpus a replay sees is identical to what
+the crashed attempt saw). Pinned in tests/test_streaming.py alongside
+batch ≡ streamed equivalence.
+
+Within-batch NEAR duplicates both survive (matching the example flow:
+near self-dedup of a crawl batch is a separate choice —
+``near_dup_components`` — and keeping it out makes survivorship a pure
+function of (doc text, prior corpus), which the batch-replay
+equivalence tests rely on). Exact within-batch duplicates collapse to
+the min-id representative.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..datapipe.dedup import (
+    _band_buckets,
+    dedup_exact,
+    fingerprint_md5,
+    near_match_ids,
+    shingle_hash_sets,
+)
+
+# corpus_root subdirectories: kept documents + the three state tables a
+# later batch needs to dedup against the corpus without re-reading it
+_DOCS = "docs"
+_FP = "state_fp"
+_BUCKETS = "state_buckets"
+_SHSETS = "state_shsets"
+
+
+def _batch_dir(corpus_root: str, kind: str, batch_id: int) -> str:
+    return os.path.join(corpus_root, kind, f"batch={batch_id}")
+
+
+def _commit_write(df: DataFrame, final_dir: str) -> None:
+    """Write ``df`` to a tmp dir and atomically rename into place. The
+    rename is the commit: readers list only completed batch dirs, so a
+    crash mid-write leaves nothing visible."""
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    tmp = f"{final_dir}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final_dir)
+
+
+def _data_dirs(corpus_root: str, kind: str) -> list[str]:
+    """Committed batch dirs of one kind that contain data files (an
+    empty-survivor batch commits a dir with only _SUCCESS — zero rows,
+    skipped so multi-dir reads always have schema-bearing files)."""
+    return [
+        d
+        for d in sorted(glob.glob(os.path.join(corpus_root, kind, "batch=*")))
+        if glob.glob(os.path.join(d, "part-*"))
+    ]
+
+
+def _read_state(spark, corpus_root: str, kind: str, like: DataFrame) -> DataFrame:
+    """Union of all committed state dirs of ``kind``; an empty frame with
+    ``like``'s schema when no batch has landed data yet (first trigger,
+    or every prior batch had zero survivors)."""
+    dirs = _data_dirs(corpus_root, kind)
+    if not dirs:
+        return spark.createDataFrame([], like.schema)
+    return spark.read.parquet(*dirs)
+
+
+def read_corpus(spark, corpus_root: str) -> DataFrame:
+    """The kept corpus: every committed batch's surviving docs, with the
+    ``batch`` provenance partition column (seed batches are negative)."""
+    dirs = _data_dirs(corpus_root, _DOCS)
+    if not dirs:
+        raise FileNotFoundError(f"no committed corpus batches under {corpus_root}")
+    base = os.path.join(corpus_root, _DOCS)
+    return spark.read.option("basePath", base).parquet(*dirs)
+
+
+def seed_corpus(
+    df: DataFrame,
+    corpus_root: str,
+    batch_id: int = -1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Install an already-kept corpus as batch ``batch_id`` (negative by
+    convention, below every streamed batch) with the full dedup state —
+    fingerprints, band buckets, shingle sets — so streamed batches dedup
+    against it from the first trigger. ``df`` is written AS IS (it is
+    the corpus you already trained on, not a candidate batch). The LSH
+    params must match the ones passed to :func:`streaming_corpus_dedup`
+    or buckets are not comparable across sides."""
+    sets = shingle_hash_sets(df, text_col, id_col, n)
+    _commit_write(
+        fingerprint_md5(df, text_col).select("fp").distinct(),
+        _batch_dir(corpus_root, _FP, batch_id),
+    )
+    _commit_write(sets, _batch_dir(corpus_root, _SHSETS, batch_id))
+    _commit_write(
+        _band_buckets(sets, id_col, num_hashes, bands),
+        _batch_dir(corpus_root, _BUCKETS, batch_id),
+    )
+    _commit_write(df, _batch_dir(corpus_root, _DOCS, batch_id))
+
+
+def corpus_dedup_batch_fn(
+    spark,
+    corpus_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = True,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+):
+    """The ``foreachBatch`` function :func:`streaming_corpus_dedup` runs —
+    exposed so tests can wrap it with failure injection."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        docs_dir = _batch_dir(corpus_root, _DOCS, batch_id)
+        if os.path.isdir(docs_dir):
+            return  # replay of a committed batch: exactly-once no-op
+        # a half-written attempt may have committed state dirs but not
+        # docs (docs rename is the commit point) — remove and recompute
+        for kind in (_FP, _BUCKETS, _SHSETS):
+            stale = _batch_dir(corpus_root, kind, batch_id)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+
+        # 1-2. exact self-dedup, then fingerprint anti join vs resting
+        # state (the dedup_against plan over persisted fps)
+        s1 = fingerprint_md5(dedup_exact(batch_df, text_col, id_col), text_col)
+        ref_fp = _read_state(spark, corpus_root, _FP, s1.select("fp"))
+        s2 = s1.join(ref_fp, ["fp"], "left_anti").persist()
+        try:
+            survivors = s2
+            sets_new = None
+            if near:
+                # 3. near pass against persisted buckets + shingle sets;
+                # the fresh side is shingled once and reused for the
+                # survivor state written below
+                sets_new = shingle_hash_sets(
+                    s2.drop("fp"), text_col, id_col, n
+                ).persist()
+                bk_new = _band_buckets(sets_new, id_col, num_hashes, bands)
+                matched = near_match_ids(
+                    sets_new,
+                    bk_new,
+                    _read_state(spark, corpus_root, _SHSETS, sets_new),
+                    _read_state(spark, corpus_root, _BUCKETS, bk_new),
+                    id_col=id_col,
+                    verify_threshold=verify_threshold,
+                )
+                survivors = s2.join(matched, [id_col], "left_anti")
+            survivors = survivors.persist()
+
+            # 4. state first, docs LAST (docs dir is the commit marker)
+            _commit_write(
+                survivors.select("fp").distinct(),
+                _batch_dir(corpus_root, _FP, batch_id),
+            )
+            if near:
+                keep_ids = survivors.select(id_col)
+                sets_kept = sets_new.join(keep_ids, [id_col], "left_semi")
+                _commit_write(sets_kept, _batch_dir(corpus_root, _SHSETS, batch_id))
+                _commit_write(
+                    _band_buckets(sets_kept, id_col, num_hashes, bands),
+                    _batch_dir(corpus_root, _BUCKETS, batch_id),
+                )
+            _commit_write(survivors.drop("fp"), docs_dir)
+        finally:
+            s2.unpersist()
+            if sets_new is not None:
+                sets_new.unpersist()
+            survivors.unpersist()
+
+    return _apply
+
+
+def streaming_corpus_dedup(
+    stream_df: DataFrame,
+    corpus_root: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = True,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+    timeout_sec: int = 600,
+) -> None:
+    """Drain ``stream_df`` (AvailableNow) into the kept corpus under
+    ``corpus_root``, deduping each micro-batch exactly + near against
+    everything kept so far (see module docstring for the per-batch plan
+    and the exactly-once commit protocol). Resumable: rerunning with the
+    same ``checkpoint_path`` picks up after the last committed batch.
+    Pre-seed an existing corpus with :func:`seed_corpus`; read the
+    result with :func:`read_corpus`."""
+    fn = corpus_dedup_batch_fn(
+        stream_df.sparkSession,
+        corpus_root,
+        text_col=text_col,
+        id_col=id_col,
+        near=near,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+    )
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
