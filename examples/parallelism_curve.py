@@ -73,8 +73,10 @@ def worker(cores: int, sf_dir: str) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     trials = int(os.environ.get("SPARK_GRAFT_CURVE_TRIALS", "2"))
+    names_env = os.environ.get("SPARK_GRAFT_CURVE_QUERIES")
+    names = names_env.split(",") if names_env else bench.HEADLINE
     walls = {}
-    for name in bench.HEADLINE:
+    for name in names:
         force(qs[name](spark, sf_dir))  # warm-up (JIT, cache build)
         best = float("inf")
         for _ in range(trials):

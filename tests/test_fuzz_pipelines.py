@@ -53,8 +53,17 @@ from v3_polars_spark.ops.resample import resample  # noqa: E402
 from v3_polars_spark.ops.windows import cumsum, ffill, lead_col  # noqa: E402
 
 N_SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "200"))
-# seeds that ever failed get pinned here and always run first
-_REGRESSION_SEEDS: list[int] = []
+# Seeds that ever failed get pinned here and always run first.
+# 317 (found at N=1000, round 7): ffill -> filter -> FORWARD asof ->
+#   filter(d0 % 4 != 0) -> cumsum returned 307 rows from DuckDB vs
+#   Spark's 215. The ENGINE was right: DuckDB 1.0.0 pushes the
+#   right-side-column filter below the ASOF LEFT JOIN, changing which
+#   dim row is "nearest" (307) instead of filtering the join RESULT
+#   (215). Verified by wrapping the same SQL in a MATERIALIZED CTE,
+#   which returns 215 = Spark. st_asof now emits that barrier; the two
+#   committed ASOF oracles (asof_join, price_frames) are unexposed —
+#   the ASOF join is their final operation.
+_REGRESSION_SEEDS: list[int] = [317]
 
 _TS0 = 1_600_000_000
 
@@ -398,9 +407,12 @@ def st_asof(state, rng):
     return replace_state(
         state,
         df=asof_join(state.df, state.dim_df, on="ts", by=["k"], strategy=strategy),
-        sql=f"SELECT l.{', l.'.join(state.names())}, r.d0 "
+        # MATERIALIZED barrier: DuckDB 1.0.0 invalidly pushes later
+        # filters on r.d0 below the ASOF LEFT JOIN (seed 317 above)
+        sql=f"WITH __a{state.i} AS MATERIALIZED ("
+        f"SELECT l.{', l.'.join(state.names())}, r.d0 "
         f"FROM ({state.sql}) l ASOF LEFT JOIN dim r "
-        f"ON l.k = r.k AND l.ts {op} r.ts",
+        f"ON l.k = r.k AND l.ts {op} r.ts) SELECT * FROM __a{state.i}",
         cols=state.cols + [Col("d0", "int", True)],
         used_asof=True,
     )
@@ -491,6 +503,10 @@ def test_fuzz_pipeline_compositions(spark, tmp_path):
         applied = _run_seed(spark, seed, tmpdir)
         for s in applied:
             stage_counts[s] = stage_counts.get(s, 0) + 1
-    # coverage sanity: every stage in the library was exercised
-    missing = {f.__name__ for f in STAGES} - set(stage_counts)
-    assert not missing, f"stages never sampled across {N_SEEDS} seeds: {missing}"
+    # coverage sanity: every stage in the library was exercised (skipped
+    # on small debug runs, e.g. SPARK_GRAFT_FUZZ_N=0 for pinned seeds only)
+    if N_SEEDS >= 50:
+        missing = {f.__name__ for f in STAGES} - set(stage_counts)
+        assert not missing, (
+            f"stages never sampled across {N_SEEDS} seeds: {missing}"
+        )
