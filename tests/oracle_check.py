@@ -182,6 +182,17 @@ def main() -> int:
         },
     )
     con = duckdb.connect()
+    # spill instead of dying on the big window-replay oracles: at the
+    # /tmp/sf1span scale point the dp_substring_dedup replay (~90M hashed
+    # windows + unspillable list-agg reassembly) OOMs under the default
+    # no-temp-directory 32-thread config with a Spark JVM resident, and
+    # completes in ~90s with a spill dir, an explicit 100GB limit, and
+    # fewer threads (less per-thread buffering).
+    con.execute("SET temp_directory='/tmp/duckspill'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_ORACLE_DUCK_MEM', '100GB')}'"
+    )
+    con.execute("SET threads=16")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
