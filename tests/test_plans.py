@@ -447,3 +447,48 @@ def test_theta_join_only_exchange_is_agg_regroup(spark, sf_dir):
     assert len(q_ex) == 1
     # the surviving exchange partitions on the agg key, not a join key
     assert "o_orderpriority" in q_ex[0].outputPartitioning().toString()
+
+
+def test_near_match_ids_broadcast_new_no_ref_shuffle(spark):
+    """Pin the streaming incremental-dedup shuffle contract: with
+    broadcast_new=True the candidate join broadcasts the (bounded)
+    micro-batch buckets, so the corpus-sized reference state is SCANNED,
+    never shuffled — per-trigger shuffle stays O(batch) as the kept
+    corpus grows."""
+    from pyspark.sql import functions as F
+
+    from v3_polars_spark.datapipe.dedup import (
+        _band_buckets,
+        near_match_ids,
+        shingle_hash_sets,
+    )
+    from v3_polars_spark.plans import explain_str
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"t{i}x"), F.col("id") % 7) for i in range(12)]
+        ).alias("text"),
+    )
+    ref = spark.range(200, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"t{i}x"), F.col("id") % 11) for i in range(12)]
+        ).alias("text"),
+    )
+    sets_new = shingle_hash_sets(docs)
+    sets_ref = shingle_hash_sets(ref)
+    bk_new = _band_buckets(sets_new, "doc_id", 16, 4)
+    bk_ref = _band_buckets(sets_ref, "doc_id", 16, 4)
+    out = near_match_ids(sets_new, bk_new, sets_ref, bk_ref, broadcast_new=True)
+    plan = explain_str(out)
+    # the candidate join is a broadcast hash join (new side build) —
+    # nothing in the plan shuffles the reference buckets on (band, bucket)
+    assert "BroadcastHashJoin [band" in plan.replace("#", " ").replace(
+        "band 0", "band"
+    ) or "BroadcastHashJoin" in plan
+    import re
+
+    # no shuffle exchange partitions on (band, bucket) — the ref side
+    # streams; the only exchanges allowed are the aggregates' own
+    assert not re.search(r"Exchange hashpartitioning\(band", plan), plan

@@ -991,6 +991,7 @@ def near_match_ids(
     id_col: str = "doc_id",
     ref_id_col: str | None = None,
     verify_threshold: float = 0.5,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """Ids of ``sets_new`` docs with at least one VERIFIED near-match in
     the reference side — the candidate+verify core of
@@ -1008,11 +1009,20 @@ def near_match_ids(
     never re-read, matching the segment discipline of the reference's
     incremental loop (data_update.py:191-292).
 
+    ``broadcast_new=True`` pins the NEW side's buckets as the broadcast
+    build of the candidate join — for callers whose new side is bounded
+    (a streaming micro-batch) probing a corpus-sized reference: the
+    reference state is then SCANNED, never shuffled, making per-trigger
+    shuffle O(batch). Leave False when the new side is unbounded and let
+    AQE pick.
+
     Output: one column, ``id_col``, distinct."""
     rid = ref_id_col or id_col
     bk_new = buckets_new.select(
         F.col(id_col).alias("__id_new"), "band", "bucket"
     )
+    if broadcast_new:
+        bk_new = F.broadcast(bk_new)
     bk_ref = buckets_ref.select(
         F.col(rid).alias("__id_ref"), "band", "bucket"
     )

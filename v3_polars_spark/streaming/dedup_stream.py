@@ -172,11 +172,19 @@ def corpus_dedup_batch_fn(
             if os.path.isdir(stale):
                 shutil.rmtree(stale)
 
-        # 1-2. exact self-dedup, then fingerprint anti join vs resting
-        # state (the dedup_against plan over persisted fps)
+        # 1-2. exact self-dedup, then exact cross vs resting state.
+        # NOT `s1 anti-join ref_fp`: a left_anti can only broadcast its
+        # RIGHT side, and the right side here is the corpus — Spark would
+        # shuffle the whole fp state on EVERY trigger. Instead probe the
+        # corpus with the batch (semi join, batch side broadcast → the
+        # corpus state is SCANNED, never shuffled), then anti-join the
+        # matched set — bounded by batch size — back onto the batch.
         s1 = fingerprint_md5(dedup_exact(batch_df, text_col, id_col), text_col)
         ref_fp = _read_state(spark, corpus_root, _FP, s1.select("fp"))
-        s2 = s1.join(ref_fp, ["fp"], "left_anti").persist()
+        matched_fp = ref_fp.join(
+            F.broadcast(s1.select("fp").distinct()), ["fp"], "left_semi"
+        )
+        s2 = s1.join(F.broadcast(matched_fp), ["fp"], "left_anti").persist()
         try:
             survivors = s2
             sets_new = None
@@ -195,6 +203,9 @@ def corpus_dedup_batch_fn(
                     _read_state(spark, corpus_root, _BUCKETS, bk_new),
                     id_col=id_col,
                     verify_threshold=verify_threshold,
+                    # micro-batch side is bounded by trigger sizing; the
+                    # corpus bucket state is scanned, never shuffled
+                    broadcast_new=True,
                 )
                 survivors = s2.join(matched, [id_col], "left_anti")
             survivors = survivors.persist()
