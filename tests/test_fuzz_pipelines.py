@@ -1,11 +1,13 @@
 """Generative differential fuzzing of the ops/ library COMPOSITIONS.
 
 test_props and the hostile sweep fuzz per-op *inputs*; this fuzzes
-*compositions* — random 3-5 stage pipelines drawn from the ops/ stage
-library (filter → asof_join → resample → dedup_last → cumsum → ... in
-random orders with random params/keys/nulls), executed by Spark through
-the REAL operators and mirrored stage-by-stage into one DuckDB SQL
-string, then compared with oracle_check's order-insensitive compare.
+*compositions* — random 3-5 stage pipelines drawn from the 12-stage ops/
+library (filter, derive, dedup_first/last, cumsum, lead, ffill, tumbling
++ hopping resample, group-by+having, join-back-aggregate, as-of join,
+sort+limit — random orders with random params/keys/nulls), executed by
+Spark through the REAL operators and mirrored stage-by-stage into one
+DuckDB SQL string, then compared with oracle_check's order-insensitive
+compare.
 Compositions are where the tiebreak/ordering contracts interact: a
 dedup_last that silently depended on input order, a window frame that
 differs on ties, an as-of join that drops unmatched rows — all invisible
@@ -418,6 +420,75 @@ def st_asof(state, rng):
     )
 
 
+def st_join_agg(state, rng):
+    """Join a per-key aggregate of the running frame back onto it — the
+    normalize / ratio-to-group shape (one agg shuffle + a broadcast-able
+    dim join of at most #keys rows)."""
+    keys = _keys(state, rng)
+    if not keys:
+        return None
+    c = state.pick(
+        rng,
+        lambda c: c.kind == "int" and not c.nullable and c.name not in keys,
+    )
+    if c is None:
+        return None
+    s_name = f"__j{state.i}"
+    agg = state.df.groupBy(*keys).agg(F.sum(c.name).alias(s_name))
+    return replace_state(
+        state,
+        df=state.df.join(F.broadcast(agg), keys),
+        sql=f"SELECT t.{', t.'.join(state.names())}, a.{s_name} "
+        f"FROM ({state.sql}) t JOIN ("
+        f"SELECT {_sel(keys)}, SUM({c.name}) AS {s_name} "
+        f"FROM ({state.sql}) ga{state.i} GROUP BY {_sel(keys)}"
+        f") a USING ({_sel(keys)})",
+        cols=state.cols + [Col(s_name, "int", False)],
+    )
+
+
+def st_resample_sliding(state, rng):
+    """Hopping-window aggregate: width = 2x hop, every event lands in two
+    buckets (ops/resample slide=). Mirrors the committed resample_sliding
+    oracle's hop-grid replication."""
+    if "ts" not in state.names():
+        return None
+    c = state.pick(
+        rng, lambda c: c.kind == "int" and not c.nullable and c.name != "uid"
+    )
+    if c is None:
+        return None
+    every, slide, w, h = [("1h", "30m", 3600, 1800), ("6h", "3h", 21600, 10800)][
+        rng.randint(2)
+    ]
+    n_name, s_name = f"__hn{state.i}", f"__hs{state.i}"
+    df = (
+        resample(
+            state.df,
+            "ts",
+            every,
+            [F.count(F.lit(1)).alias(n_name), F.sum(c.name).alias(s_name)],
+            slide=slide,
+        )
+        .withColumn("bucket", F.unix_timestamp("bucket_ts").cast("long"))
+        .drop("bucket_ts")
+    )
+    return replace_state(
+        state,
+        df=df,
+        sql=f"SELECT count(*) AS {n_name}, SUM({c.name}) AS {s_name}, "
+        f"CAST(floor(epoch(ts) / {h}) * {h} - __hop * {h} AS BIGINT) AS bucket "
+        f"FROM ({state.sql}) hr{state.i} "
+        f"CROSS JOIN (SELECT unnest(range({w // h})) AS __hop) GROUP BY bucket",
+        cols=[
+            Col(n_name, "int", False),
+            Col(s_name, "int", False),
+            Col("bucket", "int", False),
+        ],
+        unique=("bucket",),
+    )
+
+
 def st_sort_limit(state, rng):
     order = _order_cols(state, rng)
     if not order:
@@ -439,7 +510,9 @@ STAGES = [
     st_lead,
     st_ffill,
     st_resample,
+    st_resample_sliding,
     st_groupby,
+    st_join_agg,
     st_asof,
     st_sort_limit,
 ]

@@ -492,3 +492,22 @@ def test_near_match_ids_broadcast_new_no_ref_shuffle(spark):
     # no shuffle exchange partitions on (band, bucket) — the ref side
     # streams; the only exchanges allowed are the aggregates' own
     assert not re.search(r"Exchange hashpartitioning\(band", plan), plan
+
+
+def test_explode_does_not_reinline_array_expr(spark, sf_dir):
+    """Pin the InferFiltersFromGenerate exclusion (session.py): without
+    it, Spark infers `size(shset) > 0` under the band-bucket explode and
+    predicate pushdown substitutes the ENTIRE computed-array expression
+    into the filter — the interpreted tokenize+md5 shingle pipeline runs
+    ~11x per row (289k raw docs: >9.5 min vs 2.9 s). The optimized plan
+    must contain the md5 token-hash transform exactly once."""
+    from v3_polars_spark.datapipe.dedup import _band_buckets, shingle_hash_sets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        _band_buckets(shingle_hash_sets(docs), "doc_id", 16, 4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5(") == 1, f"md5 inlined {plan.count('md5(')}x"

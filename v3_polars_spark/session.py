@@ -69,6 +69,21 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # InferFiltersFromGenerate infers `size(e) > 0` below every
+        # explode; predicate pushdown then substitutes e's FULL expression
+        # into the filter, and HOF lambdas get no common-subexpression
+        # elimination — for explode(computed-array) ops (shingles, band
+        # buckets, chunking) the interpreted tokenize+md5 pipeline ends up
+        # evaluated ~11x per row (found round-7 driving the streaming-
+        # dedup seed over 289k raw docs: >9.5 min -> 2.9 s excluded,
+        # optimized plan md5 count 11 -> 1). The inferred filter only
+        # pre-prunes empty arrays, which non-outer explode drops anyway —
+        # excluding the rule is semantics-neutral. Pinned by
+        # tests/test_plans.py::test_explode_does_not_reinline_array_expr.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -158,6 +173,11 @@ def configure_session(spark: SparkSession) -> SparkSession:
     for k, v in [
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        # see get_spark: prevents the explode-filter re-inline pathology
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ]:
         try:
             spark.conf.set(k, v)
