@@ -1041,3 +1041,36 @@ def test_corpus_dedup_seeded_matches_direct_functions(spark, sf_dir):
     )
     exp = {r.doc_id for r in exp_df.select("doc_id").collect()}
     assert got == exp and len(got) > 0
+
+
+def test_corpus_dedup_exact_only_and_degenerate_batches(spark, tmp_path):
+    """near=False path (exact passes only, no LSH state) plus degenerate
+    batches: an all-duplicate batch commits an EMPTY corpus batch (and
+    the stream continues past it), empty/whitespace texts dedup exactly,
+    and a shingle-empty doc (< k tokens) always survives the near pass
+    of a later batch — the documented contract."""
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    segs = [
+        [(0, "only three tokens"), (1, "")],          # 1 is shingle-empty
+        [(2, "ONLY  three tokens"), (3, "   ")],      # all dups of batch 0
+        [(4, "fresh content here"), (5, "x y")],      # 5 shingle-empty, new
+    ]
+    _cd_write_segs(spark, src, segs)
+
+    # exact-only stream: same survivors, no bucket/shset state dirs
+    root1, ckpt1 = str(tmp_path / "c1"), str(tmp_path / "k1")
+    streaming_corpus_dedup(_cd_reader(spark, src), root1, ckpt1, near=False)
+    got1 = {r.doc_id for r in read_corpus(spark, root1).collect()}
+    assert got1 == {0, 1, 4, 5}
+    assert not os.path.isdir(os.path.join(root1, "state_buckets"))
+    # batch 1 (all dups) still committed: its docs dir exists, empty
+    assert os.path.isdir(os.path.join(root1, "docs", "batch=1"))
+
+    # near=True: same outcome here (the dups are exact; shingle-empty
+    # docs have no buckets and survive the near pass)
+    root2, ckpt2 = str(tmp_path / "c2"), str(tmp_path / "k2")
+    streaming_corpus_dedup(_cd_reader(spark, src), root2, ckpt2)
+    assert {r.doc_id for r in read_corpus(spark, root2).collect()} == {0, 1, 4, 5}
