@@ -1074,3 +1074,52 @@ def test_corpus_dedup_exact_only_and_degenerate_batches(spark, tmp_path):
     root2, ckpt2 = str(tmp_path / "c2"), str(tmp_path / "k2")
     streaming_corpus_dedup(_cd_reader(spark, src), root2, ckpt2)
     assert {r.doc_id for r in read_corpus(spark, root2).collect()} == {0, 1, 4, 5}
+
+
+def test_corpus_dedup_randomized_matches_replay(spark, tmp_path):
+    """Property-style: random segment mixes (fresh texts, mangled exact
+    dups, near variants, degenerates) streamed through
+    streaming_corpus_dedup must equal the driver-loop replay with the
+    direct datapipe functions — LSH probabilism cancels because both
+    paths run the same operators on the same texts; what's being tested
+    is the STATE machinery (persisted fp/buckets/shsets, commit
+    protocol, batch boundaries)."""
+    import random
+
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+
+    words = [f"w{i}" for i in range(30)]
+    for seed in range(5):
+        rng = random.Random(seed)
+        texts, segs, did = [], [], 0
+        for _ in range(rng.randint(2, 4)):
+            rows = []
+            for _ in range(rng.randint(4, 12)):
+                r = rng.random()
+                if texts and r < 0.3:  # exact dup, mangled
+                    t = rng.choice(texts)
+                    t = "  " + t.upper() + " " if rng.random() < 0.5 else t + "  "
+                elif texts and r < 0.55:  # near variant: one token swapped
+                    toks = rng.choice(texts).split()
+                    if len(toks) > 3:
+                        toks[rng.randrange(len(toks))] = rng.choice(words)
+                    t = " ".join(toks)
+                    texts.append(t)
+                elif r < 0.65:  # degenerate
+                    t = rng.choice(["", "   ", "x", "x y z"])
+                else:  # fresh: 8-14 random tokens
+                    t = " ".join(
+                        rng.choice(words) for _ in range(rng.randint(8, 14))
+                    )
+                    texts.append(t)
+                rows.append((did, t))
+                did += 1
+            segs.append(rows)
+        src = str(tmp_path / f"src{seed}")
+        os.makedirs(src)
+        _cd_write_segs(spark, src, segs)
+        root, ckpt = str(tmp_path / f"c{seed}"), str(tmp_path / f"k{seed}")
+        streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+        got = {r.doc_id for r in read_corpus(spark, root).collect()}
+        exp = _cd_replay(spark, segs)
+        assert got == exp, (seed, sorted(got), sorted(exp))
