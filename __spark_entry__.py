@@ -1945,6 +1945,25 @@ def q_merge_upsert(spark, sf):
     return merge_upsert(target, updates, ["o_orderkey"], delete_col="__delete")
 
 
+def q_heavy_hitters(spark, sf):
+    """EXACT top-20 corpus tokens via the bounded-memory heavy-hitters
+    operator (ops/sketches.heavy_hitters): per-partition Misra-Gries
+    candidate summaries (one scan, no shuffle, vectorized batch counts),
+    broadcast semi-join recount, and a runtime soundness check that
+    certifies exactness or falls back to the full aggregation — the
+    shape that answers a 20-row question over a 100 TB corpus without
+    shuffling one row per distinct token. Oracle: the exact GROUP BY
+    top-k with the same (n DESC, value ASC) tiebreak."""
+    from v3_polars_spark.datapipe.dedup import normalize_text
+    from v3_polars_spark.ops import heavy_hitters
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("value")
+    ).filter(F.col("value") != "")
+    return heavy_hitters(toks, "value", k=20)
+
+
 def q_stream_corpus_dedup(spark, sf):
     """§2.8 + incremental ingest as ONE oracle-checked query
     (streaming/dedup_stream.py): seed the kept corpus with the even-id
@@ -2583,6 +2602,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_cross": dp_dedup_cross,
         "dp_dedup_cross_near": dp_dedup_cross_near,
         "stream_corpus_dedup": q_stream_corpus_dedup,
+        "heavy_hitters": q_heavy_hitters,
         "funnel": q_funnel,
         "retention": q_retention,
         "dp_embed_quantize": dp_embed_quantize,
@@ -4470,6 +4490,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp_dedup_cross_near": _minhash_cross_sql(),
         "stream_corpus_dedup": _minhash_cross_sql(exact_first=True),
+        "heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS value
+                FROM documents
+            )
+            SELECT value, CAST(count(*) AS BIGINT) AS n
+            FROM toks WHERE value <> ''
+            GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 20
+        """,
         "dp_embed_quantize": """
             SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
                    TRUE AS within_bound

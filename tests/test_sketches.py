@@ -228,3 +228,51 @@ def test_theta_sketches_merge_across_segments(spark):
     exact_b = set(range(100, 160))
     assert round(r.n_a) == len(exact_a)
     assert round(r.n_intersect) == len(exact_a & exact_b)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters: exact top-k via Misra-Gries candidates + recount
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    """Zipf-ish data: fast path certifies and the answer equals the exact
+    full aggregation with the same (n DESC, value ASC) tiebreak."""
+    from collections import Counter
+
+    from v3_polars_spark.ops import heavy_hitters
+
+    vals = []
+    for r in range(1, 201):
+        vals += [f"v{r:03d}"] * max(1, 3000 // r)
+    df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(8)
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=15).collect()]
+    exact = sorted(Counter(vals).items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got == exact
+
+
+def test_heavy_hitters_uniform_falls_back_exact(spark):
+    """Near-uniform data: no sketch can certify a top-k, so the runtime
+    soundness check must route to the exact fallback — the result is
+    still exactly the deterministic top-k."""
+    from collections import Counter
+
+    from v3_polars_spark.ops import heavy_hitters
+
+    # 500 values, counts 2 or 3 — k-th count can never exceed N/m
+    vals = [f"u{i:04d}" for i in range(500)] * 2 + [f"u{i:04d}" for i in range(250)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(16)
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=10).collect()]
+    exact = sorted(Counter(vals).items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == exact
+
+
+def test_heavy_hitters_edges(spark):
+    """Fewer distinct values than k (returns all, ordered); nulls ignored;
+    ties broken by value ascending."""
+    from v3_polars_spark.ops import heavy_hitters
+
+    rows = [("b",), ("a",), ("b",), ("a",), ("c",), (None,)]
+    df = spark.createDataFrame(rows, "tok string")
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=10).collect()]
+    assert got == [("a", 2), ("b", 2), ("c", 1)]

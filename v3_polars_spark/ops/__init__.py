@@ -26,6 +26,7 @@ from .scd import scd2_history
 from .sessions import sessionize
 from .sketches import (
     approx_distinct_by,
+    heavy_hitters,
     kll_quantile_check,
     kll_rollup,
     kll_sketches,
@@ -52,6 +53,7 @@ from .validate import (
 from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
 
 __all__ = [
+    "heavy_hitters",
     "fuzzy_match_best",
     "check_accepted_values",
     "check_not_null",

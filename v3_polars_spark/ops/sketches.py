@@ -406,3 +406,83 @@ def theta_set_estimate(
         ),
         F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("n_a_only"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    candidate_factor: int = 8,
+) -> DataFrame:
+    """EXACT top-``k`` most frequent values of ``col`` without a
+    full-cardinality shuffle — the bounded-memory heavy-hitters pattern a
+    100 TB vocabulary head needs (a plain groupBy+orderBy shuffles one
+    row per DISTINCT value; at web scale that is billions of rows for a
+    20-row answer).
+
+    Two passes + a soundness check:
+
+    1. **Candidates** (one scan, no shuffle): per-partition Misra-Gries
+       summaries with ``m = k * candidate_factor`` counters, merged by
+       union. Each Arrow batch is reduced with vectorized
+       ``value_counts`` first, so Python work is O(distinct-per-batch +
+       m), never per-row; merging exact batch counts into an MG summary
+       is MG-merge with epsilon 0, preserving the bound: any value with
+       true count > N/m survives in some partition's summary.
+    2. **Exact recount** (one small shuffle): the candidate set (at most
+       m x partitions values) broadcasts into a semi join; survivors are
+       exactly counted and the top k taken with a deterministic (count
+       DESC, value ASC) tiebreak.
+    3. **Soundness check**: if the k-th recounted count > N/m, no
+       excluded value can displace the answer — the result is provably
+       exact. Otherwise (near-uniform data, where no sketch can certify
+       a top-k) fall back to the exact full aggregation.
+
+    The fast path's guarantee is CHECKED at runtime, not assumed — the
+    operator always returns the exact answer; the sketch only decides
+    how much shuffles.
+
+    Output: (``value``, ``n``), k rows, ordered (n DESC, value ASC).
+    """
+    m = max(k * candidate_factor, k + 1)
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["value"].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > m:
+                # Misra-Gries decrement: subtract the (m+1)-th largest
+                # count from everyone, drop non-positives (batch-sized
+                # generalization of the classic -1 step)
+                cut = sorted(counters.values(), reverse=True)[m]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        import pandas as pd
+
+        yield pd.DataFrame({"value": list(counters.keys())})
+
+    cand = src.mapInPandas(mg_partition, "value string").distinct()
+    counted = (
+        src.join(F.broadcast(cand), ["value"], "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counted.orderBy(F.col("n").desc(), F.col("value").asc()).limit(k)
+
+    rows = top.collect()  # k rows — driver-small by construction
+    n_total = src.count()
+    if len(rows) >= k and rows[-1]["n"] * m > n_total:
+        return df.sparkSession.createDataFrame(rows, "value string, n long")
+    # near-uniform data: the sketch cannot certify top-k — exact fallback
+    return (
+        src.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value").asc())
+        .limit(k)
+    )
