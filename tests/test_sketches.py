@@ -246,7 +246,7 @@ def test_heavy_hitters_exact_on_skewed_data(spark):
     for r in range(1, 201):
         vals += [f"v{r:03d}"] * max(1, 3000 // r)
     df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(8)
-    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=15).collect()]
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=15, ndv_threshold=0).collect()]
     exact = sorted(Counter(vals).items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert got == exact
 
@@ -262,7 +262,7 @@ def test_heavy_hitters_uniform_falls_back_exact(spark):
     # 500 values, counts 2 or 3 — k-th count can never exceed N/m
     vals = [f"u{i:04d}" for i in range(500)] * 2 + [f"u{i:04d}" for i in range(250)]
     df = spark.createDataFrame([(v,) for v in vals], "tok string").repartition(16)
-    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=10).collect()]
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=10, ndv_threshold=0).collect()]
     exact = sorted(Counter(vals).items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == exact
 
@@ -276,3 +276,17 @@ def test_heavy_hitters_edges(spark):
     df = spark.createDataFrame(rows, "tok string")
     got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=10).collect()]
     assert got == [("a", 2), ("b", 2), ("c", 1)]
+
+
+def test_heavy_hitters_adaptive_gate_small_ndv(spark):
+    """Default threshold: a low-cardinality column routes to the plain
+    exact aggregation (no Python pass) and still yields the exact top-k."""
+    from collections import Counter
+
+    from v3_polars_spark.ops import heavy_hitters
+
+    vals = [f"t{i % 40:02d}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    got = [(r["value"], r["n"]) for r in heavy_hitters(df, "tok", k=5).collect()]
+    exact = sorted(Counter(vals).items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == exact

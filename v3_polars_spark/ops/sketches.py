@@ -413,6 +413,7 @@ def heavy_hitters(
     col: str,
     k: int = 20,
     candidate_factor: int = 8,
+    ndv_threshold: int = 5_000_000,
 ) -> DataFrame:
     """EXACT top-``k`` most frequent values of ``col`` without a
     full-cardinality shuffle — the bounded-memory heavy-hitters pattern a
@@ -442,12 +443,35 @@ def heavy_hitters(
     operator always returns the exact answer; the sketch only decides
     how much shuffles.
 
+    **Adaptive gate**: the candidate pass ships every value through an
+    Arrow/pandas boundary, which only pays for itself when the exact
+    aggregation's shuffle is the real cost — i.e. when the column's
+    cardinality is enormous. A one-scan JVM ``approx_count_distinct``
+    probe routes: NDV below ``ndv_threshold`` (default 5 M — a partial
+    agg's hashmap and a ~100 MB shuffle are trivial there, measured
+    0.11 s vs 27.8 s for the sketch pass on a 45 M-token/31-distinct
+    column) runs the plain exact aggregation; above it, the Misra-Gries
+    pipeline engages. Pass ``ndv_threshold=0`` to force the sketch path.
+
     Output: (``value``, ``n``), k rows, ordered (n DESC, value ASC).
     """
     m = max(k * candidate_factor, k + 1)
     src = df.select(F.col(col).cast("string").alias("value")).filter(
         F.col("value").isNotNull()
     )
+
+    def exact_topk():
+        return (
+            src.groupBy("value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("value").asc())
+            .limit(k)
+        )
+
+    if ndv_threshold > 0:
+        ndv = src.agg(F.approx_count_distinct("value").alias("d")).first()["d"]
+        if ndv < ndv_threshold:
+            return exact_topk()
 
     def mg_partition(batches):
         counters: dict = {}
@@ -480,9 +504,4 @@ def heavy_hitters(
     if len(rows) >= k and rows[-1]["n"] * m > n_total:
         return df.sparkSession.createDataFrame(rows, "value string, n long")
     # near-uniform data: the sketch cannot certify top-k — exact fallback
-    return (
-        src.groupBy("value")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("value").asc())
-        .limit(k)
-    )
+    return exact_topk()
