@@ -30,6 +30,8 @@ Failing seeds print (seed, stage list, final SQL); commit any found
 failure as a pinned regression seed in _REGRESSION_SEEDS.
 
 N defaults to 200 seeds (~3 min); override with SPARK_GRAFT_FUZZ_N.
+Deep hunts run this round: 1001, 2501, and 5001 seeds — all green after
+the seed-317 DuckDB-ASOF barrier fix.
 """
 
 from __future__ import annotations
