@@ -97,20 +97,32 @@ _CACHE_KEYS = {
 _BUCKET_FAMILY = {"orders": "lineitem", "lineitem": "lineitem"}
 
 
-def _cache_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+_ROWS_MEMO: dict = {}
+
+
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Exact table row count from parquet footers (no scan), memoized —
+    the size hint the limit-shaped queries feed ops.take_ordered."""
     import pyarrow.parquet as pq
 
+    key = (sf_dir, name)
+    if key not in _ROWS_MEMO:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            # Spark-written tables are directories of part files; sum the
+            # fragment row counts instead of assuming a single parquet file.
+            _ROWS_MEMO[key] = sum(
+                frag.metadata.num_rows
+                for frag in pq.ParquetDataset(path).fragments
+            )
+        else:
+            _ROWS_MEMO[key] = pq.ParquetFile(path).metadata.num_rows
+    return _ROWS_MEMO[key]
+
+
+def _cache_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
     sizer = _BUCKET_FAMILY.get(name, name)
-    path = os.path.join(sf_dir, f"{sizer}.parquet")
-    if os.path.isdir(path):
-        # Spark-written tables are directories of part files; sum the
-        # fragment row counts instead of assuming a single parquet file.
-        n_rows = sum(
-            frag.metadata.num_rows
-            for frag in pq.ParquetDataset(path).fragments
-        )
-    else:
-        n_rows = pq.ParquetFile(path).metadata.num_rows
+    n_rows = _table_rows(sf_dir, sizer)
     return min(
         spark.sparkContext.defaultParallelism,
         max(8, n_rows // _CACHE_ROWS_PER_SPLIT),
@@ -655,20 +667,34 @@ def q_ffill(spark, sf):
 
 def q_topk(spark, sf):
     """W5/W6: sort + limit-k with pinned tiebreak (first covering tick /
-    head(1) shapes)."""
+    head(1) shapes). ops.take_ordered with the footer row count as the
+    size hint: known-small scans coalesce (narrow) so the per-partition
+    heap tasks don't pay a 32-way scheduling floor for 150 k rows, while
+    at sf1+ the hint leaves every partition its own task (measured in
+    take_ordered's docstring)."""
+    from v3_polars_spark.ops import take_ordered
+
     o = _t(spark, sf, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", "o_totalprice")
-    )
+    return take_ordered(
+        o,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+        expected_rows=_table_rows(sf, "orders"),
+    ).select("o_orderkey", "o_totalprice")
 
 
 def q_segment_bounds(spark, sf):
     """W7: 'block at which ~N rows accumulate' ingest segmentation probe
-    (gbq.py:49-71)."""
+    (gbq.py:49-71). Same take_ordered size-hint rule as q_topk."""
+    from v3_polars_spark.ops import take_ordered
+
     li = _t(spark, sf, "lineitem")
-    first_n = li.orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc()).limit(1000)
+    first_n = take_ordered(
+        li,
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        1000,
+        expected_rows=_table_rows(sf, "lineitem"),
+    )
     return first_n.agg(F.max("l_orderkey").alias("hi"))
 
 
@@ -1975,6 +2001,8 @@ def q_stream_corpus_dedup(spark, sf):
     exact_first=True (the full three-pass composition). Multi-batch
     keep-first semantics, checkpoint resume, and exactly-once under
     mid-batch crashes are pinned in tests/test_streaming.py."""
+    import atexit
+    import shutil
     import tempfile
 
     from v3_polars_spark.streaming import (
@@ -1985,7 +2013,11 @@ def q_stream_corpus_dedup(spark, sf):
 
     _prep(spark)
     docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    # the returned DataFrame reads this root lazily (the driver collects
+    # AFTER we return), so clean up at process exit, not here — repeated
+    # bench/correctness runs must not accrete corpus state under /tmp
     root = tempfile.mkdtemp(prefix="stream_corpus_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     seed_corpus(docs.filter(F.col("doc_id") % 2 == 0), root)
     stream = (
         spark.readStream.schema(docs.schema)

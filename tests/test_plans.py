@@ -492,6 +492,9 @@ def test_near_match_ids_broadcast_new_no_ref_shuffle(spark):
     # no shuffle exchange partitions on (band, bucket) — the ref side
     # streams; the only exchanges allowed are the aggregates' own
     assert not re.search(r"Exchange hashpartitioning\(band", plan), plan
+    # the VERIFY joins are pinned broadcast too: the corpus shingle-set
+    # state is never shuffled on __id_ref (would be O(corpus)/trigger)
+    assert not re.search(r"Exchange hashpartitioning\(__id_ref", plan), plan
 
 
 def test_explode_does_not_reinline_array_expr(spark, sf_dir):

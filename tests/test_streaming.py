@@ -998,6 +998,55 @@ def test_corpus_dedup_half_written_state_cleaned_on_replay(spark, tmp_path):
     } == _CD_SURVIVORS
 
 
+def test_corpus_dedup_midwrite_tmp_dirs_invisible_and_swept(spark, tmp_path):
+    """Worst-case window C: a crash BETWEEN the parquet job commit and the
+    atomic rename leaves a fully-written tmp dir. Tmp dirs live outside
+    the batch=* namespace (.tmp-batch=<id>-<hex>), so (a) readers never
+    treat the dead attempt's files as committed corpus/state — the batch
+    must NOT anti-join against its own dead-attempt fingerprints and drop
+    its docs — and (b) the replay sweeps the leftovers instead of
+    accreting them."""
+    import glob as _glob
+    import shutil
+
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+    from v3_polars_spark.streaming.dedup_stream import (
+        _DOCS, _FP, _batch_dir,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _cd_write_segs(spark, src, _CD_SEGS[:1])
+    root, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+
+    # forge the mid-write crash: batch 1's fp/docs parquet jobs completed
+    # into tmp dirs (with part files), rename never happened. The fp
+    # content is batch 1's OWN fingerprints — the poison case: if a
+    # reader picked them up as corpus state, batch 1 would dedup against
+    # itself and silently drop every doc.
+    from v3_polars_spark.datapipe.dedup import dedup_exact, fingerprint_md5
+
+    b1 = spark.createDataFrame(_CD_SEGS[1], _CD_SCHEMA)
+    own_fp = fingerprint_md5(dedup_exact(b1), "text").select("fp").distinct()
+    for kind, df in ((_FP, own_fp), (_DOCS, b1)):
+        final = _batch_dir(root, kind, 1)
+        tmp = os.path.join(
+            os.path.dirname(final), ".tmp-" + os.path.basename(final) + "-deadbeef"
+        )
+        df.write.parquet(tmp)
+        assert _glob.glob(os.path.join(tmp, "part-*"))
+
+    _cd_write_segs(spark, src, _CD_SEGS[1:], start=1)
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+    assert {
+        r.doc_id for r in read_corpus(spark, root).collect()
+    } == _CD_SURVIVORS
+    # the dead attempt's leftovers were swept on batch 1's replay
+    leftovers = _glob.glob(os.path.join(root, "*", ".tmp-*"))
+    assert leftovers == [], leftovers
+
+
 def test_corpus_dedup_seeded_matches_direct_functions(spark, sf_dir):
     """Production shape on real testdata: seed the kept corpus with the
     even-id docs, stream the odd-id docs through in one trigger, and

@@ -1031,14 +1031,23 @@ def near_match_ids(
         .select("__id_new", "__id_ref")
         .distinct()
     )
+    if broadcast_new:
+        # the candidate set is bounded by the new side's bucket fan-out;
+        # pin it (and cand⋈sets_new below) as the broadcast build of the
+        # verify joins too, so the corpus-sized shingle-set state is
+        # scanned — not shuffled on __id_ref — independent of whether
+        # AQE's runtime size estimate clears its broadcast threshold
+        cand = F.broadcast(cand)
+    cand_sets = cand.join(
+        sets_new.select(
+            F.col(id_col).alias("__id_new"), F.col("shset").alias("__sa")
+        ),
+        "__id_new",
+    )
+    if broadcast_new:
+        cand_sets = F.broadcast(cand_sets)
     return (
-        cand.join(
-            sets_new.select(
-                F.col(id_col).alias("__id_new"), F.col("shset").alias("__sa")
-            ),
-            "__id_new",
-        )
-        .join(
+        cand_sets.join(
             sets_ref.select(
                 F.col(rid).alias("__id_ref"), F.col("shset").alias("__sb")
             ),

@@ -50,7 +50,14 @@ from .validate import (
     check_unique,
     run_checks,
 )
-from .windows import cumsum, cumsum_scalable, ffill, first_covering, lead_col
+from .windows import (
+    cumsum,
+    cumsum_scalable,
+    ffill,
+    first_covering,
+    lead_col,
+    take_ordered,
+)
 
 __all__ = [
     "heavy_hitters",
@@ -93,6 +100,7 @@ __all__ = [
     "histogram",
     "hll_intersect_estimate",
     "first_covering",
+    "take_ordered",
     "hypertable_rollup",
     "interval_overlap_join",
     "is_empty",

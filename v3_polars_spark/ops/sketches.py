@@ -468,39 +468,70 @@ def heavy_hitters(
             .limit(k)
         )
 
+    n_total = None
     if ndv_threshold > 0:
-        ndv = src.agg(F.approx_count_distinct("value").alias("d")).first()["d"]
-        if ndv < ndv_threshold:
+        # total-N rides the NDV probe's scan — the soundness check below
+        # then needs no separate src.count() pass
+        probe = src.agg(
+            F.approx_count_distinct("value").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if probe["d"] < ndv_threshold:
             return exact_topk()
+        n_total = probe["n"]
 
     def mg_partition(batches):
+        import numpy as np
+        import pandas as pd
+
         counters: dict = {}
+        n_seen = 0
         for pdf in batches:
+            n_seen += len(pdf)
             vc = pdf["value"].value_counts()
             for v, c in vc.items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > m:
                 # Misra-Gries decrement: subtract the (m+1)-th largest
                 # count from everyone, drop non-positives (batch-sized
-                # generalization of the classic -1 step)
-                cut = sorted(counters.values(), reverse=True)[m]
+                # generalization of the classic -1 step). np.partition
+                # finds the cut in O(len) instead of a full sort.
+                arr = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                kth = arr.size - m - 1
+                cut = int(np.partition(arr, kth)[kth])
                 counters = {
-                    v: c - cut for v, c in counters.items() if c - cut > 0
+                    v: c
+                    for v, c in zip(counters.keys(), (arr - cut).tolist())
+                    if c > 0
                 }
-        import pandas as pd
+        # one sentinel row (value NULL) carries the partition's row count
+        # so total-N can be summed from this same pass when the NDV probe
+        # was skipped (ndv_threshold=0) — never a third scan of src
+        yield pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "n_seen": [0] * len(counters) + [n_seen],
+            }
+        )
 
-        yield pd.DataFrame({"value": list(counters.keys())})
-
-    cand = src.mapInPandas(mg_partition, "value string").distinct()
-    counted = (
-        src.join(F.broadcast(cand), ["value"], "left_semi")
-        .groupBy("value")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    top = counted.orderBy(F.col("n").desc(), F.col("value").asc()).limit(k)
-
-    rows = top.collect()  # k rows — driver-small by construction
-    n_total = src.count()
+    mg = src.mapInPandas(mg_partition, "value string, n_seen long").persist()
+    try:
+        if n_total is None:
+            n_total = mg.agg(F.sum("n_seen").alias("n")).first()["n"] or 0
+        cand = (
+            mg.filter(F.col("value").isNotNull()).select("value").distinct()
+        )
+        counted = (
+            src.join(F.broadcast(cand), ["value"], "left_semi")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = counted.orderBy(F.col("n").desc(), F.col("value").asc()).limit(k)
+        rows = top.collect()  # k rows — driver-small by construction
+    finally:
+        mg.unpersist()
     if len(rows) >= k and rows[-1]["n"] * m > n_total:
         return df.sparkSession.createDataFrame(rows, "value string, n long")
     # near-uniform data: the sketch cannot certify top-k — exact fallback

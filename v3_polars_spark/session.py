@@ -173,14 +173,21 @@ def configure_session(spark: SparkSession) -> SparkSession:
     for k, v in [
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.python.filterPushdown.enabled", "true"),
-        # see get_spark: prevents the explode-filter re-inline pathology
-        (
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-        ),
     ]:
         try:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # see get_spark: prevents the explode-filter re-inline pathology.
+    # APPEND to (never clobber) rules the embedding application already
+    # excluded on its session.
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+        rules = [r.strip() for r in (existing or "").split(",") if r.strip()]
+        if rule not in rules:
+            rules.append(rule)
+            spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
+    except Exception:
+        pass
     return spark

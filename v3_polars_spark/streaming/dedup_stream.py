@@ -76,12 +76,24 @@ def _batch_dir(corpus_root: str, kind: str, batch_id: int) -> str:
     return os.path.join(corpus_root, kind, f"batch={batch_id}")
 
 
+def _tmp_glob(final_dir: str) -> str:
+    """Glob matching every tmp dir a crashed :func:`_commit_write` to
+    ``final_dir`` may have left behind."""
+    parent, base = os.path.split(final_dir)
+    return os.path.join(parent, f".tmp-{base}-*")
+
+
 def _commit_write(df: DataFrame, final_dir: str) -> None:
     """Write ``df`` to a tmp dir and atomically rename into place. The
     rename is the commit: readers list only completed batch dirs, so a
-    crash mid-write leaves nothing visible."""
-    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
-    tmp = f"{final_dir}__tmp_{uuid.uuid4().hex[:8]}"
+    crash mid-write leaves nothing visible. Tmp dirs live OUTSIDE the
+    ``batch=*`` namespace (dot-prefixed ``.tmp-batch=<id>-<hex>``) so the
+    committed-dir glob in :func:`_data_dirs` can never match a dead
+    attempt's leftovers, and the dot prefix keeps Hadoop file listings
+    from picking them up either."""
+    parent, base = os.path.split(final_dir)
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(tmp)
     os.rename(tmp, final_dir)
 
@@ -166,11 +178,16 @@ def corpus_dedup_batch_fn(
         if os.path.isdir(docs_dir):
             return  # replay of a committed batch: exactly-once no-op
         # a half-written attempt may have committed state dirs but not
-        # docs (docs rename is the commit point) — remove and recompute
-        for kind in (_FP, _BUCKETS, _SHSETS):
+        # docs (docs rename is the commit point) — remove and recompute;
+        # also sweep any tmp dirs the dead attempt left mid-write (they
+        # are outside the batch=* namespace so readers never saw them,
+        # but replay must not accrete garbage)
+        for kind in (_FP, _BUCKETS, _SHSETS, _DOCS):
             stale = _batch_dir(corpus_root, kind, batch_id)
-            if os.path.isdir(stale):
+            if kind != _DOCS and os.path.isdir(stale):
                 shutil.rmtree(stale)
+            for leftover in glob.glob(_tmp_glob(stale)):
+                shutil.rmtree(leftover, ignore_errors=True)
 
         # 1-2. exact self-dedup, then exact cross vs resting state.
         # NOT `s1 anti-join ref_fp`: a left_anti can only broadcast its
