@@ -104,6 +104,35 @@ def test_resample_buckets(spark):
     assert duration_to_interval("6h") == "6 hours"
 
 
+def test_resample_weekly_monday_aligned_and_edges(spark):
+    """Pin the batch fast path (integer floor-mod bucket key) on the
+    cases the F.window formulation made implicit: weekly buckets align
+    to MONDAY (Polars '1w' semantics, not the epoch Thursday), a NULL ts
+    groups into a NULL bucket, and pre-1970 timestamps floor DOWNWARD
+    (pmod, not truncation toward zero)."""
+    rows = [
+        (dt.datetime(2021, 5, 4, 12), 1.0),   # Tuesday -> Mon 2021-05-03
+        (dt.datetime(2021, 5, 9, 23), 2.0),   # Sunday  -> same week
+        (dt.datetime(2021, 5, 10, 0), 4.0),   # Monday  -> next week
+        (None, 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = {
+        r["bucket_ts"]: r["s"]
+        for r in resample(df, "ts", "1w", [F.sum("v").alias("s")]).collect()
+    }
+    assert out == {
+        dt.datetime(2021, 5, 3): 3.0,
+        dt.datetime(2021, 5, 10): 4.0,
+        None: 8.0,
+    }
+    pre = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 30), 1.0)], ["ts", "v"]
+    )
+    got = resample(pre, "ts", "1h", [F.sum("v").alias("s")]).collect()
+    assert got[0]["bucket_ts"] == dt.datetime(1969, 12, 31, 23)
+
+
 def test_segment_bounds(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], ["bn"])
     assert segment_bounds(df, "bn", 10) == 9
