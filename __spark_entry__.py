@@ -973,6 +973,33 @@ def dp_embed_topk_ivf(spark, sf):
     return ivf_search(centroids, assigned, q, k=10, n_probe=3)
 
 
+def dp_ann_recall(spark, sf):
+    """ANN recall@10 contract (datapipe.similarity.ann_recall_check): the
+    cached IVF index probed at n_probe=4 vs the brute-force ground truth,
+    recall recomputed IN-PLAN and emitted with two SLO booleans — the
+    gate threshold (0.7: uniform synthetic vectors are ANN's worst case
+    at tiny corpus sizes) and the corpus-scale 0.95 SLO, which goes green
+    at sf1 (measured 1.0) and is recorded in the SF1 supplement. The
+    oracle replays BOTH pipelines and the recall arithmetic, so the
+    statistic itself — not just the booleans — is cross-engine pinned."""
+    from v3_polars_spark.datapipe import ann_recall_check, cosine_topk, ivf_index, ivf_search
+
+    e = _t(spark, sf, "embeddings")
+    key = (id(spark), sf, "__ivf_idx__")
+    if key not in _TABLE_CACHE:
+        centroids, assigned = ivf_index(e, n_centroids=8, iters=1)
+        _TABLE_CACHE[key] = (centroids.cache(), assigned.cache())
+    centroids, assigned = _TABLE_CACHE[key]
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_search(centroids, assigned, q, k=10, n_probe=4)
+    exact = cosine_topk(e, q, k=10)
+    return ann_recall_check(
+        approx, exact, k=10, min_recall=0.7, strict_min_recall=0.95
+    )
+
+
 _QL_IRV = dict(
     sqrt_p=8.781412307951676e27 / (2**96),  # golden getPriceAt (SURVEY §8.3)
     in_range0=1.1209794725495329e21,
@@ -2054,6 +2081,46 @@ def q_stream_corpus_dedup(spark, sf):
     )
 
 
+def q_stream_corpus_dedup_self(spark, sf):
+    """The near_self=True arm of streaming_corpus_dedup: same seeded
+    even/odd split as stream_corpus_dedup, plus the opt-in within-batch
+    NEAR self-dedup (min-id-per-component via dedup_near, run on the
+    post-exact batch BEFORE the cross pass — dedup_stream.py). Oracle:
+    the exact_first three-pass SQL extended with recursive-CTE connected
+    components over the verified pair graph restricted to the post-exact
+    batch. Batch-replay equivalence and crash windows for this arm are
+    pinned in tests/test_streaming.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from v3_polars_spark.streaming import (
+        read_corpus,
+        seed_corpus,
+        streaming_corpus_dedup,
+    )
+
+    _prep(spark)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix="stream_corpus_self_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    seed_corpus(docs.filter(F.col("doc_id") % 2 == 0), root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    streaming_corpus_dedup(
+        stream, root, os.path.join(root, "ckpt"), near_self=True
+    )
+    return (
+        read_corpus(spark, root)
+        .filter(F.col("batch") >= 0)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 def q_stream_dedup(spark, sf):
     """§2.8 dedup as an oracle-checked query: streaming dropDuplicates
     over the events file source (AvailableNow drain into a memory sink),
@@ -2613,6 +2680,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embed_topk": dp_embed_topk,
         "dp_embed_topk_lsh": dp_embed_topk_lsh,
         "dp_embed_topk_ivf": dp_embed_topk_ivf,
+        "dp_ann_recall": dp_ann_recall,
         "dp_embed_neardup": dp_embed_neardup,
         "dp_embed_neardup_lsh": dp_embed_neardup_lsh,
         "mm_decode_features": mm_decode_features,
@@ -2655,6 +2723,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_cross": dp_dedup_cross,
         "dp_dedup_cross_near": dp_dedup_cross_near,
         "stream_corpus_dedup": q_stream_corpus_dedup,
+        "stream_corpus_dedup_self": q_stream_corpus_dedup_self,
         "heavy_hitters": q_heavy_hitters,
         "funnel": q_funnel,
         "retention": q_retention,
@@ -3193,6 +3262,7 @@ def _minhash_cross_sql(
     bands: int = 4,
     threshold: float = 0.5,
     exact_first: bool = False,
+    near_self: bool = False,
 ) -> str:
     """Oracle for dp_dedup_cross_near: same signature/band machinery as
     _minhash_sql, candidates restricted to fresh(odd) x corpus(even),
@@ -3203,7 +3273,16 @@ def _minhash_cross_sql(
     (min doc_id per normalized text) and exact CROSS dedup vs the corpus
     run before the near pass. Sound to express as conjoined conditions
     because near-match status is a per-doc function of (text, corpus),
-    independent of which other fresh docs survive the exact passes."""
+    independent of which other fresh docs survive the exact passes.
+
+    ``near_self=True`` (implies exact_first) is the
+    stream_corpus_dedup_self oracle: between the exact passes and the
+    near-cross filter, within-batch NEAR components (recursive-CTE
+    connected components over the verified pair graph restricted to the
+    post-exact batch X) keep only their min-id representative — exactly
+    the ``dedup_near`` arm of corpus_dedup_batch_fn(near_self=True). The
+    component graph must be computed on X, not on all fresh docs: a doc
+    dropped by the exact passes cannot bridge two components."""
     from v3_polars_spark.datapipe.dedup import PERM_P, POLY_MOD, minhash_perm_constants
 
     r = num_hashes // bands
@@ -3219,7 +3298,65 @@ def _minhash_cross_sql(
             acc = f"(({acc} * 131 + h{i}) % {M})"
         band_selects.append(f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_selects)
-    if exact_first:
+    if near_self:
+        tail = f""",
+        fresh_fp AS (
+            SELECT doc_id, lang, source, n_chars, md5({_NORM}) AS fp,
+                   min(doc_id) OVER (PARTITION BY md5({_NORM})) AS keeper
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        corpus_fp AS (
+            SELECT DISTINCT md5({_NORM}) AS fp
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        x AS (
+            SELECT doc_id, lang, source, n_chars
+            FROM fresh_fp f
+            WHERE doc_id = keeper
+              AND NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = f.fp)
+        ),
+        scand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a
+            JOIN buckets b USING (band, bucket)
+            JOIN x xa ON xa.doc_id = a.doc_id
+            JOIN x xb ON xb.doc_id = b.doc_id
+            WHERE a.doc_id < b.doc_id
+        ),
+        sinter AS (
+            SELECT id_a, id_b, count(*) AS n_inter
+            FROM scand
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        sp AS (
+            SELECT id_a, id_b FROM sinter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
+        ),
+        se AS (
+            SELECT id_a AS src, id_b AS dst FROM sp
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM sp
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM se
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN se e2 ON r.dst = e2.src
+        ),
+        labels AS (
+            SELECT x.doc_id,
+                   LEAST(x.doc_id, COALESCE(MIN(r.dst), x.doc_id)) AS rep
+            FROM x LEFT JOIN reach r ON r.src = x.doc_id
+            GROUP BY x.doc_id
+        )
+        SELECT x.doc_id, x.lang, x.source, x.n_chars
+        FROM x JOIN labels l ON l.doc_id = x.doc_id
+        WHERE l.rep = x.doc_id
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_new = x.doc_id)"""
+    elif exact_first:
         tail = f""",
         fresh_fp AS (
             SELECT doc_id, lang, source, n_chars, md5({_NORM}) AS fp,
@@ -3242,7 +3379,7 @@ def _minhash_cross_sql(
         WHERE doc_id % 2 = 1
           AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_new = doc_id)"""
     return f"""
-        WITH {_hashed_shingles_cte()},
+        WITH {"RECURSIVE " if near_self else ""}{_hashed_shingles_cte()},
         sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
         buckets AS ({buckets}),
         cand AS (
@@ -4126,6 +4263,40 @@ def oracle_sql() -> dict[str, str]:
             dim=64, threshold=0.4, bits=4, tables=8, seed=42
         ),
         "dp_embed_topk_ivf": _embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=3),
+        "dp_ann_recall": f"""
+            WITH approx AS ({_embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=4)}),
+            exact AS (
+                WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+                scored AS (
+                    SELECT query_id, vec_id,
+                           list_dot_product(qv, v)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v, v))) AS cosine
+                    FROM q, e
+                )
+                SELECT query_id, vec_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+                    FROM scored
+                ) WHERE rank <= 10
+            ),
+            perq AS (
+                SELECT e.query_id,
+                       SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*) AS recall
+                FROM exact e
+                LEFT JOIN approx a
+                  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                GROUP BY e.query_id
+            )
+            SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
+                   round(avg(recall), 6) AS mean_recall,
+                   round(min(recall), 6) AS min_query_recall,
+                   avg(recall) >= 0.7 AS recall_ok,
+                   avg(recall) >= 0.95 AS recall_ok_strict
+            FROM perq
+        """,
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
         "quote_fees": _quote_fees_sql(),
         "quote_multi": _quote_multi_sql(),
@@ -4543,6 +4714,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp_dedup_cross_near": _minhash_cross_sql(),
         "stream_corpus_dedup": _minhash_cross_sql(exact_first=True),
+        "stream_corpus_dedup_self": _minhash_cross_sql(
+            exact_first=True, near_self=True
+        ),
         "heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest(string_split({_NORM}, ' ')) AS value

@@ -1,10 +1,12 @@
-"""Generative differential fuzzing of the ops/ library COMPOSITIONS.
+"""Generative differential fuzzing of the ops/ + datapipe/ COMPOSITIONS.
 
 test_props and the hostile sweep fuzz per-op *inputs*; this fuzzes
-*compositions* — random 3-5 stage pipelines drawn from the 12-stage ops/
-library (filter, derive, dedup_first/last, cumsum, lead, ffill, tumbling
-+ hopping resample, group-by+having, join-back-aggregate, as-of join,
-sort+limit — random orders with random params/keys/nulls), executed by
+*compositions* — random 3-5 stage pipelines drawn from a 16-stage
+library (ops/: filter, derive, dedup_first/last, cumsum, lead, ffill,
+tumbling + hopping resample, group-by+having, join-back-aggregate,
+as-of join, sort+limit; datapipe/: exact text dedup, URL
+canonicalization, hash-deterministic train/val/test split, char
+chunking — random orders with random params/keys/nulls), executed by
 Spark through the REAL operators and mirrored stage-by-stage into one
 DuckDB SQL string, then compared with oracle_check's order-insensitive
 compare.
@@ -51,6 +53,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
 from oracle_check import compare  # noqa: E402
 
+from v3_polars_spark.datapipe.chunking import chunk_documents  # noqa: E402
+from v3_polars_spark.datapipe.dedup import dedup_exact  # noqa: E402
+from v3_polars_spark.datapipe.sampling import split_train_val_test  # noqa: E402
+from v3_polars_spark.datapipe.urls import canonicalize_url  # noqa: E402
 from v3_polars_spark.ops.asof import asof_join  # noqa: E402
 from v3_polars_spark.ops.dedup import dedup_first, dedup_last  # noqa: E402
 from v3_polars_spark.ops.resample import resample  # noqa: E402
@@ -104,6 +110,56 @@ class St:
         return cands[rng.randint(len(cands))] if cands else None
 
 
+_VOCAB = ["alpha", "Bravo", "charlie", "DELTA", "echo", "fox", "golf", "Hotel"]
+_URL_SCHEMES = ["http://", "HTTPS://", "ftp://"]
+_URL_HOSTS = ["Example.com", "example.com:80", "EXAMPLE.com:443", "other.ORG:8080"]
+_URL_PATHS = ["/a/b", "/a/b/", "/c", ""]
+_URL_QS = ["", "?utm_source=x&b=2&a=1", "?b=2&a=1", "?a=1&b=2&fbclid=z", "?gclid=1"]
+_SCHEMELESS = ["relative/path?a=1", "mailto:x@y.z", "//protocol-relative/p"]
+
+
+def _mk_text(rng, n):
+    """Duplicate-heavy text: ~n/4 canonical token templates, each row a
+    case/whitespace perturbation of its template — normalize-equal
+    variants exercise the exact-dedup fingerprint path."""
+    n_tmpl = max(3, n // 4)
+    templates = [
+        " ".join(
+            _VOCAB[j]
+            for j in rng.randint(0, len(_VOCAB), 3 + int(rng.randint(0, 8)))
+        )
+        for _ in range(n_tmpl)
+    ]
+    out = []
+    for i in range(n):
+        t = templates[int(rng.randint(n_tmpl))]
+        r = rng.rand()
+        if r < 0.2:
+            t = t.upper()
+        elif r < 0.4:
+            t = t.replace(" ", "  ")
+        elif r < 0.5:
+            t = f"  {t} "
+        out.append(t)
+    return out
+
+
+def _mk_urls(rng, n):
+    out = []
+    for i in range(n):
+        if rng.rand() < 0.12:
+            out.append(_SCHEMELESS[int(rng.randint(len(_SCHEMELESS)))])
+            continue
+        out.append(
+            _URL_SCHEMES[int(rng.randint(3))]
+            + _URL_HOSTS[int(rng.randint(4))]
+            + _URL_PATHS[int(rng.randint(4))]
+            + _URL_QS[int(rng.randint(5))]
+            + ("#frag" if rng.rand() < 0.3 else "")
+        )
+    return out
+
+
 def _write_tables(rng, tmpdir, seed):
     n = 300 + int(rng.randint(0, 300))
     pdf = pd.DataFrame(
@@ -116,6 +172,8 @@ def _write_tables(rng, tmpdir, seed):
             ),
             "x": np.round(rng.normal(0.0, 50.0, n), 6),
             "s": rng.choice(["red", "green", "blue", "amber"], n),
+            "txt": _mk_text(rng, n),
+            "url": _mk_urls(rng, n),
         }
     )
     pdf.loc[rng.rand(n) < 0.15, "x"] = np.nan
@@ -504,6 +562,124 @@ def st_sort_limit(state, rng):
     )
 
 
+# --- datapipe/ stages: text/url/sampling ops with expression-level SQL
+# mirrors (the same mirrors the committed oracles use) --------------------
+
+_TXT_NORM = "trim(regexp_replace(lower(txt), '\\s+', ' ', 'g'))"
+
+
+def st_dedup_exact(state, rng):
+    """datapipe.dedup.dedup_exact on the txt column: min-uid survivor per
+    normalized text. Guarded on uid still being the frame's unique key —
+    the implementation's final semi join is on uid alone, which is only
+    equivalent to the partition-local min filter when uids are unique."""
+    if "txt" not in state.names() or state.unique != ("uid",):
+        return None
+    return replace_state(
+        state,
+        df=dedup_exact(state.df, "txt", "uid"),
+        sql=f"SELECT {_sel(state.names())} FROM ("
+        f"SELECT *, min(uid) OVER (PARTITION BY md5({_TXT_NORM})) AS __kp "
+        f"FROM ({state.sql}) de{state.i}) WHERE uid = __kp",
+    )
+
+
+def st_url_canon(state, rng):
+    """datapipe.urls.canonicalize_url as a derived column (the dp_url_dedup
+    oracle's expression mirror, parameterized on the running frame)."""
+    if "url" not in state.names():
+        return None
+    name = f"__u{state.i}"
+    qstr = (
+        "array_to_string(list_sort(list_filter("
+        "string_split(coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),"
+        " x -> x <> '' AND NOT starts_with(x, 'utm_')"
+        " AND NOT starts_with(x, 'fbclid') AND NOT starts_with(x, 'gclid')"
+        " AND NOT starts_with(x, 'msclkid')"
+        " AND NOT starts_with(x, 'ref_src'))), '&')"
+    )
+    canon = (
+        "CASE WHEN lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = ''"
+        " THEN url ELSE"
+        " lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+        " || '://'"
+        " || regexp_replace(lower(regexp_extract(url,"
+        " '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2)), ':(80|443)$', '')"
+        " || regexp_replace(regexp_extract(url,"
+        " '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*([^?#]*)', 2), '/$', '')"
+        " || (CASE WHEN __q <> '' THEN '?' || __q ELSE '' END) END"
+    )
+    return replace_state(
+        state,
+        df=state.df.withColumn(name, canonicalize_url(F.col("url"))),
+        sql=f"SELECT {_sel(state.names())}, {canon} AS {name} FROM ("
+        f"SELECT *, {qstr} AS __q FROM ({state.sql}) uc{state.i})",
+        cols=state.cols + [Col(name, "url", False)],
+    )
+
+
+def st_split(state, rng):
+    """datapipe.sampling.split_train_val_test: hash-deterministic 3-way
+    split keyed on any non-null int column (pure function of (seed, key) —
+    no uniqueness required)."""
+    c = state.pick(rng, lambda c: c.kind == "int" and not c.nullable)
+    if c is None:
+        return None
+    seed2 = int(rng.randint(0, 100))
+    tf = [0.05, 0.1][rng.randint(2)]
+    vf = [0.05, 0.2][rng.randint(2)]
+    name = f"__sp{state.i}"
+    u = (
+        f"(('0x' || substr(md5('{seed2}:' || CAST({c.name} AS VARCHAR)), 1, 14))"
+        f"::BIGINT / {float(1 << 56)!r})"
+    )
+    return replace_state(
+        state,
+        df=split_train_val_test(
+            state.df,
+            key_col=c.name,
+            val_fraction=vf,
+            test_fraction=tf,
+            seed=seed2,
+            out=name,
+        ),
+        sql=f"SELECT {_sel(state.names())}, "
+        f"CASE WHEN {u} < {tf} THEN 'test' "
+        f"WHEN {u} < {tf + vf} THEN 'val' ELSE 'train' END AS {name} "
+        f"FROM ({state.sql}) sp{state.i}",
+        cols=state.cols + [Col(name, "str", False)],
+    )
+
+
+def st_chunk(state, rng):
+    """datapipe.chunking.chunk_documents (char unit): posexplode of the
+    overlap-window start offsets; keeps only (uid, chunk_idx, chunk_text,
+    chunk_len), chunk identity (uid, chunk_idx)."""
+    if "txt" not in state.names() or state.unique != ("uid",):
+        return None
+    size, ov = [(24, 8), (16, 0), (40, 13)][rng.randint(3)]
+    step = size - ov
+    ct = f"substr(txt, __st + 1, {size})"
+    return replace_state(
+        state,
+        df=chunk_documents(
+            state.df, "txt", "uid", chunk_size=size, overlap=ov, unit="chars"
+        ),
+        sql=f"SELECT uid, CAST(__st // {step} AS INT) AS chunk_idx, "
+        f"{ct} AS chunk_text, length({ct}) AS chunk_len FROM ("
+        f"SELECT uid, txt, unnest(generate_series(0, "
+        f"greatest(length(txt) - 1, 0), {step})) AS __st "
+        f"FROM ({state.sql}) ch{state.i})",
+        cols=[
+            Col("uid", "int", False),
+            Col("chunk_idx", "int", False),
+            Col("chunk_text", "text", False),
+            Col("chunk_len", "int", False),
+        ],
+        unique=("uid", "chunk_idx"),
+    )
+
+
 STAGES = [
     st_filter,
     st_derive,
@@ -517,6 +693,10 @@ STAGES = [
     st_join_agg,
     st_asof,
     st_sort_limit,
+    st_dedup_exact,
+    st_url_canon,
+    st_split,
+    st_chunk,
 ]
 
 
@@ -547,6 +727,11 @@ def _run_seed(spark, seed, tmpdir):
             Col("ts", "ts", False),
             Col("x", "float", True),
             Col("s", "str", False),
+            # kinds "text"/"url" keep these out of the generic str stages
+            # (st_filter's color predicates) while the datapipe stages
+            # target them explicitly
+            Col("txt", "text", False),
+            Col("url", "url", False),
         ],
         unique=("uid",),
     )

@@ -869,16 +869,19 @@ def _cd_reader(spark, src):
     )
 
 
-def _cd_replay(spark, segs, seed=None):
+def _cd_replay(spark, segs, seed=None, near_self=False):
     """Driver-loop batch derivation: the examples/incremental_dedup.py flow
     run segment-by-segment with the DIRECT datapipe functions (raw corpus
     docs re-shingled each step) — the semantics yardstick the persisted-
-    state streaming path must reproduce exactly."""
+    state streaming path must reproduce exactly. ``near_self`` inserts
+    dedup_near on the post-exact batch before the near-cross pass, the
+    same slot the streaming arm uses."""
     from v3_polars_spark.datapipe import (
         dedup_against,
         dedup_against_near,
         dedup_exact,
     )
+    from v3_polars_spark.datapipe.dedup import dedup_near
 
     corpus = seed
     kept_ids = set() if seed is None else {r.doc_id for r in seed.collect()}
@@ -886,7 +889,11 @@ def _cd_replay(spark, segs, seed=None):
         batch = spark.createDataFrame(rows, _CD_SCHEMA)
         s = dedup_exact(batch)
         if corpus is not None:
-            s = dedup_against_near(dedup_against(s, corpus), corpus)
+            s = dedup_against(s, corpus)
+        if near_self:
+            s = dedup_near(s)
+        if corpus is not None:
+            s = dedup_against_near(s, corpus)
         corpus = corpus.unionByName(s) if corpus is not None else s
         corpus = corpus.localCheckpoint()  # keep the lineage flat
         kept_ids = {r.doc_id for r in corpus.collect()}
@@ -905,6 +912,26 @@ def test_corpus_dedup_stream_equals_batch_replay(spark, tmp_path):
     got = {r.doc_id for r in read_corpus(spark, root).collect()}
     assert got == _CD_SURVIVORS
     assert got == _cd_replay(spark, _CD_SEGS)
+
+
+def test_corpus_dedup_stream_near_self_arm(spark, tmp_path):
+    """near_self=True drops within-batch NEAR duplicates to the min-id
+    component representative BEFORE the cross pass: doc 11 (_E_NEAR, a
+    near-dup of batch-mate 10) no longer survives; everything else is
+    unchanged vs the default arm. The direct-function replay with
+    dedup_near in the same slot derives the identical corpus."""
+    from v3_polars_spark.streaming import read_corpus, streaming_corpus_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _cd_write_segs(spark, src, _CD_SEGS)
+    root, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_corpus_dedup(
+        _cd_reader(spark, src), root, ckpt, near_self=True
+    )
+    got = {r.doc_id for r in read_corpus(spark, root).collect()}
+    assert got == _CD_SURVIVORS - {11}
+    assert got == _cd_replay(spark, _CD_SEGS, near_self=True)
 
 
 def test_corpus_dedup_stream_resume_grows_corpus(spark, tmp_path):

@@ -38,12 +38,16 @@ run serially, so the kept corpus a replay sees is identical to what
 the crashed attempt saw). Pinned in tests/test_streaming.py alongside
 batch ≡ streamed equivalence.
 
-Within-batch NEAR duplicates both survive (matching the example flow:
-near self-dedup of a crawl batch is a separate choice —
+Within-batch NEAR duplicates both survive BY DEFAULT (matching the
+example flow: near self-dedup of a crawl batch is a separate choice —
 ``near_dup_components`` — and keeping it out makes survivorship a pure
 function of (doc text, prior corpus), which the batch-replay
-equivalence tests rely on). Exact within-batch duplicates collapse to
-the min-id representative.
+equivalence tests rely on). ``near_self=True`` opts into a within-batch
+near self-dedup arm — min-id-per-component survivorship via
+``dedup_near``, run on the post-exact batch BEFORE the cross pass, so
+survivorship stays a deterministic function of (batch contents, prior
+corpus). Exact within-batch duplicates always collapse to the min-id
+representative.
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ from pyspark.sql import functions as F
 from ..datapipe.dedup import (
     _band_buckets,
     dedup_exact,
+    dedup_near,
     fingerprint_md5,
     near_match_ids,
     shingle_hash_sets,
@@ -165,6 +170,7 @@ def corpus_dedup_batch_fn(
     text_col: str = "text",
     id_col: str = "doc_id",
     near: bool = True,
+    near_self: bool = False,
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
@@ -202,15 +208,29 @@ def corpus_dedup_batch_fn(
             F.broadcast(s1.select("fp").distinct()), ["fp"], "left_semi"
         )
         s2 = s1.join(F.broadcast(matched_fp), ["fp"], "left_anti").persist()
+        base = None
         try:
             survivors = s2
             sets_new = None
             if near:
+                base = s2
+                if near_self:
+                    # 2b. OPT-IN within-batch near self-dedup (the default
+                    # keeps both — see module docstring): min-id-per-
+                    # component survivorship via near_dup_components,
+                    # deterministic, computed on the post-exact batch
+                    # BEFORE the cross pass so the cross join never sees
+                    # intra-batch duplicate groups. O(batch): the batch
+                    # is the whole input here.
+                    base = dedup_near(
+                        s2, text_col, id_col, n, num_hashes, bands,
+                        verify_threshold,
+                    ).persist()
                 # 3. near pass against persisted buckets + shingle sets;
                 # the fresh side is shingled once and reused for the
                 # survivor state written below
                 sets_new = shingle_hash_sets(
-                    s2.drop("fp"), text_col, id_col, n
+                    base.drop("fp"), text_col, id_col, n
                 ).persist()
                 bk_new = _band_buckets(sets_new, id_col, num_hashes, bands)
                 matched = near_match_ids(
@@ -224,7 +244,7 @@ def corpus_dedup_batch_fn(
                     # corpus bucket state is scanned, never shuffled
                     broadcast_new=True,
                 )
-                survivors = s2.join(matched, [id_col], "left_anti")
+                survivors = base.join(matched, [id_col], "left_anti")
             survivors = survivors.persist()
 
             # 4. state first, docs LAST (docs dir is the commit marker)
@@ -243,6 +263,8 @@ def corpus_dedup_batch_fn(
             _commit_write(survivors.drop("fp"), docs_dir)
         finally:
             s2.unpersist()
+            if base is not None and base is not s2:
+                base.unpersist()
             if sets_new is not None:
                 sets_new.unpersist()
             survivors.unpersist()
@@ -257,6 +279,7 @@ def streaming_corpus_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     near: bool = True,
+    near_self: bool = False,
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
@@ -276,6 +299,7 @@ def streaming_corpus_dedup(
         text_col=text_col,
         id_col=id_col,
         near=near,
+        near_self=near_self,
         n=n,
         num_hashes=num_hashes,
         bands=bands,
