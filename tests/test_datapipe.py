@@ -301,6 +301,32 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert hits / 30 >= 0.4  # loose recall floor: random data clusters poorly
 
 
+def test_ann_recall_check_arithmetic(spark):
+    """Pin the recall arithmetic on hand data: q1 approx hits 2/3 exact,
+    q2 hits 3/3; mean 5/6, min 2/3; contract booleans at both thresholds.
+    Extra approx rows beyond rank<=k and ids absent from exact must not
+    count."""
+    from v3_polars_spark.datapipe import ann_recall_check
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id int, vec_id int, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 11, 3), (1, 12, 4),  # rank-4 excluded
+         (2, 22, 1), (2, 21, 2), (2, 20, 3)],
+        "query_id int, vec_id int, rank long",
+    )
+    row = ann_recall_check(
+        approx, exact, k=3, min_recall=0.8, strict_min_recall=0.9
+    ).first()
+    assert row["k"] == 3 and row["n_queries"] == 2
+    assert abs(row["mean_recall"] - round(5 / 6, 6)) < 1e-9
+    assert abs(row["min_query_recall"] - round(2 / 3, 6)) < 1e-9
+    assert row["recall_ok"] is True and row["recall_ok_strict"] is False
+
+
 def test_multimodal_fake_decode(spark):
     media = make_fake_media(spark, n=12)
     feats = decode_image_features(media, dim=8, fake=True).collect()
