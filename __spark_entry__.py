@@ -2163,16 +2163,21 @@ def q_stream_dedup(spark, sf):
 # aggregates hash-match across engines regardless of summation order.
 # --------------------------------------------------------------------------
 
+# FLOOR(x + 0.5), not ROUND(x): identical for the non-negative money
+# columns (l_discount <= 1 so (1-d) >= 0) and Spark's double ROUND
+# allocates a BigDecimal per row (see _cents_sum) — these templates run
+# verbatim on BOTH engines, so the fix speeds the Spark side without
+# touching comparability.
 _REV_C4 = (
-    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
-    " * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)"
+    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT)"
 )
 
 _SQL_PRICING = f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS sum_qty_c,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS sum_base_c,
            CAST(SUM({_REV_C4}) AS BIGINT) AS sum_disc_c4,
            CAST(COUNT(*) AS BIGINT) AS n_rows
