@@ -974,15 +974,24 @@ def dp_embed_topk_ivf(spark, sf):
 
 
 def dp_ann_recall(spark, sf):
-    """ANN recall@10 contract (datapipe.similarity.ann_recall_check): the
-    cached IVF index probed at n_probe=4 vs the brute-force ground truth,
-    recall recomputed IN-PLAN and emitted with two SLO booleans — the
-    gate threshold (0.7: uniform synthetic vectors are ANN's worst case
-    at tiny corpus sizes) and the corpus-scale 0.95 SLO, which goes green
-    at sf1 (measured 1.0) and is recorded in the SF1 supplement. The
-    oracle replays BOTH pipelines and the recall arithmetic, so the
-    statistic itself — not just the booleans — is cross-engine pinned."""
-    from v3_polars_spark.datapipe import ann_recall_check, cosine_topk, ivf_index, ivf_search
+    """ANN recall@10 contracts (datapipe.similarity.ann_recall_check),
+    one row per ANN method vs the SAME brute-force ground truth: the
+    cached IVF index probed at n_probe=4 and the hyperplane-LSH search
+    at bits=4 — recall recomputed IN-PLAN and emitted with two SLO
+    booleans per row: a method-specific gate threshold (0.7 IVF / 0.3
+    LSH — uniform synthetic vectors are ANN's worst case at tiny corpus
+    sizes: no cluster structure, near-empty buckets) and the shared
+    corpus-scale 0.95 SLO, which goes green for BOTH methods at sf1
+    (measured 1.0) and is recorded in the SF1 record. The oracle replays
+    all three pipelines and the recall arithmetic, so the statistics
+    themselves — not just the booleans — are cross-engine pinned."""
+    from v3_polars_spark.datapipe import (
+        ann_recall_check,
+        cosine_topk,
+        cosine_topk_lsh,
+        ivf_index,
+        ivf_search,
+    )
 
     e = _t(spark, sf, "embeddings")
     key = (id(spark), sf, "__ivf_idx__")
@@ -993,11 +1002,16 @@ def dp_ann_recall(spark, sf):
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = ivf_search(centroids, assigned, q, k=10, n_probe=4)
     exact = cosine_topk(e, q, k=10)
-    return ann_recall_check(
-        approx, exact, k=10, min_recall=0.7, strict_min_recall=0.95
-    )
+    ivf = ann_recall_check(
+        ivf_search(centroids, assigned, q, k=10, n_probe=4),
+        exact, k=10, min_recall=0.7, strict_min_recall=0.95,
+    ).select(F.lit("ivf_p4").alias("method"), "*")
+    lsh = ann_recall_check(
+        cosine_topk_lsh(e, q, dim=64, k=10, bits=4),
+        exact, k=10, min_recall=0.3, strict_min_recall=0.95,
+    ).select(F.lit("lsh_b4").alias("method"), "*")
+    return ivf.unionByName(lsh)
 
 
 _QL_IRV = dict(
@@ -3650,6 +3664,50 @@ def _embed_neardup_lsh_sql(
     """
 
 
+def _ann_recall_branch_sql(method: str, approx_sql: str, gate: float) -> str:
+    """One method's branch of the dp_ann_recall oracle: the full approx
+    pipeline replay as a CTE, the brute-force top-10 ground truth, and
+    the recall arithmetic — mirrors ann_recall_check row-for-row."""
+    return f"""
+        SELECT '{method}' AS method, k, n_queries, mean_recall,
+               min_query_recall, recall_ok, recall_ok_strict
+        FROM (
+            WITH approx AS ({approx_sql}),
+            exact AS (
+                WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+                scored AS (
+                    SELECT query_id, vec_id,
+                           list_dot_product(qv, v)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v, v))) AS cosine
+                    FROM q, e
+                )
+                SELECT query_id, vec_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+                    FROM scored
+                ) WHERE rank <= 10
+            ),
+            perq AS (
+                SELECT e.query_id,
+                       SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*) AS recall
+                FROM exact e
+                LEFT JOIN approx a
+                  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                GROUP BY e.query_id
+            )
+            SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
+                   round(avg(recall), 6) AS mean_recall,
+                   round(min(recall), 6) AS min_query_recall,
+                   avg(recall) >= {gate} AS recall_ok,
+                   avg(recall) >= 0.95 AS recall_ok_strict
+            FROM perq
+        )
+    """
+
+
 def _embed_topk_ivf_sql(k: int = 10, n_centroids: int = 8, n_probe: int = 3) -> str:
     """Full IVF replay: md5-prefix seed pick -> centroid ids by array order
     -> one Lloyd step (argmax-cosine assign, per-position mean) -> re-assign
@@ -4268,40 +4326,13 @@ def oracle_sql() -> dict[str, str]:
             dim=64, threshold=0.4, bits=4, tables=8, seed=42
         ),
         "dp_embed_topk_ivf": _embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=3),
-        "dp_ann_recall": f"""
-            WITH approx AS ({_embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=4)}),
-            exact AS (
-                WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-                q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-                scored AS (
-                    SELECT query_id, vec_id,
-                           list_dot_product(qv, v)
-                             / (sqrt(list_dot_product(qv, qv))
-                                * sqrt(list_dot_product(v, v))) AS cosine
-                    FROM q, e
-                )
-                SELECT query_id, vec_id FROM (
-                    SELECT *, row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id) AS rank
-                    FROM scored
-                ) WHERE rank <= 10
-            ),
-            perq AS (
-                SELECT e.query_id,
-                       SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                         * 1.0 / count(*) AS recall
-                FROM exact e
-                LEFT JOIN approx a
-                  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-                GROUP BY e.query_id
-            )
-            SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
-                   round(avg(recall), 6) AS mean_recall,
-                   round(min(recall), 6) AS min_query_recall,
-                   avg(recall) >= 0.7 AS recall_ok,
-                   avg(recall) >= 0.95 AS recall_ok_strict
-            FROM perq
-        """,
+        "dp_ann_recall": " UNION ALL ".join(
+            _ann_recall_branch_sql(method, approx_sql, gate)
+            for method, approx_sql, gate in [
+                ("ivf_p4", _embed_topk_ivf_sql(k=10, n_centroids=8, n_probe=4), 0.7),
+                ("lsh_b4", _embed_topk_lsh_sql(dim=64, k=10, bits=4, seed=42), 0.3),
+            ]
+        ),
         "mm_decode_features": _mm_decode_sql(n=96, seed=7),
         "quote_fees": _quote_fees_sql(),
         "quote_multi": _quote_multi_sql(),
