@@ -2135,6 +2135,44 @@ def q_stream_corpus_dedup_self(spark, sf):
     )
 
 
+def q_stream_ivf_assign(spark, sf):
+    """Streaming IVF index maintenance (streaming/ann_stream.py): seed
+    the quantizer + inverted lists from the even-id embeddings, drain
+    the odd-id embeddings through streaming_ivf_assign (AvailableNow;
+    per-trigger O(batch) broadcast-centroid assignment, atomic per-batch
+    segment commits), and return the streamed assignments. Oracle: the
+    full centroid-build replay on the seed side + argmax-cosine
+    assignment of the odd side — assignment is a pure per-vector
+    function of (vector, centroids), so streamed ≡ batch row-for-row.
+    Crash/resume/replay behavior is pinned in tests/test_streaming.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from v3_polars_spark.streaming import (
+        read_ivf_index,
+        seed_ivf_index,
+        streaming_ivf_assign,
+    )
+
+    _prep(spark)
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    root = tempfile.mkdtemp(prefix="stream_ivf_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    seed_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), root, n_centroids=8, iters=1
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+    streaming_ivf_assign(stream, root, os.path.join(root, "ckpt"))
+    _, assigned = read_ivf_index(spark, root)
+    return assigned.filter(F.col("batch") >= 0).select("vec_id", "cluster_id")
+
+
 def q_stream_dedup(spark, sf):
     """§2.8 dedup as an oracle-checked query: streaming dropDuplicates
     over the events file source (AvailableNow drain into a memory sink),
@@ -2743,6 +2781,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_cross_near": dp_dedup_cross_near,
         "stream_corpus_dedup": q_stream_corpus_dedup,
         "stream_corpus_dedup_self": q_stream_corpus_dedup_self,
+        "stream_ivf_assign": q_stream_ivf_assign,
         "heavy_hitters": q_heavy_hitters,
         "funnel": q_funnel,
         "retention": q_retention,
@@ -4753,6 +4792,48 @@ def oracle_sql() -> dict[str, str]:
         "stream_corpus_dedup_self": _minhash_cross_sql(
             exact_first=True, near_self=True
         ),
+        "stream_ivf_assign": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            se AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+            seeds AS (
+                SELECT v AS centroid FROM se
+                ORDER BY (('0x' || substr(md5(vec_id::VARCHAR), 1, 14))::BIGINT),
+                         vec_id
+                LIMIT 8
+            ),
+            cent0 AS (
+                SELECT CAST(row_number() OVER (ORDER BY centroid) - 1 AS BIGINT)
+                         AS cluster_id, centroid
+                FROM seeds
+            ),
+            asg0 AS (
+                SELECT vec_id, v, cluster_id FROM (
+                    SELECT se.vec_id, se.v, c.cluster_id,
+                           row_number() OVER (
+                               PARTITION BY se.vec_id
+                               ORDER BY {_COS.format(a="se.v", b="c.centroid")}
+                                        DESC, c.cluster_id) AS rn
+                    FROM se CROSS JOIN cent0 c
+                ) WHERE rn = 1
+            ),
+            cent AS (
+                SELECT cluster_id, list(x ORDER BY pos) AS centroid FROM (
+                    SELECT cluster_id, pos, avg(x) AS x FROM (
+                        SELECT cluster_id, i AS pos, v[i] AS x
+                        FROM asg0, unnest(generate_series(1, len(v))) AS t(i)
+                    ) GROUP BY cluster_id, pos
+                ) GROUP BY cluster_id
+            )
+            SELECT vec_id, cluster_id FROM (
+                SELECT o.vec_id, c.cluster_id,
+                       row_number() OVER (
+                           PARTITION BY o.vec_id
+                           ORDER BY {_COS.format(a="o.v", b="c.centroid")}
+                                    DESC, c.cluster_id) AS rn
+                FROM e o CROSS JOIN cent c WHERE o.vec_id % 2 = 1
+            ) WHERE rn = 1
+        """,
+
         "heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest(string_split({_NORM}, ' ')) AS value

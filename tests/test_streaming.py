@@ -1199,3 +1199,124 @@ def test_corpus_dedup_randomized_matches_replay(spark, tmp_path):
         got = {r.doc_id for r in read_corpus(spark, root).collect()}
         exp = _cd_replay(spark, segs)
         assert got == exp, (seed, sorted(got), sorted(exp))
+
+
+# ---------------------------------------------------------------------------
+# streaming IVF index maintenance (streaming/ann_stream.py): fixed seed
+# quantizer, O(batch) assignment appends, exactly-once segment commits.
+# ---------------------------------------------------------------------------
+
+_IVF_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _ivf_vectors(spark, ids, dim=8):
+    """Deterministic distinct vectors: one-hot-ish by id so nearest-
+    centroid assignment is stable and hand-checkable."""
+    rows = [
+        (i, [1.0 if d == i % dim else 0.1 * ((i // dim) % 3) for d in range(dim)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, _IVF_SCHEMA)
+
+
+def _ivf_write_segs(spark, src, id_groups, start=0):
+    import glob as _glob
+    import time
+
+    base = time.time() - 3600
+    for k, ids in enumerate(id_groups, start=start):
+        d = f"{src}/seg{k}"
+        _ivf_vectors(spark, ids).coalesce(1).write.parquet(d)
+        for f in _glob.glob(f"{d}/*"):
+            os.utime(f, (base + k, base + k))
+
+
+def _ivf_reader(spark, src):
+    return (
+        spark.readStream.schema(_IVF_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/seg*")
+    )
+
+
+def test_streaming_ivf_assign_equals_batch(spark, tmp_path):
+    """Streamed assignments ≡ one-shot ivf_assign of the same vectors
+    against the seed-trained centroids (assignment is a pure per-vector
+    function of (vector, centroids)); the seed corpus's own lists land
+    as batch -1 and the index read serves both."""
+    from v3_polars_spark.datapipe.similarity import ivf_assign
+    from v3_polars_spark.streaming import (
+        read_ivf_index,
+        seed_ivf_index,
+        streaming_ivf_assign,
+    )
+
+    seed = _ivf_vectors(spark, range(0, 40))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    groups = [range(40, 52), range(52, 64), range(64, 80)]
+    _ivf_write_segs(spark, src, groups)
+    root, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    seed_ivf_index(seed, root, n_centroids=4, iters=1)
+    streaming_ivf_assign(_ivf_reader(spark, src), root, ckpt)
+
+    centroids, assigned = read_ivf_index(spark, root)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assigned.filter(F.col("batch") >= 0).collect()
+    }
+    direct = ivf_assign(
+        _ivf_vectors(spark, range(40, 80)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+        ),
+        centroids,
+    )
+    assert got == {r["vec_id"]: r["cluster_id"] for r in direct.collect()}
+    # one committed segment per trigger + the seed
+    assert assigned.select("batch").distinct().count() == 4
+    assert {r["vec_id"] for r in assigned.collect()} == set(range(80))
+
+
+def test_streaming_ivf_assign_resume_and_crash_windows(spark, tmp_path):
+    """Checkpoint resume processes only new segments; a replay of a
+    committed batch is a no-op (no duplicate assignments); a dead
+    attempt's mid-write tmp dir is invisible to readers and swept on
+    replay."""
+    import glob as _glob
+
+    from v3_polars_spark.streaming import (
+        read_ivf_index,
+        seed_ivf_index,
+        streaming_ivf_assign,
+    )
+    from v3_polars_spark.streaming.ann_stream import _ASSIGNED
+    from v3_polars_spark.streaming.state_store import batch_dir
+
+    seed = _ivf_vectors(spark, range(0, 24))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _ivf_write_segs(spark, src, [range(24, 32)])
+    root, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    seed_ivf_index(seed, root, n_centroids=4, iters=1)
+    streaming_ivf_assign(_ivf_reader(spark, src), root, ckpt)
+
+    # forge a mid-write crash of batch 1: a fully-written tmp dir
+    final = batch_dir(root, _ASSIGNED, 1)
+    tmp = os.path.join(
+        os.path.dirname(final), ".tmp-" + os.path.basename(final) + "-dead"
+    )
+    _ivf_vectors(spark, range(900, 903)).write.parquet(tmp)
+
+    _ivf_write_segs(spark, src, [range(32, 40)], start=1)
+    streaming_ivf_assign(_ivf_reader(spark, src), root, ckpt)
+    _, assigned = read_ivf_index(spark, root)
+    ids = sorted(r["vec_id"] for r in assigned.collect())
+    assert ids == list(range(40))  # dead attempt's 900s never surfaced
+    assert _glob.glob(os.path.join(root, _ASSIGNED, ".tmp-*")) == []
+    # replay the whole drain on a FRESH checkpoint: committed dirs make
+    # every batch a no-op — same index, no duplicates
+    streaming_ivf_assign(
+        _ivf_reader(spark, src), root, str(tmp_path / "ckpt2")
+    )
+    _, again = read_ivf_index(spark, root)
+    assert again.count() == 40

@@ -11,6 +11,11 @@ from .quality_stream import (
     streaming_bin_counts,
     streaming_kll_state,
 )
+from .ann_stream import (
+    read_ivf_index,
+    seed_ivf_index,
+    streaming_ivf_assign,
+)
 from .dedup_stream import (
     read_corpus,
     seed_corpus,
@@ -28,6 +33,9 @@ __all__ = [
     "streaming_corpus_dedup",
     "seed_corpus",
     "read_corpus",
+    "streaming_ivf_assign",
+    "seed_ivf_index",
+    "read_ivf_index",
     "run_available_now",
     "stream_dedup_exact",
     "stream_table",

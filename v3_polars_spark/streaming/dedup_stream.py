@@ -55,7 +55,6 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,6 +67,18 @@ from ..datapipe.dedup import (
     near_match_ids,
     shingle_hash_sets,
 )
+from .state_store import (
+    batch_dir,
+    commit_write,
+    data_dirs,
+    read_state,
+    tmp_glob,
+)
+
+# The commit protocol (atomic tmp-rename per-batch dirs, dot-prefixed tmp
+# namespace, replay sweep) lives in streaming/state_store.py — shared with
+# the other foreachBatch state maintainers; the _-prefixed aliases below
+# are kept because this module's tests and docs reference them.
 
 # corpus_root subdirectories: kept documents + the three state tables a
 # later batch needs to dedup against the corpus without re-reading it
@@ -78,50 +89,23 @@ _SHSETS = "state_shsets"
 
 
 def _batch_dir(corpus_root: str, kind: str, batch_id: int) -> str:
-    return os.path.join(corpus_root, kind, f"batch={batch_id}")
+    return batch_dir(corpus_root, kind, batch_id)
 
 
 def _tmp_glob(final_dir: str) -> str:
-    """Glob matching every tmp dir a crashed :func:`_commit_write` to
-    ``final_dir`` may have left behind."""
-    parent, base = os.path.split(final_dir)
-    return os.path.join(parent, f".tmp-{base}-*")
+    return tmp_glob(final_dir)
 
 
 def _commit_write(df: DataFrame, final_dir: str) -> None:
-    """Write ``df`` to a tmp dir and atomically rename into place. The
-    rename is the commit: readers list only completed batch dirs, so a
-    crash mid-write leaves nothing visible. Tmp dirs live OUTSIDE the
-    ``batch=*`` namespace (dot-prefixed ``.tmp-batch=<id>-<hex>``) so the
-    committed-dir glob in :func:`_data_dirs` can never match a dead
-    attempt's leftovers, and the dot prefix keeps Hadoop file listings
-    from picking them up either."""
-    parent, base = os.path.split(final_dir)
-    os.makedirs(parent, exist_ok=True)
-    tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(tmp)
-    os.rename(tmp, final_dir)
+    commit_write(df, final_dir)
 
 
 def _data_dirs(corpus_root: str, kind: str) -> list[str]:
-    """Committed batch dirs of one kind that contain data files (an
-    empty-survivor batch commits a dir with only _SUCCESS — zero rows,
-    skipped so multi-dir reads always have schema-bearing files)."""
-    return [
-        d
-        for d in sorted(glob.glob(os.path.join(corpus_root, kind, "batch=*")))
-        if glob.glob(os.path.join(d, "part-*"))
-    ]
+    return data_dirs(corpus_root, kind)
 
 
 def _read_state(spark, corpus_root: str, kind: str, like: DataFrame) -> DataFrame:
-    """Union of all committed state dirs of ``kind``; an empty frame with
-    ``like``'s schema when no batch has landed data yet (first trigger,
-    or every prior batch had zero survivors)."""
-    dirs = _data_dirs(corpus_root, kind)
-    if not dirs:
-        return spark.createDataFrame([], like.schema)
-    return spark.read.parquet(*dirs)
+    return read_state(spark, corpus_root, kind, like)
 
 
 def read_corpus(spark, corpus_root: str) -> DataFrame:
