@@ -34,9 +34,9 @@ failure as a pinned regression seed in _REGRESSION_SEEDS.
 N defaults to 200 seeds (~3 min); override with SPARK_GRAFT_FUZZ_N.
 Deep hunts: round 7 ran 1001/2501/5001 seeds over the 12-stage ops/
 library — all green after the seed-317 DuckDB-ASOF barrier fix; round 8
-ran 1001 then 2501 seeds over the extended 16-stage library (datapipe
-dedup/url/split/chunk stages + text/url base columns) — all green, no
-new seeds pinned.
+ran 1001, 2501, and 5001 seeds over the extended 16-stage library
+(datapipe dedup/url/split/chunk stages + text/url base columns) — all
+green, no new seeds pinned.
 """
 
 from __future__ import annotations
