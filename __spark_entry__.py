@@ -328,15 +328,17 @@ def _cents_sum(col: str, alias: str):
     integer arithmetic is the only representation both engines agree on
     bit-for-bit.
 
-    ``floor(x*100 + 0.5)`` — NOT ``round(x*100)``: Spark's ROUND on a
-    double allocates a java.math.BigDecimal per row (measured +0.49 s on
-    the 60 M-row sf1 groupby_having, 1.18 -> 0.69 s), while floor stays a
-    single codegen'd Math.floor. For non-negative doubles the two are
-    IDENTICAL including the half-way point (HALF_UP rounds k.5 up;
-    floor(k.5+0.5) = k+1) — money columns here are non-negative by
-    construction, and the oracle compare re-proves value equality with
-    DuckDB's ROUND every round."""
-    return F.sum(F.floor(F.col(col) * 100 + F.lit(0.5))).alias(alias)
+    ``sign * floor(abs(x)*100 + 0.5)`` — NOT ``round(x*100)``: Spark's
+    ROUND on a double allocates a java.math.BigDecimal per row (measured
+    +0.49 s on the 60 M-row sf1 groupby_having, 1.18 -> 0.69 s), while
+    abs/floor/when stay inside one codegen span. The sign split makes it
+    HALF-AWAY-FROM-ZERO for BOTH signs — identical to DuckDB's ROUND —
+    so a future dataset with refund/correction rows (negative amounts)
+    rounds correctly instead of silently drifting toward +inf; for the
+    non-negative columns here it degenerates to floor(x*100+0.5)."""
+    c = F.col(col)
+    cents = F.floor(F.abs(c) * 100 + F.lit(0.5))
+    return F.sum(F.when(c < 0, -cents).otherwise(cents)).alias(alias)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2219,7 +2221,9 @@ def q_stream_dedup(spark, sf):
 # columns (l_discount <= 1 so (1-d) >= 0) and Spark's double ROUND
 # allocates a BigDecimal per row (see _cents_sum) — these templates run
 # verbatim on BOTH engines, so the fix speeds the Spark side without
-# touching comparability.
+# touching comparability. The non-negativity assumption is pinned by
+# tests/test_money_columns.py; a dataset with negative amounts needs the
+# sign-aware form (_cents_sum shows it).
 _REV_C4 = (
     "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
     " * CAST(FLOOR((1 - l_discount) * 100 + 0.5) AS BIGINT)"
@@ -2595,6 +2599,82 @@ def dp_dedup_best(spark, sf):
     return out.select("doc_id", "n_chars")
 
 
+def _build_l1_sql_templates():
+    """L1 library operators through their SQL macros (v3_polars_spark.sql):
+    one portable template per op, executed verbatim by BOTH engines — the
+    macro surface is cross-engine-proven every round, not just the three
+    hand-written composites above. Raw per-row/bucket timestamps travel as
+    CAST(ts AS STRING): both engines print 'yyyy-MM-dd HH:mm:ss[.f]' with
+    trailing fractional zeros trimmed, so the strings hash-match."""
+    from v3_polars_spark.sql import asof_join_sql, dedup_last_sql, resample_sql
+
+    def _asof(dialect):
+        # engine-specific dialects: each engine gets the ONE-window
+        # LAST_VALUE ... IGNORE NULLS plan (same exchange count as
+        # ops.asof_join); the oracle compare proves the two spellings
+        # equal. The verbatim-portable two-window form is exercised by
+        # tests/test_sql_surface.py instead.
+        core = asof_join_sql(
+            left="clicks",
+            right="purch",
+            on="ts",
+            by=["user_id"],
+            values=["value"],
+            left_cols=["event_id"],
+            strategy="backward",
+            tiebreak=["p_event_id"],
+            dialect=dialect,
+        )
+        return f"""
+        WITH clicks AS (
+            SELECT user_id, ts, event_id FROM {{events}}
+            WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts, event_id AS p_event_id, value
+            FROM {{events}} WHERE event_type = 'purchase'
+        )
+        SELECT user_id, CAST(ts AS STRING) AS ts_str, event_id,
+               value AS last_purchase_value
+        FROM ({core}) __a
+    """
+
+    sql_asof = _asof("spark")
+    sql_asof_oracle = _asof("duckdb")
+    dedup_core = dedup_last_sql(
+        "{events}",
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        cols=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    sql_dedup_last = (
+        "SELECT user_id, CAST(ts AS STRING) AS ts_str, event_id, event_type,"
+        f" value FROM ({dedup_core}) __x"
+    )
+    resample_core = resample_sql(
+        "{events}",
+        "ts",
+        6,
+        {
+            "n_events": "COUNT(*)",
+            "max_value": "MAX(value)",
+            "first_event_id": "MIN(event_id)",
+        },
+    )
+    sql_resample = (
+        "SELECT CAST(bucket_ts AS STRING) AS bucket_str, n_events, max_value,"
+        f" first_event_id FROM ({resample_core}) __x"
+    )
+    return sql_asof, sql_asof_oracle, sql_dedup_last, sql_resample
+
+
+(
+    _SQL_ASOF,
+    _SQL_ASOF_ORACLE,
+    _SQL_DEDUP_LAST,
+    _SQL_RESAMPLE,
+) = _build_l1_sql_templates()
+
+
 def _sql_query(template: str):
     """Build a driver query that runs `template` through the SQL surface:
     register the (cached) testdata frames as views once per (session,
@@ -2617,6 +2697,21 @@ q_sql_pricing = _sql_query(_SQL_PRICING)
 q_sql_pricing.__doc__ = "TPC-H Q1-shape pricing summary via the SQL surface."
 q_sql_shipping = _sql_query(_SQL_SHIPPING)
 q_sql_shipping.__doc__ = "TPC-H Q3-shape top-revenue orders via the SQL surface."
+q_sql_asof = _sql_query(_SQL_ASOF)
+q_sql_asof.__doc__ = (
+    "J2 as-of join through the sql.asof_join_sql macro (union + one window"
+    " shuffle, group-fill form) — SQL surface for the L1 op."
+)
+q_sql_dedup_last = _sql_query(_SQL_DEDUP_LAST)
+q_sql_dedup_last.__doc__ = (
+    "A2 latest-per-key through the sql.dedup_last_sql macro — SQL surface"
+    " for the L1 op."
+)
+q_sql_resample = _sql_query(_SQL_RESAMPLE)
+q_sql_resample.__doc__ = (
+    "A3 tumbling 6h resample through the sql.resample_sql macro"
+    " (epoch-aligned portable bucket arithmetic) — SQL surface for the L1 op."
+)
 q_sql_region_volume = _sql_query(_SQL_REGION_VOLUME)
 q_sql_region_volume.__doc__ = (
     "TPC-H Q5-shape regional supplier volume (6-table join) via the SQL surface."
@@ -2774,6 +2869,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pricing": q_sql_pricing,
         "sql_shipping": q_sql_shipping,
         "sql_region_volume": q_sql_region_volume,
+        "sql_asof": q_sql_asof,
+        "sql_dedup_last": q_sql_dedup_last,
+        "sql_resample": q_sql_resample,
         "dp_unigram": dp_unigram,
         "stream_dedup": q_stream_dedup,
         "merge_upsert": q_merge_upsert,
@@ -5318,6 +5416,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_pricing": _SQL_PRICING.format(**_IDENT),
         "sql_shipping": _SQL_SHIPPING.format(**_IDENT),
         "sql_region_volume": _SQL_REGION_VOLUME.format(**_IDENT),
+        "sql_asof": _SQL_ASOF_ORACLE.format(**_IDENT),
+        "sql_dedup_last": _SQL_DEDUP_LAST.format(**_IDENT),
+        "sql_resample": _SQL_RESAMPLE.format(**_IDENT),
         "dp_outlier": """
             WITH stats AS (
                 SELECT lang, source,

@@ -491,6 +491,10 @@ def ann_recall_check(
     a = (
         approx.filter(F.col("rank") <= k)
         .select(query_id_col, id_col)
+        # multi-table LSH unions / rank ties can emit the same (query,
+        # vec) twice; a duplicate would fan out the left join below and
+        # inflate both the hit sum and the per-query denominator.
+        .dropDuplicates([query_id_col, id_col])
         .withColumn("__hit", F.lit(1))
     )
     e = exact.filter(F.col("rank") <= k).select(query_id_col, id_col)

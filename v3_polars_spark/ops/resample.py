@@ -89,13 +89,18 @@ def resample(
         else:
             step, off = _interval_micros(interval), 0
         if step is not None:
+            # Bucket type must match what the F.window path would emit so
+            # batch and streaming callers see one contract: F.window
+            # preserves TIMESTAMP_NTZ but coerces DATE/STRING inputs to
+            # TIMESTAMP — so cast back only for timestamp-family inputs.
             ts_type = dict(df.dtypes)[ts_col]
+            out_type = ts_type if ts_type.startswith("timestamp") else "timestamp"
             e = F.unix_micros(F.col(ts_col).cast("timestamp"))
             bucket = e - F.pmod(e - F.lit(off), F.lit(step))
             out = df.groupBy(bucket.alias("__b")).agg(*aggs)
             return out.withColumn(
                 bucket_alias,
-                F.timestamp_micros(F.col("__b")).cast(ts_type),
+                F.timestamp_micros(F.col("__b")).cast(out_type),
             ).drop("__b")
     if interval.endswith("weeks"):
         n = int(interval.split()[0])

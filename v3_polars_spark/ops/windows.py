@@ -112,11 +112,19 @@ def take_ordered(
     sf1 (1.5 M rows) ANY coalesce loses (0.10 s → 0.15-0.21 s, the merged
     tasks serialize the scan), while at sf0.1 (150 k rows) coalescing to
     ~3 tasks wins 0.085 s → 0.055 s. The hint rule reproduces both
-    choices automatically."""
+    choices automatically.
+
+    ``expected_rows`` must describe ``df`` ITSELF (post-filter), not an
+    unfiltered parent table — an overestimate merely keeps more tasks, but
+    a parent-table count on a highly selective filter would defeat the
+    coalesce. ``coalesce(n)`` is a no-op when ``n`` >= the current
+    partition count, so no partition-count probe is needed (the previous
+    ``df.rdd.getNumPartitions()`` probe forced a plan-to-RDD conversion on
+    every call — non-trivial on complex cached plans, and pre-AQE anyway).
+    """
     if expected_rows is not None:
         target = max(1, -(-int(expected_rows) // rows_per_task))
-        if target < df.rdd.getNumPartitions():
-            df = df.coalesce(target)
+        df = df.coalesce(target)
     return df.orderBy(*keys).limit(k)
 
 

@@ -162,6 +162,11 @@ def corpus_dedup_batch_fn(
 ):
     """The ``foreachBatch`` function :func:`streaming_corpus_dedup` runs —
     exposed so tests can wrap it with failure injection."""
+    if near_self and not near:
+        # the near_self arm lives inside the near pass (it feeds the
+        # shingle/bucket state write); silently ignoring it would hand a
+        # caller exact-only dedup when they asked for near self-dedup
+        raise ValueError("near_self=True requires near=True")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         docs_dir = _batch_dir(corpus_root, _DOCS, batch_id)
