@@ -2146,12 +2146,18 @@ def q_stream_ivf_assign(spark, sf):
     full centroid-build replay on the seed side + argmax-cosine
     assignment of the odd side — assignment is a pure per-vector
     function of (vector, centroids), so streamed ≡ batch row-for-row.
-    Crash/resume/replay behavior is pinned in tests/test_streaming.py."""
+    The drained index is then COMPACTED (compact_ivf_index: covers-
+    manifest atomic swap, per-list clustering) and the result served
+    from the compacted segment — so the oracle hash also re-proves
+    probe-identity across compaction every round. Crash/resume/replay
+    and files_before/after behavior is pinned in tests/test_streaming.py;
+    the N-trigger small-files curve is examples/ivf_compaction_files.py."""
     import atexit
     import shutil
     import tempfile
 
     from v3_polars_spark.streaming import (
+        compact_ivf_index,
         read_ivf_index,
         seed_ivf_index,
         streaming_ivf_assign,
@@ -2171,8 +2177,13 @@ def q_stream_ivf_assign(spark, sf):
         .filter(F.col("vec_id") % 2 == 1)
     )
     streaming_ivf_assign(stream, root, os.path.join(root, "ckpt"))
+    compact_ivf_index(spark, root)
     _, assigned = read_ivf_index(spark, root)
-    return assigned.filter(F.col("batch") >= 0).select("vec_id", "cluster_id")
+    # post-compaction the batch provenance coarsens to the generation id,
+    # so select the streamed side by key parity instead
+    return assigned.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "cluster_id"
+    )
 
 
 def q_stream_dedup(spark, sf):

@@ -1320,3 +1320,274 @@ def test_streaming_ivf_assign_resume_and_crash_windows(spark, tmp_path):
     )
     _, again = read_ivf_index(spark, root)
     assert again.count() == 40
+
+
+def _probe_rows(spark, root, queries):
+    from v3_polars_spark.datapipe.similarity import ivf_search
+    from v3_polars_spark.streaming import read_ivf_index
+
+    centroids, assigned = read_ivf_index(spark, root)
+    return sorted(
+        map(
+            tuple,
+            ivf_search(centroids, assigned, queries, k=5, n_probe=2)
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+
+
+def test_compact_ivf_index_probe_identical_and_resumable(spark, tmp_path):
+    """compact_ivf_index rewrites N per-trigger segments into one
+    right-sized segment: probe results identical pre/post, covered dirs
+    reclaimed, file count drops, and a RESUMED drain keeps appending
+    against the compacted root (generation ids never collide with the
+    checkpoint's trigger ids)."""
+    import glob as _glob
+
+    from v3_polars_spark.streaming import (
+        compact_ivf_index,
+        seed_ivf_index,
+        streaming_ivf_assign,
+    )
+    from v3_polars_spark.streaming.ann_stream import _ASSIGNED
+
+    seed = _ivf_vectors(spark, range(0, 24))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    groups = [range(24 + 8 * k, 32 + 8 * k) for k in range(5)]
+    _ivf_write_segs(spark, src, groups)
+    root, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    seed_ivf_index(seed, root, n_centroids=4, iters=1)
+    streaming_ivf_assign(_ivf_reader(spark, src), root, ckpt)
+
+    queries = _ivf_vectors(spark, range(200, 208)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = _probe_rows(spark, root, queries)
+    files_before = len(
+        _glob.glob(os.path.join(root, _ASSIGNED, "batch=*", "part-*"))
+    )
+
+    stats = compact_ivf_index(spark, root)
+    assert stats["compacted"] and stats["segments_before"] == 6
+    assert stats["files_after"] < files_before
+    # covered dirs reclaimed; only the compacted generation remains
+    remaining = sorted(
+        _glob.glob(os.path.join(root, _ASSIGNED, "batch=*"))
+    )
+    assert [os.path.basename(d) for d in remaining] == ["batch=-2"]
+    assert _probe_rows(spark, root, queries) == before
+
+    # resume the SAME checkpoint against the compacted root
+    _ivf_write_segs(spark, src, [range(64, 72)], start=5)
+    streaming_ivf_assign(_ivf_reader(spark, src), root, ckpt)
+    from v3_polars_spark.streaming import read_ivf_index
+
+    _, assigned = read_ivf_index(spark, root)
+    assert {r["vec_id"] for r in assigned.collect()} == set(range(72))
+
+    # second-generation compaction covers the first (-2) and the new
+    # trigger; ids chain without collision
+    stats2 = compact_ivf_index(spark, root)
+    assert stats2["compacted"] and stats2["generation"] == -3
+    _, assigned = read_ivf_index(spark, root)
+    assert assigned.count() == 72
+
+
+def test_compact_ivf_index_crash_windows(spark, tmp_path):
+    """Crash injection at both compaction commit points: (a) mid-write
+    tmp dir → invisible, swept by the next compaction; (b) after the
+    covers rename but before GC → sources invisible (no duplicate rows)
+    and reclaimed by the next compaction's retry path."""
+    import glob as _glob
+
+    from v3_polars_spark.streaming import (
+        compact_ivf_index,
+        seed_ivf_index,
+        streaming_ivf_assign,
+    )
+    from v3_polars_spark.streaming.ann_stream import _ASSIGNED
+    from v3_polars_spark.streaming.state_store import (
+        batch_dir,
+        commit_compacted,
+        data_dirs,
+    )
+
+    seed = _ivf_vectors(spark, range(0, 16))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _ivf_write_segs(spark, src, [range(16, 24), range(24, 32)])
+    root, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    seed_ivf_index(seed, root, n_centroids=4, iters=1)
+    streaming_ivf_assign(_ivf_reader(spark, src), root, ckpt)
+
+    # (a) dead mid-write attempt
+    final = batch_dir(root, _ASSIGNED, -2)
+    tmp = os.path.join(
+        os.path.dirname(final), ".tmp-" + os.path.basename(final) + "-dead"
+    )
+    _ivf_vectors(spark, range(900, 903)).write.parquet(tmp)
+    n_live = sum(
+        spark.read.parquet(d).count() for d in data_dirs(root, _ASSIGNED)
+    )
+    assert n_live == 32  # tmp invisible
+
+    # (b) committed covers manifest, GC never ran (simulated crash):
+    # replay exactly what compact_ivf_index's step-3 commit does
+    adirs = data_dirs(root, _ASSIGNED)
+    ids = [int(os.path.basename(d).split("=")[1]) for d in adirs]
+    df = spark.read.option(
+        "basePath", os.path.join(root, _ASSIGNED)
+    ).parquet(*adirs).drop("batch")
+    commit_compacted(df, final, ids)
+    # sources still on disk but EXCLUDED: no duplicates
+    assert sorted(data_dirs(root, _ASSIGNED)) == [final]
+    assert spark.read.parquet(final).count() == 32
+
+    # next compaction = retry path: sweeps tmp, GCs covered sources;
+    # single remaining segment → no further rewrite needed
+    stats = compact_ivf_index(spark, root)
+    assert stats["segments_before"] == 1 and not stats["compacted"]
+    assert _glob.glob(os.path.join(root, _ASSIGNED, ".tmp-*")) == []
+    assert sorted(
+        _glob.glob(os.path.join(root, _ASSIGNED, "batch=*"))
+    ) == [final]
+    assert spark.read.parquet(final).count() == 32
+
+
+def _drift_vectors(spark, ids, mode, dim=12):
+    """Deterministic embedding families for the drift scenario.
+
+    ``seed``: 4 tight clusters on axes e0..e3 (tiny tails on e4..e7 give
+    the seed-trained centroids their only mass in the drifted region —
+    the split mechanism below). ``drift``: 2 clusters on the MIDPOINTS of
+    dim pairs (e4,e5) / (e6,e7) — orthogonal to the seed clusters, so the
+    corpus mean moves and centroid_drift sees it (cosine ~0.04) — with
+    members alternately nudged toward either dim of their pair: the
+    seed-era quantizer assigns each half to a DIFFERENT inverted list
+    (whichever seed centroid carries the matching e4..e7 tail), so
+    n_probe=1 recall collapses to ~0.5 until the quantizer is retrained.
+    Member jitter sits on the NEUTRAL e9 so the two halves of a cluster
+    rank symmetrically in the exact top-k (the split actually costs
+    recall instead of one half dominating the truth). ``query``: exact
+    pair midpoints (unbiased between the halves), distinguished on e8."""
+    rows = []
+    for i in ids:
+        v = [0.0] * dim
+        if mode == "seed":
+            v[i % 4] = 1.0
+            v[4 + i % 4] = 0.05 * ((i // 4) % 3)
+        elif mode == "drift":
+            c = i % 2
+            p, q = 4 + 2 * c, 5 + 2 * c
+            v[p] = v[q] = 1.0
+            v[p if (i // 2) % 2 == 0 else q] += 0.25
+            v[9] = 0.02 * ((i // 4) % 3)
+        else:  # query
+            c = i % 2
+            p, q = 4 + 2 * c, 5 + 2 * c
+            v[p] = v[q] = 1.0
+            v[8] = 0.001 * (i % 7)
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_quantizer_drift_retrain_recall_recovers(spark, tmp_path):
+    """End-to-end quantizer refresh: drift detected by centroid_drift,
+    retrain_ivf_index re-assigns the old index's vectors under fresh
+    centroids, the serving pointer swaps atomically, the drain RESUMES
+    against the new root on the same checkpoint, and recall@10 (n_probe=1,
+    vs brute-force ground truth) recovers from ~0.5 to ~1."""
+    from v3_polars_spark.datapipe.similarity import (
+        ann_recall_check,
+        centroid_drift,
+        cosine_topk,
+        ivf_search,
+    )
+    from v3_polars_spark.streaming import (
+        current_ivf_root,
+        read_ivf_index,
+        retrain_ivf_index,
+        seed_ivf_index,
+        set_current_ivf_root,
+        streaming_ivf_assign,
+    )
+
+    base = str(tmp_path / "serving")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def recall(root, queries, corpus):
+        centroids, assigned = read_ivf_index(spark, root)
+        approx = ivf_search(centroids, assigned, queries, k=10, n_probe=1)
+        exact = cosine_topk(corpus, queries, k=10)
+        return ann_recall_check(approx, exact, k=10).collect()[0][
+            "mean_recall"
+        ]
+
+    # seed on the old distribution, serve root1
+    seed = _drift_vectors(spark, range(0, 40), "seed")
+    root1 = str(tmp_path / "idx1")
+    seed_ivf_index(seed, root1, n_centroids=4, iters=2)
+    set_current_ivf_root(base, root1)
+    assert current_ivf_root(base) == root1
+
+    # the corpus drifts: two streamed segments of midpoint clusters
+    drift_ids = list(range(100, 148))
+    half = len(drift_ids) // 2
+    for k, ids in enumerate([drift_ids[:half], drift_ids[half:]]):
+        d = f"{src}/seg{k}"
+        _drift_vectors(spark, ids, "drift").coalesce(1).write.parquet(d)
+    import glob as _glob
+    import time as _time
+
+    t0 = _time.time() - 3600
+    for k, f in enumerate(sorted(_glob.glob(src + "/seg*/*"))):
+        os.utime(f, (t0 + k, t0 + k))
+    streaming_ivf_assign(_ivf_reader(spark, src), current_ivf_root(base), ckpt)
+
+    # 1. drift detection: seed segment vs streamed batches point apart
+    _, assigned = read_ivf_index(spark, current_ivf_root(base))
+    labeled = assigned.select(
+        F.when(F.col("batch") < 0, "seed").otherwise("stream").alias("era"),
+        F.col("__v").alias("embedding"),
+    )
+    drift_cos = centroid_drift(labeled, "era").collect()[0]["cosine"]
+    assert drift_cos < 0.9, drift_cos
+
+    # 2. recall degraded on the drifted queries (their clusters straddle
+    # two seed-era lists; n_probe=1 finds only one side)
+    dq = _drift_vectors(spark, range(200, 216), "query").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus1 = _drift_vectors(spark, range(0, 40), "seed").union(
+        _drift_vectors(spark, drift_ids, "drift")
+    )
+    recall_before = recall(current_ivf_root(base), dq, corpus1)
+    assert recall_before < 0.7, recall_before
+
+    # 3. retrain into a fresh root (old root stays servable), atomic swap
+    root2 = str(tmp_path / "idx2")
+    retrain_ivf_index(spark, current_ivf_root(base), root2, n_centroids=6, iters=2)
+    set_current_ivf_root(base, root2)
+    assert current_ivf_root(base) == root2
+
+    # 4. the SAME checkpoint resumes against the new root: old segments
+    # were carried over by the re-assignment, only NEW data drains
+    extra_ids = list(range(148, 156))
+    d = f"{src}/seg2"
+    _drift_vectors(spark, extra_ids, "drift").coalesce(1).write.parquet(d)
+    for k, f in enumerate(sorted(_glob.glob(d + "/*"))):
+        os.utime(f, (t0 + 100 + k, t0 + 100 + k))
+    streaming_ivf_assign(_ivf_reader(spark, src), current_ivf_root(base), ckpt)
+    _, assigned2 = read_ivf_index(spark, root2)
+    assert {r["vec_id"] for r in assigned2.collect()} == (
+        set(range(0, 40)) | set(drift_ids) | set(extra_ids)
+    )
+
+    # 5. recall recovered above the 0.95 SLO
+    corpus2 = corpus1.union(_drift_vectors(spark, extra_ids, "drift"))
+    recall_after = recall(root2, dq, corpus2)
+    assert recall_after >= 0.95, (recall_before, recall_after)

@@ -12,8 +12,12 @@ from .quality_stream import (
     streaming_kll_state,
 )
 from .ann_stream import (
+    compact_ivf_index,
+    current_ivf_root,
     read_ivf_index,
+    retrain_ivf_index,
     seed_ivf_index,
+    set_current_ivf_root,
     streaming_ivf_assign,
 )
 from .dedup_stream import (
@@ -36,6 +40,10 @@ __all__ = [
     "streaming_ivf_assign",
     "seed_ivf_index",
     "read_ivf_index",
+    "compact_ivf_index",
+    "retrain_ivf_index",
+    "set_current_ivf_root",
+    "current_ivf_root",
     "run_available_now",
     "stream_dedup_exact",
     "stream_table",

@@ -41,7 +41,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..datapipe.similarity import ivf_assign, ivf_build
-from .state_store import batch_dir, commit_write, data_dirs, tmp_glob
+from .state_store import (
+    batch_dir,
+    batch_id_of,
+    commit_compacted,
+    commit_write,
+    data_dirs,
+    gc_covered,
+    tmp_glob,
+)
 
 _CENTROIDS = "centroids"
 _ASSIGNED = "assigned"
@@ -85,6 +93,155 @@ def read_ivf_index(spark, index_root: str) -> tuple[DataFrame, DataFrame]:
         "basePath", os.path.join(index_root, _ASSIGNED)
     ).parquet(*adirs)
     return centroids, assigned
+
+
+_CURRENT = "CURRENT"
+
+
+def set_current_ivf_root(base: str, root: str) -> None:
+    """Atomically repoint the serving index under ``base`` to ``root``
+    (one ``os.replace`` of the CURRENT pointer file — readers see the old
+    or the new root, never a torn path). The root-swap half of
+    :func:`retrain_ivf_index`."""
+    import uuid as _uuid
+
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, f".tmp-{_CURRENT}-{_uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(root)
+    os.replace(tmp, os.path.join(base, _CURRENT))
+
+
+def current_ivf_root(base: str) -> str:
+    """The serving index root under ``base`` (see
+    :func:`set_current_ivf_root`)."""
+    with open(os.path.join(base, _CURRENT)) as f:
+        return f.read().strip()
+
+
+def retrain_ivf_index(
+    spark,
+    old_root: str,
+    new_root: str,
+    n_centroids: int = 16,
+    iters: int = 1,
+) -> None:
+    """Quantizer refresh: retrain the coarse quantizer on EVERYTHING the
+    old index holds and rebuild into ``new_root`` — the recovery path
+    when drift monitoring (``datapipe.similarity.centroid_drift`` between
+    the seed segment and recent streamed batches) says the fixed seed
+    quantizer has gone stale and recall is degrading (FAISS's
+    retrain-and-readd, expressed as one Spark pass).
+
+    ``seed_ivf_index`` over the old index's vector union IS the batch
+    re-assignment: every previously-indexed vector lands in the new
+    root's seed segment under the fresh centroids. The old root stays
+    untouched and servable throughout; the caller flips the serving
+    pointer with :func:`set_current_ivf_root` (atomic) when the rebuild
+    is committed, then resumes the drain against the new root — the SAME
+    checkpoint is correct, because every batch the old checkpoint marks
+    processed was carried into the new root by the re-assignment.
+    Recall recovery is pinned end-to-end (drift → retrain → swap →
+    resumed drain → recall@10 back above the SLO) in
+    tests/test_streaming.py and examples/ivf_retrain_recall.py."""
+    _, assigned = read_ivf_index(spark, old_root)
+    id_col = assigned.columns[0]
+    corpus = assigned.select(
+        F.col(id_col), F.col("__v").alias("embedding")
+    )
+    seed_ivf_index(
+        corpus, new_root, n_centroids=n_centroids, iters=iters, id_col=id_col
+    )
+
+
+def compact_ivf_index(
+    spark,
+    index_root: str,
+    target_rows_per_file: int = 2_000_000,
+    id_col: str = "vec_id",
+) -> dict:
+    """Rewrite the accumulated per-trigger inverted-list segments into
+    right-sized files — the small-files killer for a long-lived streaming
+    index (thousands of triggers = thousands of tiny parquet segments;
+    the batch side's ``tables.compact_segments`` problem, solved with the
+    same atomic-swap discipline the segment writes already use, reference
+    segment-file model: /root/reference/v3/helpers/data_update.py:29-59).
+
+    Protocol (safe against a concurrent drain AND concurrent probes):
+
+    1. snapshot the committed segment list (a drain committing new
+       triggers after the snapshot is untouched — new dirs are never in
+       the covers list);
+    2. write every snapshot row, clustered contiguously by inverted list
+       (``repartitionByRange(cluster_id, id)``), into ONE new segment
+       ``batch=<g>`` where g is the next id below the seed's -1 — the
+       generation counter can never collide with the checkpoint's
+       non-negative trigger ids;
+    3. commit with a covers manifest (:func:`state_store
+       .commit_compacted`): the single rename atomically publishes the
+       compacted segment and retires its sources from every listing —
+       no reader ever sees a row twice or not at all;
+    4. reclaim the retired dirs (:func:`state_store.gc_covered` — pure
+       GC; a crash before it leaves only invisible garbage the next
+       compaction sweeps).
+
+    Probe results are identical pre/post (assignment rows are merely
+    re-filed); the ``batch`` provenance column coarsens to the
+    generation id. Run ONE compactor at a time (trivially true from a
+    maintenance job); the drain itself is not paused.
+    """
+    # retry path: reclaim anything a crashed earlier compaction left
+    gc_covered(index_root, _ASSIGNED)
+    for leftover in glob.glob(os.path.join(index_root, _ASSIGNED, ".tmp-*")):
+        shutil.rmtree(leftover, ignore_errors=True)
+
+    adirs = data_dirs(index_root, _ASSIGNED)
+    files_before = sum(
+        len(glob.glob(os.path.join(d, "part-*"))) for d in adirs
+    )
+    if len(adirs) <= 1:
+        return {
+            "compacted": False,
+            "segments_before": len(adirs),
+            "segments_after": len(adirs),
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    ids = [batch_id_of(d) for d in adirs]
+    gen = min(-1, *ids) - 1
+    df = spark.read.option(
+        "basePath", os.path.join(index_root, _ASSIGNED)
+    ).parquet(*adirs)
+    n = df.count()
+    # Right-sized, not MINIMAL: probe-side parallelism comes from the file
+    # count (the candidate re-rank join inherits the scan's partitioning,
+    # and a sub-128MB parquet file is one task). Collapsing a small index
+    # to 1-2 files measured a 9x probe-wall REGRESSION at sf1 (5.3 s with
+    # 41 segment files -> 46 s with 2 compacted files, 2 re-rank tasks),
+    # so the floor keeps ~25k-row files up to the cluster's parallelism;
+    # at real index sizes rows/target dominates and the floor is inert.
+    floor = min(
+        spark.sparkContext.defaultParallelism, max(1, -(-n // 25_000))
+    )
+    n_files = max(-(-n // int(target_rows_per_file)), floor)
+    out = df.drop("batch").repartitionByRange(
+        n_files, F.col("cluster_id"), F.col(id_col)
+    )
+    commit_compacted(out, batch_dir(index_root, _ASSIGNED, gen), ids)
+    gc_covered(index_root, _ASSIGNED)
+    files_after = sum(
+        len(glob.glob(os.path.join(d, "part-*")))
+        for d in data_dirs(index_root, _ASSIGNED)
+    )
+    return {
+        "compacted": True,
+        "segments_before": len(adirs),
+        "segments_after": 1,
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": n,
+        "generation": gen,
+    }
 
 
 def ivf_assign_batch_fn(

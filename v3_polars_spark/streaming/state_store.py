@@ -13,10 +13,14 @@ existence check makes each batch idempotent.
 from __future__ import annotations
 
 import glob
+import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+
+_COVERS = "_covers.json"
 
 
 def batch_dir(root: str, kind: str, batch_id: int) -> str:
@@ -45,14 +49,84 @@ def commit_write(df: DataFrame, final_dir: str) -> None:
     os.rename(tmp, final_dir)
 
 
+def batch_id_of(d: str) -> int:
+    return int(os.path.basename(d).split("=", 1)[1])
+
+
+def covers_of(d: str) -> list[int]:
+    """Batch ids a compacted segment dir supersedes (empty for normal
+    per-trigger segments). The covers manifest travels INSIDE the dir, so
+    the commit rename atomically both publishes the compacted data and
+    retires its sources from every subsequent listing."""
+    p = os.path.join(d, _COVERS)
+    if not os.path.isfile(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def commit_compacted(df: DataFrame, final_dir: str, covered: list[int]) -> None:
+    """:func:`commit_write` plus a covers manifest: one rename publishes
+    the compacted segment AND excludes the ``covered`` batch ids from
+    :func:`data_dirs` — there is no window where a reader sees the data
+    twice or not at all. The covered dirs become dead weight to be
+    reclaimed by :func:`gc_covered`; a crash before that GC only leaves
+    invisible garbage. The underscore filename keeps Spark's parquet
+    reader from treating the manifest as data."""
+    parent, base = os.path.split(final_dir)
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{base}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _COVERS), "w") as f:
+        json.dump(sorted(int(i) for i in covered), f)
+    os.rename(tmp, final_dir)
+
+
+def gc_covered(root: str, kind: str) -> int:
+    """Delete covered (superseded) dirs still on disk; returns the count
+    removed. Deletion is bottom-up: a covered dir that is itself a
+    compacted segment has its own sources deleted FIRST, then itself —
+    so a crash at any point leaves every surviving source still covered
+    by a surviving manifest (deleting the manifest-bearing dir first
+    would resurrect its sources). Idempotent; safe to call at the start
+    of every compaction as the retry path."""
+    alldirs = {
+        batch_id_of(d): d
+        for d in glob.glob(os.path.join(root, kind, "batch=*"))
+    }
+    covered: set[int] = set()
+    for d in alldirs.values():
+        covered.update(covers_of(d))
+
+    def _rm(bid: int) -> int:
+        d = alldirs.get(bid)
+        if d is None or not os.path.isdir(d):
+            return 0
+        n = 0
+        for sub in covers_of(d):
+            n += _rm(sub)
+        shutil.rmtree(d)
+        return n + 1
+
+    return sum(_rm(bid) for bid in sorted(covered))
+
+
 def data_dirs(root: str, kind: str) -> list[str]:
     """Committed batch dirs of one kind that contain data files (an
     empty batch commits a dir with only _SUCCESS — zero rows, skipped so
-    multi-dir reads always have schema-bearing files)."""
+    multi-dir reads always have schema-bearing files). Dirs superseded by
+    a compacted segment's covers manifest are excluded — compaction's
+    commit rename flips them invisible atomically even before
+    :func:`gc_covered` reclaims the disk."""
+    dirs = sorted(glob.glob(os.path.join(root, kind, "batch=*")))
+    covered: set[int] = set()
+    for d in dirs:
+        covered.update(covers_of(d))
     return [
         d
-        for d in sorted(glob.glob(os.path.join(root, kind, "batch=*")))
-        if glob.glob(os.path.join(d, "part-*"))
+        for d in dirs
+        if batch_id_of(d) not in covered
+        and glob.glob(os.path.join(d, "part-*"))
     ]
 
 
