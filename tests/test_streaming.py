@@ -402,7 +402,9 @@ def test_streaming_snapshot_upsert_matches_batch(spark, tmp_path):
         stream, snap, str(tmp_path / "ckpt"), keys=["k"], order=["seq"]
     )
 
-    got = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    from v3_polars_spark.streaming import read_snapshot
+
+    got = sorted(map(tuple, read_snapshot(spark, snap).collect()))
     want = sorted(
         map(tuple, dedup_last(spark.read.parquet(src), keys=["k"], order=["seq"]).collect())
     )
@@ -434,7 +436,9 @@ def test_streaming_snapshot_upsert_resumes_from_checkpoint(spark, tmp_path):
         [(1, 1, "a1"), (2, 1, "b1")], ["k", "seq", "payload"]
     ).coalesce(1).write.mode("append").parquet(src)
     drain()
-    assert {r.k: r.payload for r in spark.read.parquet(snap).collect()} == {
+    from v3_polars_spark.streaming import read_snapshot
+
+    assert {r.k: r.payload for r in read_snapshot(spark, snap).collect()} == {
         1: "a1", 2: "b1"
     }
 
@@ -442,7 +446,7 @@ def test_streaming_snapshot_upsert_resumes_from_checkpoint(spark, tmp_path):
         [(1, 2, "a2"), (3, 1, "c1")], ["k", "seq", "payload"]
     ).coalesce(1).write.mode("append").parquet(src)
     drain()
-    got = {r.k: r.payload for r in spark.read.parquet(snap).collect()}
+    got = {r.k: r.payload for r in read_snapshot(spark, snap).collect()}
     want = {
         r.k: r.payload
         for r in dedup_last(

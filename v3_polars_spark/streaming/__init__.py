@@ -26,7 +26,7 @@ from .dedup_stream import (
     streaming_corpus_dedup,
 )
 from .stateful import streaming_liquidity_deltas
-from .upsert_stream import streaming_snapshot_upsert
+from .upsert_stream import read_snapshot, streaming_snapshot_upsert
 
 __all__ = [
     "read_kll_quantiles",
@@ -34,6 +34,7 @@ __all__ = [
     "read_bin_counts",
     "streaming_bin_counts",
     "streaming_snapshot_upsert",
+    "read_snapshot",
     "streaming_corpus_dedup",
     "seed_corpus",
     "read_corpus",

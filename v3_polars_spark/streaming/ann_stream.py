@@ -216,12 +216,15 @@ def compact_ivf_index(
     # Right-sized, not MINIMAL: probe-side parallelism comes from the file
     # count (the candidate re-rank join inherits the scan's partitioning,
     # and a sub-128MB parquet file is one task). Collapsing a small index
-    # to 1-2 files measured a 9x probe-wall REGRESSION at sf1 (5.3 s with
-    # 41 segment files -> 46 s with 2 compacted files, 2 re-rank tasks),
-    # so the floor keeps ~25k-row files up to the cluster's parallelism;
-    # at real index sizes rows/target dominates and the floor is inert.
+    # below the cluster's parallelism measured probe-wall REGRESSIONS at
+    # sf1 (5.3 s with 41 segment files -> 46 s at 2 files -> 9.7 s at 9),
+    # so the floor keeps one file per core while the index is small —
+    # compaction's enemy is thousands of per-trigger files, not a few
+    # dozen core-aligned ones. At real index sizes rows/target dominates
+    # and the floor is inert. Tiny indexes (< ~4k rows/core) still shrink
+    # below core count: scheduling beats scan width there.
     floor = min(
-        spark.sparkContext.defaultParallelism, max(1, -(-n // 25_000))
+        spark.sparkContext.defaultParallelism, max(1, -(-n // 4_000))
     )
     n_files = max(-(-n // int(target_rows_per_file)), floor)
     out = df.drop("batch").repartitionByRange(
