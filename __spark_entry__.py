@@ -2195,7 +2195,9 @@ def q_stream_ivf_assign(spark, sf):
         .filter(F.col("vec_id") % 2 == 1)
     )
     streaming_ivf_assign(stream, root, os.path.join(root, "ckpt"))
-    compact_ivf_index(spark, root)
+    # the drain is quiesced (AvailableNow terminated + acknowledged), so
+    # the newest-trigger replay hazard is gone and everything compacts
+    compact_ivf_index(spark, root, exclude_newest=False)
     _, assigned = read_ivf_index(spark, root)
     # post-compaction the batch provenance coarsens to the generation id,
     # so select the streamed side by key parity instead

@@ -1,6 +1,8 @@
 """Randomized crash/replay fuzzing for the four stateful streaming
 operators (corpus dedup, within-batch near self-dedup, IVF index
-maintenance + compaction, snapshot upsert).
+maintenance + compaction, snapshot upsert), with state compactions
+(IVF inverted lists AND corpus dedup state) interleaved mid-drain and
+crash-injected at their own commit points.
 
 The hand-written crash tests in test_streaming.py pin one scenario per
 known window; this fuzzer drives the SAME ``foreachBatch`` functions the
@@ -133,7 +135,24 @@ def _run_dedup_schedule(spark, root, batches_rows, rng, inject, near_self):
         for rows in batches_rows
     ]
     if inject:
-        _drive(fn, batches, rng, ds, ("_commit_write",))
+        for bid, df in enumerate(batches):
+            _drive(
+                fn, [df], random.Random(rng.random()), ds,
+                ("_commit_write",), start_id=bid,
+            )
+            if rng.random() < 0.3:
+                # interleave a (possibly crashing) state compaction
+                mode = rng.choice(_CRASH_MODES)
+                real = ds.commit_compacted
+                wrapper = _CrashingCommit(real, 1, mode)
+                ds.commit_compacted = wrapper
+                try:
+                    ds.compact_corpus_state(spark, root)
+                except InjectedCrash:
+                    pass
+                finally:
+                    ds.commit_compacted = real
+                ds.compact_corpus_state(spark, root)  # retry path
     else:
         for bid, df in enumerate(batches):
             fn(df, bid)

@@ -1374,13 +1374,17 @@ def test_compact_ivf_index_probe_identical_and_resumable(spark, tmp_path):
     )
 
     stats = compact_ivf_index(spark, root)
-    assert stats["compacted"] and stats["segments_before"] == 6
+    # the newest trigger (batch=4) is excluded by default — it is the one
+    # batch a restart could replay, and replaying into a reclaimed dir
+    # would duplicate its vectors
+    assert stats["compacted"] and stats["segments_before"] == 5
     assert stats["files_after"] < files_before
-    # covered dirs reclaimed; only the compacted generation remains
     remaining = sorted(
         _glob.glob(os.path.join(root, _ASSIGNED, "batch=*"))
     )
-    assert [os.path.basename(d) for d in remaining] == ["batch=-2"]
+    assert [os.path.basename(d) for d in remaining] == [
+        "batch=-2", "batch=4"
+    ]
     assert _probe_rows(spark, root, queries) == before
 
     # resume the SAME checkpoint against the compacted root
@@ -1391,10 +1395,13 @@ def test_compact_ivf_index_probe_identical_and_resumable(spark, tmp_path):
     _, assigned = read_ivf_index(spark, root)
     assert {r["vec_id"] for r in assigned.collect()} == set(range(72))
 
-    # second-generation compaction covers the first (-2) and the new
-    # trigger; ids chain without collision
-    stats2 = compact_ivf_index(spark, root)
+    # second-generation compaction covers the first (-2), the previously
+    # excluded trigger, and the new one (drain is quiesced, so the caller
+    # may opt out of the newest-trigger exclusion); ids chain without
+    # collision
+    stats2 = compact_ivf_index(spark, root, exclude_newest=False)
     assert stats2["compacted"] and stats2["generation"] == -3
+    assert stats2["segments_after"] == 1
     _, assigned = read_ivf_index(spark, root)
     assert assigned.count() == 72
 
@@ -1595,3 +1602,64 @@ def test_ivf_quantizer_drift_retrain_recall_recovers(spark, tmp_path):
     corpus2 = corpus1.union(_drift_vectors(spark, extra_ids, "drift"))
     recall_after = recall(root2, dq, corpus2)
     assert recall_after >= 0.95, (recall_before, recall_after)
+
+
+def test_compact_corpus_state_probe_identical_and_resumable(spark, tmp_path):
+    """compact_corpus_state rewrites every state kind's per-trigger dirs:
+    read_corpus identical, the NEXT batch dedups identically to an
+    uncompacted twin (the state probes see the same fingerprints/buckets/
+    shingle sets), the newest trigger's dirs stay out by default, and a
+    resumed drain keeps appending."""
+    import glob as _glob
+
+    from v3_polars_spark.streaming import (
+        compact_corpus_state,
+        read_corpus,
+        streaming_corpus_dedup,
+    )
+    from v3_polars_spark.streaming.dedup_stream import _DOCS, _FP
+
+    def docs_ids(root):
+        return sorted(r["doc_id"] for r in read_corpus(spark, root).collect())
+
+    roots, ckpts, srcs = {}, {}, {}
+    for tag in ("c", "x"):  # c = compacted mid-way, x = untouched twin
+        srcs[tag] = str(tmp_path / f"src{tag}")
+        os.makedirs(srcs[tag])
+        _cd_write_segs(spark, srcs[tag], _CD_SEGS[:3])
+        roots[tag] = str(tmp_path / f"corpus{tag}")
+        ckpts[tag] = str(tmp_path / f"ckpt{tag}")
+        streaming_corpus_dedup(_cd_reader(spark, srcs[tag]), roots[tag], ckpts[tag])
+
+    before = docs_ids(roots["c"])
+    assert before == docs_ids(roots["x"])
+    files_before = len(
+        _glob.glob(os.path.join(roots["c"], _FP, "batch=*", "part-*"))
+    )
+    stats = compact_corpus_state(spark, roots["c"])
+    # newest trigger (batch=2) excluded: only batches 0,1 compact
+    assert stats[_FP]["dirs_before"] == 2
+    assert docs_ids(roots["c"]) == before
+    remaining_fp = sorted(
+        os.path.basename(d)
+        for d in _glob.glob(os.path.join(roots["c"], _FP, "batch=*"))
+    )
+    assert remaining_fp == ["batch=-2", "batch=2"]
+
+    # the NEXT segment (with cross-batch exact + near dups) must dedup
+    # identically against compacted vs untouched state — and resume from
+    # the same checkpoint
+    for tag in ("c", "x"):
+        _cd_write_segs(spark, srcs[tag], [_CD_SEGS[3]], start=3)
+        streaming_corpus_dedup(_cd_reader(spark, srcs[tag]), roots[tag], ckpts[tag])
+    assert docs_ids(roots["c"]) == docs_ids(roots["x"])
+    assert set(docs_ids(roots["c"])) == _CD_SURVIVORS
+
+    # a quiesced-drain compaction may take everything; state shrinks
+    stats2 = compact_corpus_state(spark, roots["c"], exclude_newest=False)
+    assert docs_ids(roots["c"]) == docs_ids(roots["x"])
+    files_after = len(
+        _glob.glob(os.path.join(roots["c"], _FP, "batch=*", "part-*"))
+    )
+    assert files_after <= files_before
+    assert stats2[_DOCS]["files_after"] <= stats2[_DOCS]["files_before"]

@@ -21,6 +21,7 @@ from .ann_stream import (
     streaming_ivf_assign,
 )
 from .dedup_stream import (
+    compact_corpus_state,
     read_corpus,
     seed_corpus,
     streaming_corpus_dedup,
@@ -36,6 +37,7 @@ __all__ = [
     "streaming_snapshot_upsert",
     "read_snapshot",
     "streaming_corpus_dedup",
+    "compact_corpus_state",
     "seed_corpus",
     "read_corpus",
     "streaming_ivf_assign",

@@ -159,6 +159,7 @@ def compact_ivf_index(
     index_root: str,
     target_rows_per_file: int = 2_000_000,
     id_col: str = "vec_id",
+    exclude_newest: bool = True,
 ) -> dict:
     """Rewrite the accumulated per-trigger inverted-list segments into
     right-sized files — the small-files killer for a long-lived streaming
@@ -199,6 +200,19 @@ def compact_ivf_index(
     files_before = sum(
         len(glob.glob(os.path.join(d, "part-*"))) for d in adirs
     )
+    # By default NEVER compact the newest trigger segment: it is the one
+    # batch the checkpoint may not have acknowledged yet. If its dir were
+    # covered and reclaimed, a restart would replay that batch, find no
+    # commit marker, and re-commit its assignments — duplicating every
+    # vector the compacted segment already holds. Excluding max(trigger
+    # id) keeps the exactly-once marker intact for the only at-risk
+    # batch; it joins the next compaction once a newer trigger supersedes
+    # it. ``exclude_newest=False`` is for callers that KNOW the drain is
+    # quiesced (AvailableNow terminated and acknowledged).
+    trig_ids = [batch_id_of(d) for d in adirs if batch_id_of(d) >= 0]
+    if exclude_newest and trig_ids:
+        newest = max(trig_ids)
+        adirs = [d for d in adirs if batch_id_of(d) != newest]
     if len(adirs) <= 1:
         return {
             "compacted": False,
@@ -232,14 +246,14 @@ def compact_ivf_index(
     )
     commit_compacted(out, batch_dir(index_root, _ASSIGNED, gen), ids)
     gc_covered(index_root, _ASSIGNED)
+    after_dirs = data_dirs(index_root, _ASSIGNED)
     files_after = sum(
-        len(glob.glob(os.path.join(d, "part-*")))
-        for d in data_dirs(index_root, _ASSIGNED)
+        len(glob.glob(os.path.join(d, "part-*"))) for d in after_dirs
     )
     return {
         "compacted": True,
         "segments_before": len(adirs),
-        "segments_after": 1,
+        "segments_after": len(after_dirs),
         "files_before": files_before,
         "files_after": files_after,
         "rows": n,

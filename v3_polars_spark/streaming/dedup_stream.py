@@ -69,8 +69,11 @@ from ..datapipe.dedup import (
 )
 from .state_store import (
     batch_dir,
+    batch_id_of,
+    commit_compacted,
     commit_write,
     data_dirs,
+    gc_covered,
     read_state,
     tmp_glob,
 )
@@ -116,6 +119,89 @@ def read_corpus(spark, corpus_root: str) -> DataFrame:
         raise FileNotFoundError(f"no committed corpus batches under {corpus_root}")
     base = os.path.join(corpus_root, _DOCS)
     return spark.read.option("basePath", base).parquet(*dirs)
+
+
+def compact_corpus_state(
+    spark,
+    corpus_root: str,
+    target_rows_per_file: int = 4_000_000,
+    exclude_newest: bool = True,
+) -> dict:
+    """Rewrite each state kind's accumulated per-trigger dirs (docs,
+    fingerprints, buckets, shingle sets) into right-sized segments — the
+    corpus twin of ``ann_stream.compact_ivf_index``, on the same covers-
+    manifest protocol: after thousands of triggers, EVERY batch probes a
+    state union of thousands of tiny parquet files, so the per-trigger
+    cost silently grows with trigger count (file listing + footer reads),
+    not batch size. Compaction restores O(state bytes) reads.
+
+    Same safety rules as the IVF compactor: the newest trigger's dirs are
+    excluded by default (its docs dir is the exactly-once commit marker —
+    a restart replaying an unacknowledged batch must find it; for the
+    corpus the replay would actually converge anyway, because a replayed
+    batch deduplicates against state that already contains it and commits
+    empty survivors, but keeping the marker avoids even that re-run), and
+    a crash anywhere leaves either invisible tmp garbage or covered dirs
+    the next compaction's retry path reclaims. Run one compactor at a
+    time; the drain itself is not paused. Returns per-kind (dirs_before,
+    files_before, files_after)."""
+    import glob as _glob
+
+    docs_ids = {batch_id_of(d) for d in data_dirs(corpus_root, _DOCS)}
+    trig = [i for i in docs_ids if i >= 0]
+    skip = {max(trig)} if (exclude_newest and trig) else set()
+    out: dict = {}
+    for kind in (_DOCS, _FP, _BUCKETS, _SHSETS):
+        gc_covered(corpus_root, kind)
+        for leftover in _glob.glob(os.path.join(corpus_root, kind, ".tmp-*")):
+            shutil.rmtree(leftover, ignore_errors=True)
+        dirs = [
+            d
+            for d in data_dirs(corpus_root, kind)
+            if batch_id_of(d) not in skip
+        ]
+        files_before = sum(
+            len(_glob.glob(os.path.join(d, "part-*"))) for d in dirs
+        )
+        if len(dirs) <= 1:
+            out[kind] = {
+                "dirs_before": len(dirs),
+                "files_before": files_before,
+                "files_after": files_before,
+            }
+            continue
+        ids = [batch_id_of(d) for d in dirs]
+        gen = min(-1, *ids) - 1
+        if kind == _DOCS:
+            # docs are read with the batch provenance partition column —
+            # strip it before re-filing (provenance coarsens to the
+            # generation id, as in the IVF compactor)
+            df = spark.read.option(
+                "basePath", os.path.join(corpus_root, _DOCS)
+            ).parquet(*dirs).drop("batch")
+        else:
+            df = spark.read.parquet(*dirs)
+        n = df.count()
+        floor = min(
+            spark.sparkContext.defaultParallelism, max(1, -(-n // 50_000))
+        )
+        n_files = max(-(-n // int(target_rows_per_file)), floor)
+        commit_compacted(
+            df.repartition(n_files),
+            batch_dir(corpus_root, kind, gen),
+            ids,
+        )
+        gc_covered(corpus_root, kind)
+        files_after = sum(
+            len(_glob.glob(os.path.join(d, "part-*")))
+            for d in data_dirs(corpus_root, kind)
+        )
+        out[kind] = {
+            "dirs_before": len(dirs),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+    return out
 
 
 def seed_corpus(
