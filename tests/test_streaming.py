@@ -1663,3 +1663,49 @@ def test_compact_corpus_state_probe_identical_and_resumable(spark, tmp_path):
     )
     assert files_after <= files_before
     assert stats2[_DOCS]["files_after"] <= stats2[_DOCS]["files_before"]
+
+
+def test_compact_corpus_state_skips_uncommitted_orphan_state(spark, tmp_path):
+    """A crashed attempt can leave fp/bucket/shset dirs for a batch whose
+    DOCS dir (the commit point) never landed. The replay removes and
+    recomputes them — so compaction must never absorb such an orphan:
+    baking its fingerprints into the compacted state would permanently
+    drop future copies of docs that were never actually kept."""
+    from v3_polars_spark.streaming import (
+        compact_corpus_state,
+        read_corpus,
+        streaming_corpus_dedup,
+    )
+    from v3_polars_spark.streaming.dedup_stream import (
+        _FP,
+        _batch_dir,
+        _commit_write,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _cd_write_segs(spark, src, _CD_SEGS[:3])
+    root, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+
+    # forge the crash: batch 3's fp state committed, docs never landed —
+    # its fingerprint is doc 9's text, which SHOULD survive batch 3
+    orphan = spark.createDataFrame([("deadbeef" * 4,)], "fp string")
+    _commit_write(orphan, _batch_dir(root, _FP, 3))
+
+    stats = compact_corpus_state(spark, root, exclude_newest=False)
+    # the orphan was not a compaction source and still sits where the
+    # replay's cleanup expects it
+    assert os.path.isdir(_batch_dir(root, _FP, 3))
+    fp_dirs = sorted(
+        os.path.basename(d)
+        for d in __import__("glob").glob(os.path.join(root, _FP, "batch=*"))
+    )
+    assert fp_dirs == ["batch=-2", "batch=3"]
+    # the drain replays batch 3 from scratch (cleanup path) and the
+    # corpus converges to the full survivor set
+    _cd_write_segs(spark, src, [_CD_SEGS[3]], start=3)
+    streaming_corpus_dedup(_cd_reader(spark, src), root, ckpt)
+    assert {
+        r["doc_id"] for r in read_corpus(spark, root).collect()
+    } == _CD_SURVIVORS

@@ -147,7 +147,19 @@ def compact_corpus_state(
     files_before, files_after)."""
     import glob as _glob
 
-    docs_ids = {batch_id_of(d) for d in data_dirs(corpus_root, _DOCS)}
+    # committed = the docs dir EXISTS (docs rename is the batch commit
+    # point; an empty dir is still the marker). A crashed attempt can
+    # leave state dirs (fp/buckets/shsets) for a batch whose docs never
+    # committed — the replay removes and recomputes them, so compacting
+    # such an orphan would bake phantom fingerprints into the compacted
+    # state permanently (future docs silently dropped against a survivor
+    # that was never kept). Sources are therefore restricted to ids with
+    # a docs marker, plus prior compacted generations (id < -1, which by
+    # construction hold only previously-committed data).
+    docs_ids = {
+        batch_id_of(d)
+        for d in _glob.glob(os.path.join(corpus_root, _DOCS, "batch=*"))
+    }
     trig = [i for i in docs_ids if i >= 0]
     skip = {max(trig)} if (exclude_newest and trig) else set()
     out: dict = {}
@@ -159,6 +171,7 @@ def compact_corpus_state(
             d
             for d in data_dirs(corpus_root, kind)
             if batch_id_of(d) not in skip
+            and (batch_id_of(d) < -1 or batch_id_of(d) in docs_ids)
         ]
         files_before = sum(
             len(_glob.glob(os.path.join(d, "part-*"))) for d in dirs
