@@ -1334,6 +1334,55 @@ def dp_vocab(spark, sf):
     return vocabulary(d, min_count=5).select("term", "count", "n_docs")
 
 
+# BPE merge table learned once (bpe_train, 14 merges, sf0.001 documents)
+# and FROZEN so the oracle SQL replays the identical literals; training
+# itself is pinned against the pure-Python Sennrich reference in
+# tests/test_bpe.py and exercised statistically by dp_bpe_pairs.
+_BPE_MERGES = [
+    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"),
+    ("i", "n"), ("a", "r"), ("p", "ar"), ("e", "r"),
+    ("a", "s"), ("t", "o"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"),
+]
+
+
+def dp_bpe_pairs(spark, sf):
+    """Seed BPE pair statistics: top-30 adjacent symbol pairs over the
+    distinct-word table (the argmax stream bpe_train consumes), fully
+    deterministic tiebreak (count DESC, a, b)."""
+    from v3_polars_spark.datapipe import bpe_pair_counts
+
+    d = _t(spark, sf, "documents")
+    pc = bpe_pair_counts(d)
+    w = Window.orderBy(F.desc("pair_count"), "a", "b")
+    return (
+        pc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select(
+            "a",
+            "b",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def dp_bpe_encode(spark, sf):
+    """BPE-tokenize every document with the frozen merge table — the
+    whole encode is ONE nested column expression (greedy left-to-right
+    fold per merge, rank-order application), no Python, no shuffle; the
+    oracle replays the identical fold through DuckDB list_reduce."""
+    from v3_polars_spark.datapipe import bpe_encode
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = bpe_encode(d, _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("bpe_tokens", " ")).alias("token_fp"),
+    )
+
+
 def q_price_frames(spark, sf):
     """Notebook-parity price-space frames (Crosschain_Liquidity_GIF.ipynb
     cell 12): multi-frame liquidity in PRICE space with per-frame max
@@ -2881,6 +2930,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_pii": dp_pii,
         "dp_tfidf": dp_tfidf,
         "dp_vocab": dp_vocab,
+        "dp_bpe_pairs": dp_bpe_pairs,
+        "dp_bpe_encode": dp_bpe_encode,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "rollup_multi": q_rollup_multi,
@@ -3589,6 +3640,58 @@ def _minhash_cross_sql(
             WHERE n_inter / (sa.sz + sb.sz - n_inter) >= {threshold}
         )
         {tail}
+    """
+
+
+_BPE_SYMS_SQL = (
+    "CASE WHEN len(string_split(word, '')) = 1 THEN [word || '</w>'] "
+    "ELSE string_split(word, '')[:-2] || "
+    "[string_split(word, '')[-1] || '</w>'] END"
+)
+
+
+def _bpe_pairs_sql() -> str:
+    """Replay of datapipe.bpe.bpe_pair_counts: distinct-word counts,
+    char symbols with the </w> marker, adjacent-pair explode weighted
+    by word count, deterministic top-30."""
+    return f"""
+        WITH wc AS (
+            SELECT w AS word, count(*) AS wcount FROM (
+                SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+            ) WHERE w <> '' GROUP BY 1
+        ),
+        syms AS (SELECT {_BPE_SYMS_SQL} AS s, wcount FROM wc),
+        pairs AS (
+            SELECT s[i] AS a, s[i+1] AS b,
+                   CAST(sum(wcount) AS BIGINT) AS pair_count
+            FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+            GROUP BY 1, 2
+        )
+        SELECT a, b, pair_count,
+               row_number() OVER (ORDER BY pair_count DESC, a, b) AS rnk
+        FROM pairs QUALIFY rnk <= 30
+    """
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Replay of the dp_bpe_encode expression path: the same frozen
+    merge literals applied in rank order, each as a greedy
+    left-to-right list_reduce fold (datapipe.bpe.bpe_encode_sql)."""
+    from v3_polars_spark.datapipe import bpe_encode_sql
+
+    word_expr = bpe_encode_sql(_BPE_MERGES)
+    return f"""
+        WITH enc AS (
+            SELECT doc_id,
+                   flatten(list_transform(
+                       list_filter(string_split({_NORM}, ' '), w0 -> w0 <> ''),
+                       w -> {word_expr}
+                   )) AS toks
+            FROM documents
+        )
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks, ' ')) AS token_fp
+        FROM enc
     """
 
 
@@ -4592,6 +4695,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS count, count(DISTINCT doc_id) AS n_docs
             FROM toks WHERE term <> '' GROUP BY 1 HAVING count(*) >= 5
         """,
+        "dp_bpe_pairs": _bpe_pairs_sql(),
+        "dp_bpe_encode": _bpe_encode_oracle_sql(),
         "stream_resample": f"""
             SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
                             '{TS_FMT_DUCK}') AS bucket_str,

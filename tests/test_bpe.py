@@ -1,0 +1,206 @@
+"""BPE tokenizer: distributed train parity vs the pure-Python Sennrich
+reference, three-way encode parity (column expression / mapInPandas
+kernel / per-word Python oracle), the DuckDB replay used by the gate
+oracle, and the no-Python no-shuffle plan pin for the expression path."""
+
+import collections
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from v3_polars_spark.datapipe.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_encode_kernel,
+    bpe_encode_sql,
+    bpe_pair_counts,
+    bpe_train,
+    encode_word_py,
+)
+
+TEXTS = [
+    "the lowest lower low low low",
+    "newer newest new news the the the",
+    "widest wide wider new lower the a",
+    "aaa baa abab the low newer",
+    "  MIXED   Case  Whitespace the low ",
+]
+
+
+def ref_train(texts, num_merges, min_pair_count=2):
+    """Sennrich et al. 2016 reference trainer (learn_bpe.py semantics:
+    argmax pair by count with deterministic (a, b) tiebreak, replace all
+    occurrences greedily left-to-right, iterate)."""
+    wc = collections.Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(list(w[:-1]) + [w[-1] + EOW]): c for w, c in wc.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def py_encode_text(text, merges):
+    ranks = {m: i for i, m in enumerate(merges)}
+    norm = " ".join(text.lower().split())
+    return [t for w in norm.split(" ") if w for t in encode_word_py(w, ranks)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def merges(corpus):
+    return bpe_train(corpus, 12, materialize_every=5)
+
+
+def test_train_matches_sennrich_reference(merges):
+    assert merges == ref_train(TEXTS, 12)
+    assert len(merges) == 12
+
+
+def test_train_early_stop(corpus):
+    # a huge min_pair_count leaves nothing to merge
+    assert bpe_train(corpus, 5, min_pair_count=10**9) == []
+
+
+def test_encode_three_way_parity(corpus, merges):
+    expr = {r.doc_id: r.bpe_tokens for r in bpe_encode(corpus, merges).collect()}
+    kern = {r.doc_id: r.bpe_tokens for r in bpe_encode_kernel(corpus, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        py = py_encode_text(t, merges)
+        assert expr[i] == kern[i] == py, (t, expr[i], kern[i], py)
+
+
+def test_encode_dispatches_to_kernel_above_threshold(corpus, merges):
+    out = bpe_encode(corpus, merges, expr_max_merges=3)
+    # kernel path: plan contains a Python map stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_expression_plan_is_jvm_only_no_shuffle(corpus, merges):
+    from v3_polars_spark.plans import explain_str
+
+    out = bpe_encode(corpus, merges)
+    plan = explain_str(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert marker not in plan, plan
+
+
+def test_overlap_and_edge_words(spark):
+    rows = [(0, "aaa aaaa aa a"), (1, ""), (2, "   "), (3, "x"), (4, "héllo café")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = [("a", "a"), ("aa", "aa"), ("a", f"a{EOW}")]
+    got = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    kern = {r.doc_id: r.bpe_tokens for r in bpe_encode_kernel(df, merges).collect()}
+    for i, t in rows:
+        assert got[i] == kern[i] == py_encode_text(t, merges), (t, got[i])
+    # greedy left-to-right with rank-order application:
+    # 'aaa'  = [a,a,a</w>]   -(a,a)-> [aa, a</w>]
+    # 'aaaa' = [a,a,a,a</w>] -(a,a)-> [aa, a, a</w>] -(a,a</w>)-> [aa, aa</w>]
+    assert got[0][:2] == ["aa", f"a{EOW}"]
+    assert got[0][2:4] == ["aa", f"aa{EOW}"]
+    assert got[3] == [f"x{EOW}"]
+    assert got[1] == [] and got[2] == []
+
+
+def test_duckdb_replay_matches_expression(corpus, merges):
+    word_expr = bpe_encode_sql(merges)
+    q = f"""
+        SELECT doc_id,
+               flatten(list_transform(
+                   list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                               w0 -> w0 <> ''),
+                   w -> {word_expr}
+               )) AS toks
+        FROM corpus ORDER BY doc_id
+    """
+    con = duckdb.connect()
+    con.register("corpus", corpus.toPandas())
+    duck = {r[0]: r[1] for r in con.execute(q).fetchall()}
+    spark_out = {r.doc_id: r.bpe_tokens for r in bpe_encode(corpus, merges).collect()}
+    assert duck == spark_out
+
+
+def test_pair_counts_match_reference(corpus):
+    got = {
+        (r.a, r.b): r.pair_count
+        for r in bpe_pair_counts(corpus).collect()
+    }
+    ref = collections.Counter()
+    for t in TEXTS:
+        for w in " ".join(t.lower().split()).split(" "):
+            if not w:
+                continue
+            syms = list(w[:-1]) + [w[-1] + EOW]
+            for p in zip(syms, syms[1:]):
+                ref[p] += 1
+    assert got == dict(ref)
+
+
+def test_pair_counts_after_merges(corpus, merges):
+    # applying the full learned merge list and recounting must match the
+    # reference trainer's final-state pair statistics
+    got = {
+        (r.a, r.b): r.pair_count for r in bpe_pair_counts(corpus, merges=merges).collect()
+    }
+    wc = collections.Counter()
+    for t in TEXTS:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                wc[w] += 1
+    ranks = {m: i for i, m in enumerate(merges)}
+    ref = collections.Counter()
+    for w, c in wc.items():
+        syms = encode_word_py(w, ranks)
+        for p in zip(syms, syms[1:]):
+            ref[p] += c
+    assert got == dict(ref)
+
+
+def test_fuzz_random_corpus_parity(spark):
+    rng = random.Random(1234)
+    alpha = "abcx"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 10))
+        )
+        for _ in range(30)
+    ]
+    merges = ref_train(texts, 10)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    assert bpe_train(df, 10, materialize_every=4) == merges
+    expr = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        assert expr[i] == py_encode_text(t, merges), (t, expr[i])
