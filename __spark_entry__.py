@@ -1383,6 +1383,45 @@ def dp_bpe_encode(spark, sf):
     )
 
 
+def dp_token_shards(spark, sf):
+    """End-to-end pretraining data assembly: documents -> BPE tokens
+    (frozen merges) -> '</doc>'-terminated concatenate-and-split packing
+    into fixed 64-token sequences (pack_sequences) -> deterministic
+    token ids (token_id_map, broadcast vocab join) -> per-sequence id
+    fingerprint. by=None keeps one global stream for the oracle; at
+    scale the op takes a shard key."""
+    from v3_polars_spark.datapipe import bpe_encode, pack_sequences, token_id_map
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    enc = bpe_encode(d, _BPE_MERGES)
+    shards = pack_sequences(
+        enc, "bpe_tokens", ["doc_id"], max_len=64, sep_token="</doc>"
+    )
+    vocab = token_id_map(shards, "tokens")
+    ids = shards.select(
+        "seq", F.posexplode("tokens").alias("p", "token")
+    ).join(F.broadcast(vocab), "token")
+    return ids.groupBy("seq").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("p").alias("p"),
+                                F.col("token_id").cast("string").alias("i"),
+                            )
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                " ",
+            )
+        ).alias("id_fp"),
+    )
+
+
 def q_price_frames(spark, sf):
     """Notebook-parity price-space frames (Crosschain_Liquidity_GIF.ipynb
     cell 12): multi-frame liquidity in PRICE space with per-frame max
@@ -2932,6 +2971,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_vocab": dp_vocab,
         "dp_bpe_pairs": dp_bpe_pairs,
         "dp_bpe_encode": dp_bpe_encode,
+        "dp_token_shards": dp_token_shards,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "rollup_multi": q_rollup_multi,
@@ -3692,6 +3732,47 @@ def _bpe_encode_oracle_sql() -> str:
         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                md5(array_to_string(toks, ' ')) AS token_fp
         FROM enc
+    """
+
+
+def _token_shards_sql(max_len: int = 64) -> str:
+    """Replay of dp_token_shards: BPE encode (same frozen merges),
+    '</doc>' termination, prefix-sum layout over doc_id order, dense
+    token-id vocabulary, per-sequence ordered id fingerprint."""
+    from v3_polars_spark.datapipe import bpe_encode_sql
+
+    word_expr = bpe_encode_sql(_BPE_MERGES)
+    return f"""
+        WITH enc AS (
+            SELECT doc_id,
+                   flatten(list_transform(
+                       list_filter(string_split({_NORM}, ' '), w0 -> w0 <> ''),
+                       w -> {word_expr}
+                   )) || ['</doc>'] AS toks
+            FROM documents
+        ),
+        lens AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM enc),
+        off AS (
+            SELECT doc_id, toks,
+                   COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS s0
+            FROM lens
+        ),
+        tok AS (
+            SELECT s0 + i - 1 AS pos, toks[i] AS token
+            FROM off, unnest(generate_series(1, len(toks))) AS t(i)
+        ),
+        vocab AS (
+            SELECT token, row_number() OVER (ORDER BY token) - 1 AS token_id
+            FROM (SELECT DISTINCT token FROM tok)
+        ),
+        ids AS (SELECT pos, token_id FROM tok JOIN vocab USING (token))
+        SELECT CAST(floor(pos / {max_len}) AS BIGINT) AS seq,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos))
+                   AS id_fp
+        FROM ids GROUP BY 1
     """
 
 
@@ -4697,6 +4778,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp_bpe_pairs": _bpe_pairs_sql(),
         "dp_bpe_encode": _bpe_encode_oracle_sql(),
+        "dp_token_shards": _token_shards_sql(),
         "stream_resample": f"""
             SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
                             '{TS_FMT_DUCK}') AS bucket_str,

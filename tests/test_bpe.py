@@ -204,3 +204,62 @@ def test_fuzz_random_corpus_parity(spark):
     expr = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
     for i, t in enumerate(texts):
         assert expr[i] == py_encode_text(t, merges), (t, expr[i])
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences + token_id_map (the dp_token_shards building blocks)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_reassembly_and_lengths(spark):
+    from v3_polars_spark.datapipe import pack_sequences
+
+    rows = [
+        (0, ["a", "b", "c"]),
+        (1, []),                       # empty doc -> just the separator
+        (2, ["d"] * 7),
+        (3, ["e", "f"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    out = pack_sequences(df, "toks", ["doc_id"], max_len=5, sep_token="<s>").collect()
+    by_seq = {r.seq: r for r in out}
+    # expected stream: a b c <s> <s> d d d d d d d <s> e f <s>
+    stream = []
+    for _, t in rows:
+        stream += t + ["<s>"]
+    exp = {i: stream[i * 5:(i + 1) * 5] for i in range((len(stream) + 4) // 5)}
+    assert {k: v.tokens for k, v in by_seq.items()} == exp
+    for k, v in by_seq.items():
+        assert v.n_tokens == len(exp[k])
+        if k < max(exp):
+            assert v.n_tokens == 5  # every non-final sequence is full
+
+
+def test_pack_sequences_by_group_independent_streams(spark):
+    from v3_polars_spark.datapipe import pack_sequences
+
+    rows = [("x", 0, ["a", "b", "c"]), ("x", 1, ["d", "e"]),
+            ("y", 0, ["p", "q", "r", "s"])]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "toks"])
+    out = pack_sequences(df, "toks", ["doc_id"], max_len=3, by=["grp"]).collect()
+    got = {(r.grp, r.seq): r.tokens for r in out}
+    assert got == {
+        ("x", 0): ["a", "b", "c"],
+        ("x", 1): ["d", "e"],
+        ("y", 0): ["p", "q", "r"],
+        ("y", 1): ["s"],
+    }
+
+
+def test_token_id_map_deterministic_dense(spark):
+    from v3_polars_spark.datapipe import token_id_map
+
+    df = spark.createDataFrame([(0, ["b", "a", "b"]), (1, ["c", "a"])], ["i", "toks"])
+    vocab = {r.token: r.token_id for r in token_id_map(df, "toks").collect()}
+    assert vocab == {"a": 0, "b": 1, "c": 2}
+    # pure function of the token set: repartitioned input, same mapping
+    vocab2 = {
+        r.token: r.token_id
+        for r in token_id_map(df.repartition(7), "toks").collect()
+    }
+    assert vocab2 == vocab

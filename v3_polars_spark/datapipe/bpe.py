@@ -70,6 +70,7 @@ __all__ = [
     "bpe_train",
     "encode_word_py",
     "merge_fold",
+    "token_id_map",
     "word_counts",
     "word_symbols",
 ]
@@ -331,6 +332,22 @@ def bpe_encode_kernel(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def token_id_map(df: DataFrame, tokens_col: str = "bpe_tokens") -> DataFrame:
+    """Deterministic vocabulary table ``(token, token_id)``: ids are
+    dense-ranked by token string ascending, so the mapping is a pure
+    function of the token SET — stable under reruns, partitioning, and
+    row order, and replayable in SQL. The global rank window runs over
+    the distinct-token table (vocabulary-sized, bounded — never corpus-
+    sized), the same posture as the trainer's working set."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens_col).alias("token")).distinct()
+    w = Window.orderBy("token")
+    return toks.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
 
 
 # --------------------------------------------------------------------------

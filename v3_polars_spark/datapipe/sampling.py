@@ -235,3 +235,62 @@ def sample_weighted(
         .orderBy(es_key.desc_nulls_last(), F.col(key_col))
         .limit(k)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    order_cols: list[str],
+    max_len: int,
+    by: list[str] | None = None,
+    sep_token: str | None = None,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Materialize the fixed-length packed sequences that
+    :func:`pack_offsets` lays out — the final LLM-pretraining data
+    layout: documents concatenated in ``order_cols`` order (optionally
+    ``sep_token``-terminated), the token stream cut every ``max_len``
+    tokens, one output row per packed sequence ``(by..., seq, tokens,
+    n_tokens)``. Every sequence is exactly ``max_len`` long except the
+    ragged final one per ``by`` group (no padding is inserted — emit
+    ``sep_token`` ids downstream if a pad id is wanted).
+
+    Scale shape: the prefix-sum window of ``pack_offsets`` (partitioned
+    by ``by`` — pass a shard key at scale so there is no global-order
+    single task), one token-level explode (materializing shards IS
+    token-volume work), and ONE hash aggregation per sequence via
+    sorted-struct collect — the assemble_sequences pattern, no second
+    window. All integer math, engine-exact.
+    """
+    from pyspark.sql import Window  # noqa: F401  (pack_offsets uses it)
+
+    by = by or []
+    toks = F.col(tokens_col)
+    if sep_token is not None:
+        toks = F.concat(toks, F.array(F.lit(sep_token)))
+    d = df.withColumn("__ptoks", toks).withColumn(
+        "__n", F.size("__ptoks").cast("long")
+    )
+    laid = pack_offsets(d, "__n", order_cols, max_len, by=by)
+    tok = laid.select(
+        *by,
+        F.col("start_offset"),
+        F.posexplode("__ptoks").alias("__pos", "__tok"),
+    )
+    offset = F.col("start_offset") + F.col("__pos")
+    seq = F.floor(offset / F.lit(max_len)).cast("long")
+    pos_in_seq = (offset - seq * F.lit(max_len)).cast("long")
+    placed = tok.select(
+        *by,
+        seq.alias("seq"),
+        F.struct(pos_in_seq.alias("p"), F.col("__tok").alias("t")).alias("__pt"),
+    )
+    return (
+        placed.groupBy(*by, "seq")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("__pt")), lambda s: s["t"]
+            ).alias(out_col)
+        )
+        .withColumn("n_tokens", F.size(out_col).cast("long"))
+    )
