@@ -2294,6 +2294,59 @@ def q_stream_ivf_assign(spark, sf):
     )
 
 
+def q_stream_token_shards(spark, sf):
+    """Streaming training-shard packer (streaming/pack_stream.py): BPE-
+    encode the documents stream (the stateless expression path runs on
+    readStream unchanged), drain through streaming_token_shards
+    (per-trigger O(batch tokens); full sequences + carry committed as
+    ONE atomic batch dir), compact the quiesced store (live carry
+    preserved across full compaction), and return every sequence
+    including the ragged tail. Packing order is arrival order = doc_id
+    order here (single-file source), so the oracle replays the batch
+    concatenate-and-split layout directly. Crash/replay/boundary
+    behavior is pinned in tests/test_pack_stream.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from v3_polars_spark.datapipe import bpe_encode
+    from v3_polars_spark.streaming import (
+        compact_packed_shards,
+        read_pack_carry,
+        read_packed_shards,
+        streaming_token_shards,
+    )
+
+    _prep(spark)
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix="stream_pack_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stream = bpe_encode(
+        spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select("doc_id", "text"),
+        _BPE_MERGES,
+    )
+    streaming_token_shards(
+        stream, root, os.path.join(root, "ckpt"), max_len=64,
+        sep_token="</doc>",
+    )
+    seq0, rem = read_pack_carry(spark, root)
+    compact_packed_shards(spark, root, exclude_newest=False)
+    shards = read_packed_shards(spark, root)
+    if rem:
+        tail = spark.createDataFrame(
+            [(seq0, rem, len(rem))], shards.schema
+        )
+        shards = shards.unionByName(tail)
+    return shards.select(
+        "seq",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("tok_fp"),
+    )
+
+
 def q_stream_dedup(spark, sf):
     """§2.8 dedup as an oracle-checked query: streaming dropDuplicates
     over the events file source (AvailableNow drain into a memory sink),
@@ -3002,6 +3055,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corpus_dedup": q_stream_corpus_dedup,
         "stream_corpus_dedup_self": q_stream_corpus_dedup_self,
         "stream_ivf_assign": q_stream_ivf_assign,
+        "stream_token_shards": q_stream_token_shards,
         "heavy_hitters": q_heavy_hitters,
         "funnel": q_funnel,
         "retention": q_retention,
@@ -3773,6 +3827,42 @@ def _token_shards_sql(max_len: int = 64) -> str:
                md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos))
                    AS id_fp
         FROM ids GROUP BY 1
+    """
+
+
+def _stream_token_shards_sql(max_len: int = 64) -> str:
+    """Replay of q_stream_token_shards: the streamed packer's output is
+    the batch concatenate-and-split layout over arrival (= doc_id)
+    order — same CTEs as _token_shards_sql, token strings instead of
+    vocabulary ids, ragged tail included."""
+    from v3_polars_spark.datapipe import bpe_encode_sql
+
+    word_expr = bpe_encode_sql(_BPE_MERGES)
+    return f"""
+        WITH enc AS (
+            SELECT doc_id,
+                   flatten(list_transform(
+                       list_filter(string_split({_NORM}, ' '), w0 -> w0 <> ''),
+                       w -> {word_expr}
+                   )) || ['</doc>'] AS toks
+            FROM documents
+        ),
+        lens AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM enc),
+        off AS (
+            SELECT doc_id, toks,
+                   COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS s0
+            FROM lens
+        ),
+        tok AS (
+            SELECT s0 + i - 1 AS pos, toks[i] AS token
+            FROM off, unnest(generate_series(1, len(toks))) AS t(i)
+        )
+        SELECT CAST(floor(pos / {max_len}) AS BIGINT) AS seq,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS tok_fp
+        FROM tok GROUP BY 1
     """
 
 
@@ -4779,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_bpe_pairs": _bpe_pairs_sql(),
         "dp_bpe_encode": _bpe_encode_oracle_sql(),
         "dp_token_shards": _token_shards_sql(),
+        "stream_token_shards": _stream_token_shards_sql(),
         "stream_resample": f"""
             SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
                             '{TS_FMT_DUCK}') AS bucket_str,

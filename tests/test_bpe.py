@@ -263,3 +263,32 @@ def test_token_id_map_deterministic_dense(spark):
         for r in token_id_map(df.repartition(7), "toks").collect()
     }
     assert vocab2 == vocab
+
+
+def test_bpe_encode_streams_unchanged(spark, tmp_path):
+    """The expression encode is stateless, so the SAME bpe_encode call
+    runs on a readStream source; availableNow drain ≡ batch."""
+    src = str(tmp_path / "docs")
+    sink = str(tmp_path / "enc_sink")
+    ckpt = str(tmp_path / "enc_ckpt")
+    rows = [(i, t) for i, t in enumerate(TEXTS)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.parquet(src)
+    merges = [("t", "h"), ("th", "e</w>"), ("l", "o")]
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        bpe_encode(stream, merges)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.doc_id: r.bpe_tokens for r in spark.read.parquet(sink).collect()
+    }
+    want = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    assert got == want

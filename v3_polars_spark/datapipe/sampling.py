@@ -272,6 +272,11 @@ def pack_sequences(
         "__n", F.size("__ptoks").cast("long")
     )
     laid = pack_offsets(d, "__n", order_cols, max_len, by=by)
+    if not by:
+        # the global prefix-sum window leaves the frame in ONE partition;
+        # redistribute the doc-level rows (cheap — pre-explode) so the
+        # token-level explode below runs wide, not in a single task
+        laid = laid.repartitionByRange(*order_cols)
     tok = laid.select(
         *by,
         F.col("start_offset"),

@@ -26,6 +26,12 @@ from .dedup_stream import (
     seed_corpus,
     streaming_corpus_dedup,
 )
+from .pack_stream import (
+    compact_packed_shards,
+    read_pack_carry,
+    read_packed_shards,
+    streaming_token_shards,
+)
 from .stateful import streaming_liquidity_deltas
 from .upsert_stream import read_snapshot, streaming_snapshot_upsert
 
@@ -53,4 +59,8 @@ __all__ = [
     "streaming_resample",
     "streaming_sessionize",
     "streaming_liquidity_deltas",
+    "streaming_token_shards",
+    "read_packed_shards",
+    "read_pack_carry",
+    "compact_packed_shards",
 ]

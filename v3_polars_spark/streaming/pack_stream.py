@@ -1,0 +1,270 @@
+"""Streaming training-shard packer: turn a tokenized document stream
+into fixed-length packed sequences incrementally, with exactly-once
+state.
+
+The batch side (``datapipe.sampling.pack_sequences``) materializes the
+concatenate-and-split layout in one job; a 100 TB ingest pipeline wants
+the same layout maintained AS DOCUMENTS LAND, without repacking the
+corpus per trigger. Per micro-batch (``foreachBatch``):
+
+1. read the carry state: the next sequence index plus the (< max_len)
+   remainder tokens left by the previous trigger — ONE tiny row, never
+   the shard store;
+2. lay the batch's token arrays (deterministic ``id_col`` order within
+   the batch — packing order is ARRIVAL order, which is the semantics of
+   streaming packing) after the remainder and cut full ``max_len``
+   sequences with the same ``pack_sequences`` fold the batch op uses;
+3. commit the full sequences PLUS the new carry row as ONE
+   ``state_store`` batch dir — a single rename, so shards and carry can
+   never diverge (no window where one is visible without the other), and
+   a replayed batch whose dir exists is an exactly-once no-op.
+
+Per-trigger cost is O(batch tokens): the carry is at most ``max_len - 1``
+tokens, committed shard dirs are never re-read, and the remainder math
+keeps the carry offset on a ``max_len`` boundary so sequence indices are
+a pure function of the arrival-ordered token stream — streamed shards
+are row-identical to one batch ``pack_sequences`` over the same arrival
+order (pinned in tests for in-order splits, any schedule).
+
+``compact_packed_shards`` rewrites accumulated per-trigger dirs into
+right-sized segments on the shared covers-manifest protocol
+(``state_store.commit_compacted``); stale carry rows (only the newest
+batch's carry is live, and the newest batch is excluded) are dropped at
+compaction.
+
+Upstream tokenization composes freely: ``datapipe.bpe.bpe_encode``'s
+expression path is stateless, so ``bpe_encode(readStream(...), merges)``
+feeds this packer without any extra state.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .state_store import (
+    batch_dir,
+    batch_id_of,
+    commit_compacted,
+    commit_write,
+    data_dirs,
+    gc_covered,
+    tmp_glob,
+)
+
+_PACKED = "packed"
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("is_carry", T.BooleanType()),
+    ]
+)
+
+
+def read_packed_shards(spark, pack_root: str) -> DataFrame:
+    """All committed full sequences (seq, tokens, n_tokens) — carry rows
+    excluded. Readable mid-drain; every committed trigger is final."""
+    dirs = data_dirs(pack_root, _PACKED)
+    if not dirs:
+        return spark.createDataFrame([], _SCHEMA).drop("is_carry")
+    return (
+        spark.read.parquet(*dirs)
+        .filter(~F.col("is_carry"))
+        .drop("is_carry")
+    )
+
+
+def read_pack_carry(spark, pack_root: str) -> tuple[int, list[str]]:
+    """The live carry: (next sequence index, remainder tokens).
+
+    Provenance-free selection: across triggers the carry's
+    ``(seq, n_tokens)`` is monotonically nondecreasing (a trigger either
+    closes sequences — seq strictly grows — or extends the remainder in
+    place), so the LIVE carry is simply the max by that key over every
+    committed carry row, wherever it lives (a trigger dir or a compacted
+    generation)."""
+    dirs = data_dirs(pack_root, _PACKED)
+    if not dirs:
+        return 0, []
+    rows = (
+        spark.read.parquet(*dirs)
+        .filter(F.col("is_carry"))
+        .orderBy(F.desc("seq"), F.desc("n_tokens"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:  # no trigger has committed yet
+        return 0, []
+    r = rows[0]
+    return int(r.seq), list(r.tokens)
+
+
+def token_pack_batch_fn(
+    spark,
+    pack_root: str,
+    max_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "bpe_tokens",
+    sep_token: str | None = None,
+):
+    """The ``foreachBatch`` function :func:`streaming_token_shards`
+    runs — exposed so tests can wrap it with failure injection."""
+    from ..datapipe.sampling import pack_sequences
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = batch_dir(pack_root, _PACKED, batch_id)
+        if os.path.isdir(out_dir):
+            return  # replay of a committed batch: exactly-once no-op
+        for leftover in glob.glob(tmp_glob(out_dir)):
+            shutil.rmtree(leftover, ignore_errors=True)
+
+        seq0, rem = read_pack_carry(spark, pack_root)
+
+        toks = F.col(tokens_col)
+        if sep_token is not None:
+            toks = F.concat(toks, F.array(F.lit(sep_token)))
+        ranked = batch_df.select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .cast("long")
+            .alias("__rk"),
+            toks.alias("__toks"),
+        )
+        rem_row = spark.createDataFrame(
+            [(0, rem)],
+            T.StructType(
+                [
+                    T.StructField("__rk", T.LongType()),
+                    T.StructField("__toks", T.ArrayType(T.StringType())),
+                ]
+            ),
+        )
+        allr = rem_row.unionByName(ranked)
+        packed = pack_sequences(allr, "__toks", ["__rk"], max_len).select(
+            (F.col("seq") + F.lit(seq0)).alias("seq"),
+            F.col("tokens"),
+            F.col("n_tokens"),
+        )
+        # the carry offset is always a max_len boundary, so the number of
+        # FULL sequences this trigger closes is total // max_len
+        n_total = len(rem) + int(
+            ranked.agg(
+                F.coalesce(F.sum(F.size("__toks")), F.lit(0))
+            ).collect()[0][0]
+        )
+        next_seq0 = seq0 + n_total // max_len
+        full = packed.filter(F.col("seq") < F.lit(next_seq0)).withColumn(
+            "is_carry", F.lit(False)
+        )
+        tail = packed.filter(F.col("seq") >= F.lit(next_seq0)).collect()
+        new_rem = list(tail[0].tokens) if tail else []
+        carry_row = spark.createDataFrame(
+            [(next_seq0, new_rem, len(new_rem), True)], _SCHEMA
+        )
+        commit_write(full.unionByName(carry_row), out_dir)
+
+    return _apply
+
+
+def streaming_token_shards(
+    stream_df: DataFrame,
+    pack_root: str,
+    checkpoint_path: str,
+    max_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "bpe_tokens",
+    sep_token: str | None = None,
+    timeout_sec: int = 600,
+) -> None:
+    """Drain ``stream_df`` (AvailableNow) into the packed-shard store
+    under ``pack_root``. Resumable: rerunning with the same
+    ``checkpoint_path`` continues from the committed carry. Read the
+    store with :func:`read_packed_shards` at any point."""
+    fn = token_pack_batch_fn(
+        stream_df.sparkSession,
+        pack_root,
+        max_len,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        sep_token=sep_token,
+    )
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def compact_packed_shards(
+    spark,
+    pack_root: str,
+    target_rows_per_file: int = 2_000_000,
+    exclude_newest: bool = True,
+) -> dict:
+    """Rewrite accumulated per-trigger shard dirs into right-sized
+    segments (covers-manifest protocol — one rename publishes the
+    compacted segment and retires its sources; crash-safe bottom-up GC).
+    Stale carry rows are dropped; the LIVE carry (max by (seq,
+    n_tokens) — see :func:`read_pack_carry`) is preserved in the
+    compacted segment, so a resume works even after a full
+    ``exclude_newest=False`` compaction of a quiesced drain. The newest
+    trigger is excluded by default, exactly like the corpus/IVF
+    compactors (its dir is the exactly-once replay marker). Run one
+    compactor at a time; the drain itself is not paused."""
+    gc_covered(pack_root, _PACKED)
+    for leftover in glob.glob(os.path.join(pack_root, _PACKED, ".tmp-*")):
+        shutil.rmtree(leftover, ignore_errors=True)
+    trig_ids = [
+        batch_id_of(d)
+        for d in glob.glob(os.path.join(pack_root, _PACKED, "batch=*"))
+        if batch_id_of(d) >= 0
+    ]
+    skip = {max(trig_ids)} if (exclude_newest and trig_ids) else set()
+    dirs = [
+        d for d in data_dirs(pack_root, _PACKED) if batch_id_of(d) not in skip
+    ]
+    files_before = sum(len(glob.glob(os.path.join(d, "part-*"))) for d in dirs)
+    stats = {
+        "dirs_before": len(dirs),
+        "files_before": files_before,
+        "files_after": files_before,
+    }
+    if len(dirs) <= 1:
+        return stats
+    allrows = spark.read.parquet(*dirs)
+    live_carry = (
+        allrows.filter(F.col("is_carry"))
+        .orderBy(F.desc("seq"), F.desc("n_tokens"))
+        .limit(1)
+    )
+    df = allrows.filter(~F.col("is_carry")).unionByName(live_carry)
+    n = df.count()
+    if n == 0:
+        return stats
+    ids = [batch_id_of(d) for d in dirs]
+    gen = min(-1, *ids) - 1
+    floor = min(
+        spark.sparkContext.defaultParallelism, max(1, -(-n // 50_000))
+    )
+    n_files = max(-(-n // int(target_rows_per_file)), floor)
+    commit_compacted(
+        df.repartition(n_files), batch_dir(pack_root, _PACKED, gen), ids
+    )
+    gc_covered(pack_root, _PACKED)
+    stats["files_after"] = sum(
+        len(glob.glob(os.path.join(d, "part-*")))
+        for d in data_dirs(pack_root, _PACKED)
+    )
+    return stats
