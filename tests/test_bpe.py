@@ -292,3 +292,15 @@ def test_bpe_encode_streams_unchanged(spark, tmp_path):
     }
     want = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
     assert got == want
+
+
+def test_strategy_param_dispatch_and_parity(corpus, merges):
+    expr = bpe_encode(corpus, merges, strategy="expr")
+    kern = bpe_encode(corpus, merges, strategy="kernel")
+    assert "MapInPandas" not in expr._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in kern._jdf.queryExecution().executedPlan().toString()
+    a = {r.doc_id: r.bpe_tokens for r in expr.collect()}
+    b = {r.doc_id: r.bpe_tokens for r in kern.collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        bpe_encode(corpus, merges, strategy="nope")

@@ -243,16 +243,36 @@ def bpe_encode(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     expr_max_merges: int = 48,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Tokenize ``text_col`` with a learned merge list.
 
-    ``len(merges) <= expr_max_merges``: pure nested column expression
-    (per word: char symbols, then each merge as one greedy fold) —
-    JVM-side, shuffle-free, DuckDB-replayable via :func:`bpe_encode_sql`.
-    Larger merge lists: Arrow-batched ``mapInPandas`` kernel with
-    per-word memoization (identical semantics, parity-pinned)."""
+    Two parity-pinned implementations:
+
+    - ``"expr"`` — pure nested column expression (per word: char
+      symbols, then each merge as one greedy fold). JVM-side,
+      shuffle-free, stateless (runs on readStream unchanged), and
+      DuckDB-replayable via :func:`bpe_encode_sql` — the verification
+      and portability path. Cost is per token OCCURRENCE (interpreted
+      ArrayAggregate): ~50-100k tokens/s/core.
+    - ``"kernel"`` — Arrow-batched ``mapInPandas`` with per-batch
+      per-word memoization: cost is per DISTINCT word per batch, which
+      on natural (repetitive) text is orders of magnitude less work —
+      measured ~2.3M tokens/s/core on the 100x-duplicated sf1 corpus,
+      ~50x the expression path (BENCH_NOTES). The throughput path for
+      bulk encoding.
+
+    ``"auto"`` picks the expression path while the merge list fits
+    ``expr_max_merges`` (small alphabets/demos, streaming, oracle
+    verification) and the kernel beyond. For production-sized merge
+    tables (10k+) the kernel is always the right call."""
     merges = list(merges)
-    if len(merges) <= expr_max_merges:
+    if strategy not in ("auto", "expr", "kernel"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    use_expr = strategy == "expr" or (
+        strategy == "auto" and len(merges) <= expr_max_merges
+    )
+    if use_expr:
         toks = F.flatten(
             F.transform(
                 _words(F.col(text_col)),
