@@ -295,3 +295,88 @@ def test_fuzz_snapshot_upsert_crash_replay(spark, tmp_path, block):
                 want[k] = (seq, p)
         assert got == want, (seed, got, want)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming training-shard packer (+ crashing compactions interleaved)
+# ---------------------------------------------------------------------------
+
+
+def _tok_docs(rng, n):
+    return [
+        (
+            i,
+            [rng.choice("abcdef") for _ in range(rng.randint(0, 7))],
+        )
+        for i in range(n)
+    ]
+
+
+def _run_pack_schedule(spark, root, batches_rows, rng, inject):
+    from v3_polars_spark.streaming import pack_stream as ps
+
+    fn = ps.token_pack_batch_fn(spark, root, max_len=4, sep_token="<s>")
+    batches = [
+        spark.createDataFrame(rows, "doc_id long, bpe_tokens array<string>")
+        for rows in batches_rows
+    ]
+    if inject:
+        for bid, df in enumerate(batches):
+            _drive(
+                fn, [df], random.Random(rng.random()), ps,
+                ("commit_write",), start_id=bid,
+            )
+            if rng.random() < 0.3:
+                mode = rng.choice(_CRASH_MODES)
+                real = ps.commit_compacted
+                wrapper = _CrashingCommit(real, 1, mode)
+                ps.commit_compacted = wrapper
+                try:
+                    ps.compact_packed_shards(spark, root)
+                except InjectedCrash:
+                    pass
+                finally:
+                    ps.commit_compacted = real
+                ps.compact_packed_shards(spark, root)  # retry path
+    else:
+        for bid, df in enumerate(batches):
+            fn(df, bid)
+    from v3_polars_spark.streaming import read_pack_carry, read_packed_shards
+
+    shards = sorted(
+        (r.seq, tuple(r.tokens), r.n_tokens)
+        for r in read_packed_shards(spark, root).collect()
+    )
+    return shards, read_pack_carry(spark, root)
+
+
+@pytest.mark.parametrize("block", range(4))
+def test_fuzz_token_pack_crash_replay(spark, tmp_path, block):
+    per = -(-N_SEEDS // 4)
+    for seed in range(block * per, min((block + 1) * per, N_SEEDS)):
+        rng = random.Random(4000 + seed)
+        rows = _tok_docs(rng, rng.randint(4, 16))
+        batches_rows = _split_batches(rng, rows)
+        crashed = _run_pack_schedule(
+            spark, str(tmp_path / f"p{seed}"), batches_rows,
+            random.Random(seed), True,
+        )
+        clean = _run_pack_schedule(
+            spark, str(tmp_path / f"q{seed}"), batches_rows,
+            random.Random(seed), False,
+        )
+        assert crashed == clean, (seed, crashed, clean)
+        # the clean run must itself equal the pure-Python layout
+        stream = []
+        for rows_b in batches_rows:
+            for _, toks in rows_b:
+                stream += list(toks) + ["<s>"]
+        want_shards = sorted(
+            (i, tuple(stream[i * 4:(i + 1) * 4]), 4)
+            for i in range(len(stream) // 4)
+        )
+        assert clean[0] == want_shards, seed
+        assert clean[1] == (len(stream) // 4, stream[len(stream) - len(stream) % 4:])
+        assert not glob.glob(str(tmp_path / f"p{seed}" / "*" / ".tmp-*")), seed
+        shutil.rmtree(tmp_path / f"p{seed}", ignore_errors=True)
+        shutil.rmtree(tmp_path / f"q{seed}", ignore_errors=True)
