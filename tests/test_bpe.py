@@ -304,3 +304,27 @@ def test_strategy_param_dispatch_and_parity(corpus, merges):
     assert a == b
     with pytest.raises(ValueError):
         bpe_encode(corpus, merges, strategy="nope")
+
+
+def test_sql_replay_with_quote_bearing_tokens(spark):
+    """Apostrophes in words/merges must survive the literal emission in
+    bpe_encode_sql (escaped, not injected)."""
+    rows = [(0, "don't can't o'clock don't")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = [("'", "t</w>"), ("n", "'t</w>"), ("o", "n't</w>")]
+    spark_out = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    assert spark_out[0][:2] == ["d", "on't</w>"]
+    word_expr = bpe_encode_sql(merges)
+    q = f"""
+        SELECT doc_id,
+               flatten(list_transform(
+                   list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                               w0 -> w0 <> ''),
+                   w -> {word_expr}
+               )) AS toks
+        FROM corpus
+    """
+    con = duckdb.connect()
+    con.register("corpus", df.toPandas())
+    duck = {r[0]: r[1] for r in con.execute(q).fetchall()}
+    assert duck == spark_out
