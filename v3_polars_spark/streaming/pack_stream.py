@@ -85,13 +85,23 @@ def read_packed_shards(spark, pack_root: str) -> DataFrame:
 def read_pack_carry(spark, pack_root: str) -> tuple[int, list[str]]:
     """The live carry: (next sequence index, remainder tokens).
 
-    Provenance-free selection: across triggers the carry's
-    ``(seq, n_tokens)`` is monotonically nondecreasing (a trigger either
-    closes sequences — seq strictly grows — or extends the remainder in
-    place), so the LIVE carry is simply the max by that key over every
-    committed carry row, wherever it lives (a trigger dir or a compacted
-    generation)."""
-    dirs = data_dirs(pack_root, _PACKED)
+    Fast path: mid-drain, the newest trigger dir (every commit carries
+    exactly one carry row) is read alone — O(1) per trigger regardless
+    of store size. Fallback (no trigger dirs left, e.g. after a full
+    ``exclude_newest=False`` compaction of a quiesced drain): scan the
+    committed store for carry rows. Selection there is provenance-free —
+    across triggers the carry's ``(seq, n_tokens)`` is monotonically
+    nondecreasing (a trigger either closes sequences, seq strictly
+    grows, or extends the remainder in place), so the LIVE carry is the
+    max by that key."""
+    trig = [
+        d
+        for d in glob.glob(os.path.join(pack_root, _PACKED, "batch=*"))
+        if batch_id_of(d) >= 0
+    ]
+    dirs = [max(trig, key=batch_id_of)] if trig else data_dirs(
+        pack_root, _PACKED
+    )
     if not dirs:
         return 0, []
     rows = (
