@@ -1401,24 +1401,28 @@ def dp_token_shards(spark, sf):
     ids = shards.select(
         "seq", F.posexplode("tokens").alias("p", "token")
     ).join(F.broadcast(vocab), "token")
+    # position-salted 40-bit md5-prefix ints, summed exactly in int64
+    # (2048 x 2^40 < 2^63): an unordered hash agg — no per-sequence
+    # ordered buffering on either engine (the string_agg form OOM'd the
+    # DuckDB yardstick at sf1), yet any token/position change moves it
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("p").cast("string"),
+                    F.col("token_id").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
     return ids.groupBy("seq").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("p").alias("p"),
-                                F.col("token_id").cast("string").alias("i"),
-                            )
-                        )
-                    ),
-                    lambda s: s["i"],
-                ),
-                " ",
-            )
-        ).alias("id_fp"),
+        F.sum(h).alias("id_fp"),
     )
 
 
@@ -2340,10 +2344,28 @@ def q_stream_token_shards(spark, sf):
             [(seq0, rem, len(rem))], shards.schema
         )
         shards = shards.unionByName(tail)
+
+    def _h(t, i):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", i.cast("string"), t)), 1, 10
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # same unordered position-salted sum fingerprint as dp_token_shards,
+    # computed in place per shard (transform-with-index + fold, no
+    # shuffle)
+    fp = F.aggregate(
+        F.transform("tokens", _h),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return shards.select(
         "seq",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.md5(F.array_join("tokens", " ")).alias("tok_fp"),
+        fp.alias("tok_fp"),
     )
 
 
@@ -3824,8 +3846,11 @@ def _token_shards_sql(max_len: int = 64) -> str:
         ids AS (SELECT pos, token_id FROM tok JOIN vocab USING (token))
         SELECT CAST(floor(pos / {max_len}) AS BIGINT) AS seq,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos))
-                   AS id_fp
+               CAST(sum(('0x' || substr(md5(
+                   CAST(CAST(pos - {max_len} * floor(pos / {max_len})
+                       AS BIGINT) AS VARCHAR)
+                   || ':' || CAST(token_id AS VARCHAR)), 1, 10))::BIGINT)
+                   AS BIGINT) AS id_fp
         FROM ids GROUP BY 1
     """
 
@@ -3861,7 +3886,10 @@ def _stream_token_shards_sql(max_len: int = 64) -> str:
         )
         SELECT CAST(floor(pos / {max_len}) AS BIGINT) AS seq,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               md5(string_agg(token, ' ' ORDER BY pos)) AS tok_fp
+               CAST(sum(('0x' || substr(md5(
+                   CAST(CAST(pos - {max_len} * floor(pos / {max_len})
+                       AS BIGINT) AS VARCHAR)
+                   || ':' || token), 1, 10))::BIGINT) AS BIGINT) AS tok_fp
         FROM tok GROUP BY 1
     """
 
