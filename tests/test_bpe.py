@@ -328,3 +328,11 @@ def test_sql_replay_with_quote_bearing_tokens(spark):
     con.register("corpus", df.toPandas())
     duck = {r[0]: r[1] for r in con.execute(q).fetchall()}
     assert duck == spark_out
+
+
+def test_save_load_merges_roundtrip(spark, tmp_path, merges):
+    from v3_polars_spark.datapipe.bpe import load_merges, save_merges
+
+    p = str(tmp_path / "merges")
+    save_merges(spark, merges, p)
+    assert load_merges(spark, p) == list(merges)

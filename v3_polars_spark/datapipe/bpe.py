@@ -69,7 +69,9 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_train",
     "encode_word_py",
+    "load_merges",
     "merge_fold",
+    "save_merges",
     "token_id_map",
     "word_counts",
     "word_symbols",
@@ -352,6 +354,30 @@ def bpe_encode_kernel(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def save_merges(
+    spark: SparkSession, merges: Sequence[tuple[str, str]], path: str
+) -> None:
+    """Persist a learned merge table as parquet ``(rank, a, b)`` — the
+    artifact a training job ships to every encode job."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by :func:`save_merges`, rank order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.a, r.b) for r in rows]
 
 
 def token_id_map(df: DataFrame, tokens_col: str = "bpe_tokens") -> DataFrame:
