@@ -2300,13 +2300,16 @@ def q_stream_ivf_assign(spark, sf):
 
 def q_stream_token_shards(spark, sf):
     """Streaming training-shard packer (streaming/pack_stream.py): BPE-
-    encode the documents stream (the stateless expression path runs on
-    readStream unchanged), drain through streaming_token_shards
-    (per-trigger O(batch tokens); full sequences + carry committed as
-    ONE atomic batch dir), compact the quiesced store (live carry
-    preserved across full compaction), and return every sequence
-    including the ragged tail. Packing order is arrival order = doc_id
-    order here (single-file source), so the oracle replays the batch
+    encode the documents stream with the memoized kernel (mapInPandas
+    runs on readStream; the kernel is the production encode path — the
+    14-deep nested expression fold also streams, pinned in test_bpe,
+    but overflows the stream thread's JVM stack at sf1 plan sizes and
+    is ~50x slower), drain through streaming_token_shards (per-trigger
+    O(batch tokens); full sequences + carry committed as ONE atomic
+    batch dir), compact the quiesced store (live carry preserved across
+    full compaction), and return every sequence including the ragged
+    tail. Packing order is arrival order = doc_id order here
+    (single-file source), so the oracle replays the batch
     concatenate-and-split layout directly. Crash/replay/boundary
     behavior is pinned in tests/test_pack_stream.py."""
     import atexit
@@ -2331,6 +2334,7 @@ def q_stream_token_shards(spark, sf):
         .parquet(sf)
         .select("doc_id", "text"),
         _BPE_MERGES,
+        strategy="kernel",
     )
     streaming_token_shards(
         stream, root, os.path.join(root, "ckpt"), max_len=64,
