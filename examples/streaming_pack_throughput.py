@@ -63,14 +63,23 @@ def main() -> None:
     fn = token_pack_batch_fn(
         spark, os.path.join(root, "pack"), MAX_LEN, sep_token="</doc>"
     )
-    per = n // N_BATCHES
+    # equal-POPULATION id boundaries (ids may be sparse/shifted), so
+    # every trigger carries ~n/N_BATCHES docs
+    bounds = enc.select(
+        F.percentile(
+            "doc_id", F.array(*[F.lit(i / N_BATCHES) for i in range(1, N_BATCHES)])
+        ).alias("b")
+    ).collect()[0]["b"]
     walls = []
     for b in range(N_BATCHES):
-        lo = b * per
-        hi = n if b == N_BATCHES - 1 else (b + 1) * per
-        batch = enc.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        )
+        lo = None if b == 0 else bounds[b - 1]
+        hi = None if b == N_BATCHES - 1 else bounds[b]
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("doc_id") > lo)
+        if hi is not None:
+            cond = cond & (F.col("doc_id") <= hi)
+        batch = enc.filter(cond)
         t0 = time.time()
         fn(batch, b)
         walls.append(time.time() - t0)
