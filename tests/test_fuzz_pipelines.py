@@ -683,6 +683,45 @@ def st_chunk(state, rng):
     )
 
 
+def st_bpe(state, rng):
+    """datapipe.bpe.bpe_encode expression path over the txt column:
+    rng-ordered merge list applied as nested greedy folds; emits token
+    count + token-string fingerprint. The SQL mirror is the identical
+    list_reduce fold (bpe_encode_sql)."""
+    if "txt" not in state.names():
+        return None
+    from v3_polars_spark.datapipe import bpe_encode, bpe_encode_sql
+
+    pool = [
+        ("t", "h"), ("a", "n"), ("e", "r</w>"),
+        ("o", "w</w>"), ("l", "o"), ("th", "e</w>"),
+    ]
+    k = 2 + int(rng.randint(0, 3))
+    merges = [pool[i] for i in rng.permutation(len(pool))[:k]]
+    n = f"__bt{state.i}_n"
+    fpc = f"__bt{state.i}_fp"
+    enc = bpe_encode(state.df, merges, text_col="txt", out_col="__toks")
+    df = (
+        enc.withColumn(n, F.size("__toks").cast("int"))
+        .withColumn(fpc, F.md5(F.array_join("__toks", " ")))
+        .drop("__toks")
+    )
+    word_expr = bpe_encode_sql(merges)
+    norm = "trim(regexp_replace(lower(txt), '\\s+', ' ', 'g'))"
+    toks = (
+        f"flatten(list_transform(list_filter(string_split({norm}, ' '),"
+        f" w0 -> w0 <> ''), w -> {word_expr}))"
+    )
+    return replace_state(
+        state,
+        df=df,
+        sql=f"SELECT {_sel(state.names())}, CAST(len({toks}) AS INT) AS {n},"
+        f" md5(array_to_string({toks}, ' ')) AS {fpc}"
+        f" FROM ({state.sql}) bt{state.i}",
+        cols=state.cols + [Col(n, "int", False), Col(fpc, "str", False)],
+    )
+
+
 STAGES = [
     st_filter,
     st_derive,
@@ -700,6 +739,7 @@ STAGES = [
     st_url_canon,
     st_split,
     st_chunk,
+    st_bpe,
 ]
 
 
