@@ -36,7 +36,9 @@ Deep hunts: round 7 ran 1001/2501/5001 seeds over the 12-stage ops/
 library — all green after the seed-317 DuckDB-ASOF barrier fix; round 8
 ran 1001, 2501, and 5001 seeds over the extended 16-stage library
 (datapipe dedup/url/split/chunk stages + text/url base columns) — all
-green, no new seeds pinned.
+green, no new seeds pinned; round 9 added st_bpe (nested-fold encode vs
+its list_reduce SQL mirror) and ran 800 seeds over the 17-stage library
+on final code — green.
 """
 
 from __future__ import annotations
