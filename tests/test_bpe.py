@@ -336,3 +336,105 @@ def test_save_load_merges_roundtrip(spark, tmp_path, merges):
     p = str(tmp_path / "merges")
     save_merges(spark, merges, p)
     assert load_merges(spark, p) == list(merges)
+
+
+# ---------------------------------------------------------------------------
+# round-10 hardening: Unicode-whitespace parity, merge-table validation,
+# expr-depth guard, split('') canary
+# ---------------------------------------------------------------------------
+
+
+def test_encode_parity_non_ascii_whitespace(spark):
+    """Java \\s is ASCII-only: NBSP (\\xa0), FS (\\x1c), NEL (\\x85),
+    thin space (\\u2009) are NOT word separators. The kernel path must
+    agree with the expression path (and the DuckDB replay) on corpora
+    containing them — regression for the str.split() Unicode-whitespace
+    divergence ('x\\x1cy' used to kernel-encode as two words)."""
+    rows = [
+        (0, "x\x1cy"),
+        (1, "a\xa0b a b"),
+        (2, "thin space the"),
+        (3, "nel\x85sep low"),
+        (4, "\xa0lead and trail\xa0"),
+        (5, "tab\tand\nnewline\x0bvt\fff\rcr"),  # ASCII \s: ALL separators
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = [("t", "h"), ("th", "e</w>"), ("l", "o"), ("a", "n")]
+    expr = {r.doc_id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    kern = {r.doc_id: r.bpe_tokens for r in bpe_encode_kernel(df, merges).collect()}
+    assert expr == kern, (expr, kern)
+    # spot-check the semantics, not just agreement: \x1c stays inside
+    # the word; \t \n \x0b \f \r all split
+    assert expr[0] == ["x", "\x1c", "y</w>"]
+    assert expr[5] == [
+        "t", "a", "b</w>", "an", "d</w>", "n", "e", "w", "l", "i", "n",
+        "e</w>", "v", "t</w>", "f", "f</w>", "c", "r</w>",
+    ]
+
+
+def test_validate_merges_rejects_inconsistent_table(spark):
+    from v3_polars_spark.datapipe.bpe import (
+        load_merges,
+        save_merges,
+        validate_merges,
+    )
+
+    # 'ab' is never produced before rank 0: the expr path (rank order)
+    # would leave [ab, c</w>] while the kernel priority loop reaches
+    # [abc</w>] — the exact silent-divergence shape validation blocks
+    bad = [("ab", "c</w>"), ("a", "b")]
+    with pytest.raises(ValueError, match="inconsistent merge table"):
+        validate_merges(bad)
+    df = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="inconsistent merge table"):
+        bpe_encode(df, bad)
+    # kernel semantics are well-defined for any table: explicit opt-outs
+    out = bpe_encode(df, bad, strategy="kernel").collect()
+    assert out[0].bpe_tokens == ["abc</w>"]  # priority loop fully merges
+    got = bpe_encode(df, bad, strategy="kernel", validate=False)
+    assert got.collect()[0].bpe_tokens == ["abc</w>"]
+    # load_merges validates external tables by default
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="bad_merges_") + "/m"
+    save_merges(spark, bad, p)
+    with pytest.raises(ValueError, match="inconsistent merge table"):
+        load_merges(spark, p)
+    assert load_merges(spark, p, validate=False) == bad
+    # consistent tables pass: EOW bases and products of earlier merges
+    validate_merges([("'", "t</w>"), ("n", "'t</w>"), ("o", "n't</w>")])
+
+
+def test_expr_strategy_merge_depth_guard(spark):
+    """strategy='expr' past expr_max_merges raises a clear error instead
+    of a raw JVM StackOverflowError mid-plan (worst on stream threads);
+    explicitly raising the ceiling is the documented override."""
+    df = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
+    merges = [("a", "b</w>")] * 50  # depth 50 > default ceiling 48
+    with pytest.raises(ValueError, match="expr_max_merges"):
+        bpe_encode(df, merges, strategy="expr")
+    # auto silently takes the kernel at this depth — no error
+    plan = (
+        bpe_encode(df, merges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+    # explicit override still builds the expression plan
+    out = bpe_encode(df, merges, strategy="expr", expr_max_merges=64)
+    assert out.collect()[0].bpe_tokens == ["ab</w>"]
+
+
+def test_split_empty_string_canary(spark):
+    """word_symbols depends on split(word, '') emitting no trailing ''
+    element; the builder filters empties defensively, and this canary
+    fails loudly if a Spark upgrade changes the underlying split."""
+    row = spark.range(1).select(F.split(F.lit("abc"), "").alias("cs")).first()
+    assert row.cs == ["a", "b", "c"]
+    from v3_polars_spark.datapipe.bpe import word_symbols
+
+    syms = (
+        spark.range(1)
+        .select(word_symbols(F.lit("abc")).alias("s"))
+        .first()
+        .s
+    )
+    assert syms == ["a", "b", "c</w>"]

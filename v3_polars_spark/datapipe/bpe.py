@@ -73,6 +73,7 @@ __all__ = [
     "merge_fold",
     "save_merges",
     "token_id_map",
+    "validate_merges",
     "word_counts",
     "word_symbols",
 ]
@@ -85,8 +86,14 @@ __all__ = [
 
 def word_symbols(word: Column) -> Column:
     """Initial BPE symbols of one word: characters, with ``</w>``
-    appended to the last one. ``low -> [l, o, w</w>]``."""
-    cs = F.split(word, "")
+    appended to the last one. ``low -> [l, o, w</w>]``.
+
+    Defensive: ``F.split(word, '')`` on the pinned Spark emits no
+    trailing empty element, but Java ``Pattern.split`` has produced a
+    trailing ``''`` on other versions — filter empties so a Spark
+    upgrade can't silently turn the last symbol into a bare ``</w>``
+    (also pinned loudly by the canary test in test_bpe)."""
+    cs = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
     return F.when(
         F.size(cs) <= 1, F.array(F.concat(word, F.lit(EOW)))
     ).otherwise(
@@ -239,6 +246,39 @@ def bpe_train(
 # --------------------------------------------------------------------------
 
 
+def validate_merges(merges: Sequence[tuple[str, str]]) -> None:
+    """Check a merge table is CONSISTENT: every operand of merge *k* is
+    a base symbol (one character, or one character + ``</w>``) or the
+    concatenation produced by an earlier merge.
+
+    Consistency is the precondition under which the expression path's
+    rank-order single-pass application equals the kernel path's
+    lowest-rank-first priority loop (Sennrich's learn_bpe output always
+    satisfies it; both trainers here produce it by construction).
+    ``load_merges`` accepts arbitrary external tables, so an
+    inconsistent table — e.g. ``[('ab','c'), ('a','b')]``, where
+    ``'ab'`` is never produced — would otherwise diverge SILENTLY
+    between the two strategies. Raises ``ValueError`` naming the first
+    offending rank."""
+
+    def is_base(s: str) -> bool:
+        return len(s) == 1 or (len(s) == len(EOW) + 1 and s.endswith(EOW))
+
+    produced: set[str] = set()
+    for rank, (a, b) in enumerate(merges):
+        for side, s in (("a", a), ("b", b)):
+            if not (is_base(s) or s in produced):
+                raise ValueError(
+                    f"inconsistent merge table: merge {rank} ({a!r}, {b!r}) "
+                    f"operand {side}={s!r} is neither a base symbol nor the "
+                    f"product of an earlier merge; rank-order (expr) and "
+                    f"priority-loop (kernel) application would diverge. "
+                    f"Reorder the table or pass validate=False to accept "
+                    f"kernel (priority-loop) semantics only."
+                )
+        produced.add(a + b)
+
+
 def bpe_encode(
     df: DataFrame,
     merges: Sequence[tuple[str, str]],
@@ -246,6 +286,7 @@ def bpe_encode(
     out_col: str = "bpe_tokens",
     expr_max_merges: int = 48,
     strategy: str = "auto",
+    validate: bool = True,
 ) -> DataFrame:
     """Tokenize ``text_col`` with a learned merge list.
 
@@ -271,6 +312,23 @@ def bpe_encode(
     merges = list(merges)
     if strategy not in ("auto", "expr", "kernel"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if validate and strategy != "kernel":
+        validate_merges(merges)
+    if strategy == "expr" and len(merges) > expr_max_merges:
+        # One nested ArrayAggregate per merge: past the threshold the
+        # expression tree overflows the JVM stack at real plan sizes —
+        # and on a STREAMING thread (smaller stack than main) it dies as
+        # a raw StackOverflowError mid-trigger (BENCH_NOTES lesson).
+        # Fail fast with the fix instead.
+        raise ValueError(
+            f"strategy='expr' with {len(merges)} merges exceeds "
+            f"expr_max_merges={expr_max_merges}: the nested-fold "
+            f"expression would risk a JVM StackOverflowError at plan "
+            f"build/codegen time (worse on streaming threads). Use "
+            f"strategy='kernel' (the bulk path, parity-pinned) or "
+            f"explicitly raise expr_max_merges if you control the "
+            f"driver/executor thread stack size."
+        )
     use_expr = strategy == "expr" or (
         strategy == "auto" and len(merges) <= expr_max_merges
     )
@@ -332,12 +390,22 @@ def bpe_encode_kernel(
     )
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        # Match normalize_text's Java regex EXACTLY: Java \s is the
+        # ASCII class [ \t\n\x0B\f\r] == Python \s under re.ASCII.
+        # Python str.split() (Unicode whitespace: \xa0, \x85, \x1c-\x1f,
+        #  ...) would silently diverge from the expression path on
+        # any corpus containing non-ASCII whitespace — NBSP is
+        # ubiquitous in real web text. strip(' ') likewise: Spark's
+        # trim removes only 0x20, Python's bare strip() is Unicode-wide.
+        ws = re.compile(r"\s+", flags=re.ASCII)
         memo: dict[str, list[str]] = {}
 
         def enc_text(text: str | None) -> list[str]:
             if text is None:
                 return []
-            norm = " ".join(str(text).lower().split())
+            norm = ws.sub(" ", str(text).lower()).strip(" ")
             toks: list[str] = []
             for w in norm.split(" "):
                 if not w:
@@ -374,10 +442,19 @@ def save_merges(
     ).parquet(path)
 
 
-def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
-    """Load a merge table saved by :func:`save_merges`, rank order."""
+def load_merges(
+    spark: SparkSession, path: str, validate: bool = True
+) -> list[tuple[str, str]]:
+    """Load a merge table saved by :func:`save_merges`, rank order.
+    External tables are :func:`validate_merges`-checked by default —
+    an inconsistent table would make the expr and kernel encode paths
+    silently diverge (pass ``validate=False`` to accept one with
+    kernel/priority-loop semantics only)."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
-    return [(r.a, r.b) for r in rows]
+    merges = [(r.a, r.b) for r in rows]
+    if validate:
+        validate_merges(merges)
+    return merges
 
 
 def token_id_map(df: DataFrame, tokens_col: str = "bpe_tokens") -> DataFrame:
