@@ -1401,25 +1401,14 @@ def dp_token_shards(spark, sf):
     ids = shards.select(
         "seq", F.posexplode("tokens").alias("p", "token")
     ).join(F.broadcast(vocab), "token")
-    # position-salted 40-bit md5-prefix ints, summed exactly in int64
-    # (2048 x 2^40 < 2^63): an unordered hash agg — no per-sequence
-    # ordered buffering on either engine (the string_agg form OOM'd the
-    # DuckDB yardstick at sf1), yet any token/position change moves it
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("p").cast("string"),
-                    F.col("token_id").cast("string"),
-                )
-            ),
-            1,
-            10,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # position-salted 40-bit fingerprint terms summed per sequence: an
+    # unordered hash agg — no per-sequence ordered buffering on either
+    # engine (the string_agg form OOM'd the DuckDB yardstick at sf1),
+    # yet any token/position change moves it. Collision bound and
+    # exactness proof: datapipe/fingerprint.py module docstring.
+    from v3_polars_spark.datapipe import salted_fp_term
+
+    h = salted_fp_term(F.col("p"), F.col("token_id"))
     return ids.groupBy("seq").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(h).alias("id_fp"),
@@ -2349,23 +2338,12 @@ def q_stream_token_shards(spark, sf):
         )
         shards = shards.unionByName(tail)
 
-    def _h(t, i):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", i.cast("string"), t)), 1, 10
-            ),
-            16,
-            10,
-        ).cast("long")
-
     # same unordered position-salted sum fingerprint as dp_token_shards,
     # computed in place per shard (transform-with-index + fold, no
-    # shuffle)
-    fp = F.aggregate(
-        F.transform("tokens", _h),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    # shuffle); bound + exactness: datapipe/fingerprint.py
+    from v3_polars_spark.datapipe import position_salted_fp
+
+    fp = position_salted_fp(F.col("tokens"))
     return shards.select(
         "seq",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -3819,7 +3797,7 @@ def _token_shards_sql(max_len: int = 64) -> str:
     """Replay of dp_token_shards: BPE encode (same frozen merges),
     '</doc>' termination, prefix-sum layout over doc_id order, dense
     token-id vocabulary, per-sequence ordered id fingerprint."""
-    from v3_polars_spark.datapipe import bpe_encode_sql
+    from v3_polars_spark.datapipe import bpe_encode_sql, position_salted_fp_sum_sql
 
     word_expr = bpe_encode_sql(_BPE_MERGES)
     return f"""
@@ -3850,11 +3828,11 @@ def _token_shards_sql(max_len: int = 64) -> str:
         ids AS (SELECT pos, token_id FROM tok JOIN vocab USING (token))
         SELECT CAST(floor(pos / {max_len}) AS BIGINT) AS seq,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(('0x' || substr(md5(
-                   CAST(CAST(pos - {max_len} * floor(pos / {max_len})
-                       AS BIGINT) AS VARCHAR)
-                   || ':' || CAST(token_id AS VARCHAR)), 1, 10))::BIGINT)
-                   AS BIGINT) AS id_fp
+               {position_salted_fp_sum_sql(
+                   f"CAST(CAST(pos - {max_len} * floor(pos / {max_len}) "
+                   f"AS BIGINT) AS VARCHAR)",
+                   "CAST(token_id AS VARCHAR)",
+               )} AS id_fp
         FROM ids GROUP BY 1
     """
 
@@ -3864,7 +3842,7 @@ def _stream_token_shards_sql(max_len: int = 64) -> str:
     the batch concatenate-and-split layout over arrival (= doc_id)
     order — same CTEs as _token_shards_sql, token strings instead of
     vocabulary ids, ragged tail included."""
-    from v3_polars_spark.datapipe import bpe_encode_sql
+    from v3_polars_spark.datapipe import bpe_encode_sql, position_salted_fp_sum_sql
 
     word_expr = bpe_encode_sql(_BPE_MERGES)
     return f"""
@@ -3890,10 +3868,11 @@ def _stream_token_shards_sql(max_len: int = 64) -> str:
         )
         SELECT CAST(floor(pos / {max_len}) AS BIGINT) AS seq,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(('0x' || substr(md5(
-                   CAST(CAST(pos - {max_len} * floor(pos / {max_len})
-                       AS BIGINT) AS VARCHAR)
-                   || ':' || token), 1, 10))::BIGINT) AS BIGINT) AS tok_fp
+               {position_salted_fp_sum_sql(
+                   f"CAST(CAST(pos - {max_len} * floor(pos / {max_len}) "
+                   f"AS BIGINT) AS VARCHAR)",
+                   "token",
+               )} AS tok_fp
         FROM tok GROUP BY 1
     """
 

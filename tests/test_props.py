@@ -954,3 +954,82 @@ def test_dedup_substrings_matches_bruteforce(spark, texts, k, min_count):
         assert got[i] == (" ".join(kept), len(t), len(t) - len(kept)), (
             i, texts, k, min_count, got[i],
         )
+
+
+# ---------------------------------------------------------------------------
+# position-salted fingerprint (datapipe/fingerprint.py) — oracle
+# infrastructure promoted to the library in round 10
+# ---------------------------------------------------------------------------
+
+
+def _fp_py(tokens):
+    """Pure-Python replay of position_salted_fp: sum of 40-bit md5
+    prefixes of 'i:token'."""
+    import hashlib
+
+    return sum(
+        int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:10], 16)
+        for i, t in enumerate(tokens)
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=["\x00"]
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_position_salted_fp_three_way_and_sensitivity(spark, toks):
+    """Spark fold == DuckDB SQL term == pure-Python md5 reference; and
+    the fingerprint moves under single-token mutation, adjacent swap of
+    unequal tokens, truncation, and extension (40-bit terms: a chance
+    agreement on any sampled case would be a ~2**-40 event — treat a
+    hit as a real bug)."""
+    import duckdb
+
+    from v3_polars_spark.datapipe import (
+        position_salted_fp,
+        salted_fp_term_sql,
+    )
+    from pyspark.sql import functions as F
+
+    ref = _fp_py(toks)
+    got = (
+        spark.createDataFrame([(toks,)], ["tokens"])
+        .select(position_salted_fp(F.col("tokens")).alias("fp"))
+        .first()
+        .fp
+    )
+    assert got == ref
+    term = salted_fp_term_sql("CAST(i - 1 AS VARCHAR)", "t")
+    duck = duckdb.connect().execute(
+        f"""
+        SELECT CAST(COALESCE(sum({term}), 0) AS BIGINT)
+        FROM (SELECT unnest(?) AS t,
+                     generate_subscripts(?, 1) AS i)
+        """,
+        [toks, toks],
+    ).fetchone()[0]
+    assert duck == ref
+    # sensitivity: every structural perturbation moves the value
+    assert _fp_py(toks + ["x"]) != ref
+    assert _fp_py([t + "y" for t in toks[:1]] + toks[1:]) != ref
+    if len(toks) > 1:
+        assert _fp_py(toks[:-1]) != ref
+        if toks[0] != toks[1]:
+            assert _fp_py([toks[1], toks[0]] + toks[2:]) != ref
+
+
+def test_position_salted_fp_exactness_bound(spark):
+    """2048 max-weight terms stay exact: sum < 2**52 < 2**53 (double-
+    safe) — the documented bound for 4096-token sequences."""
+    n, max_term = 4096, (1 << 40) - 1
+    assert n * max_term < (1 << 53)
