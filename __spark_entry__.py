@@ -2351,6 +2351,63 @@ def q_stream_token_shards(spark, sf):
     )
 
 
+def q_stream_token_shards_by(spark, sf):
+    """Shard-keyed streaming packer (the 100 TB posture): same drain as
+    stream_token_shards but ``by='source'`` — per-shard rank window,
+    per-shard sequence numbering, one carry row per live shard — so no
+    single task ever materializes a whole trigger. Each source is an
+    independent packed stream; the oracle replays the per-source batch
+    concatenate-and-split layout (arrival order = doc_id within a
+    source). Full and tail sequences fingerprinted as in
+    dp_token_shards (datapipe/fingerprint.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from v3_polars_spark.datapipe import bpe_encode, position_salted_fp
+    from v3_polars_spark.streaming import (
+        compact_packed_shards,
+        read_pack_carries,
+        read_packed_shards,
+        streaming_token_shards,
+    )
+
+    _prep(spark)
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix="stream_pack_by_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stream = bpe_encode(
+        spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select("doc_id", "source", "text"),
+        _BPE_MERGES,
+        strategy="kernel",
+    )
+    streaming_token_shards(
+        stream, root, os.path.join(root, "ckpt"), max_len=64,
+        sep_token="</doc>", by="source",
+    )
+    carries = read_pack_carries(spark, root)
+    compact_packed_shards(spark, root, exclude_newest=False)
+    shards = read_packed_shards(spark, root, sharded=True)
+    tails = [
+        (shard, seq0, rem, len(rem))
+        for shard, (seq0, rem) in sorted(carries.items())
+        if rem
+    ]
+    if tails:
+        shards = shards.unionByName(
+            spark.createDataFrame(tails, shards.schema)
+        )
+    return shards.select(
+        F.col("shard"),
+        "seq",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        position_salted_fp(F.col("tokens")).alias("tok_fp"),
+    )
+
+
 def q_stream_dedup(spark, sf):
     """§2.8 dedup as an oracle-checked query: streaming dropDuplicates
     over the events file source (AvailableNow drain into a memory sink),
@@ -3060,6 +3117,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corpus_dedup_self": q_stream_corpus_dedup_self,
         "stream_ivf_assign": q_stream_ivf_assign,
         "stream_token_shards": q_stream_token_shards,
+        "stream_token_shards_by": q_stream_token_shards_by,
         "heavy_hitters": q_heavy_hitters,
         "funnel": q_funnel,
         "retention": q_retention,
@@ -3874,6 +3932,50 @@ def _stream_token_shards_sql(max_len: int = 64) -> str:
                    "token",
                )} AS tok_fp
         FROM tok GROUP BY 1
+    """
+
+
+def _stream_token_shards_by_sql(max_len: int = 64) -> str:
+    """Replay of q_stream_token_shards_by: the per-SOURCE batch
+    concatenate-and-split layout (prefix sum, position, and sequence
+    numbering all PARTITION BY source), ragged tail per source
+    included."""
+    from v3_polars_spark.datapipe import bpe_encode_sql, position_salted_fp_sum_sql
+
+    word_expr = bpe_encode_sql(_BPE_MERGES)
+    return f"""
+        WITH enc AS (
+            SELECT doc_id, source AS shard,
+                   flatten(list_transform(
+                       list_filter(string_split({_NORM}, ' '), w0 -> w0 <> ''),
+                       w -> {word_expr}
+                   )) || ['</doc>'] AS toks
+            FROM documents
+        ),
+        lens AS (
+            SELECT doc_id, shard, toks, CAST(len(toks) AS BIGINT) AS n
+            FROM enc
+        ),
+        off AS (
+            SELECT doc_id, shard, toks,
+                   COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS s0
+            FROM lens
+        ),
+        tok AS (
+            SELECT shard, s0 + i - 1 AS pos, toks[i] AS token
+            FROM off, unnest(generate_series(1, len(toks))) AS t(i)
+        )
+        SELECT shard,
+               CAST(floor(pos / {max_len}) AS BIGINT) AS seq,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               {position_salted_fp_sum_sql(
+                   f"CAST(CAST(pos - {max_len} * floor(pos / {max_len}) "
+                   f"AS BIGINT) AS VARCHAR)",
+                   "token",
+               )} AS tok_fp
+        FROM tok GROUP BY 1, 2
     """
 
 
@@ -4881,6 +4983,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_bpe_encode": _bpe_encode_oracle_sql(),
         "dp_token_shards": _token_shards_sql(),
         "stream_token_shards": _stream_token_shards_sql(),
+        "stream_token_shards_by": _stream_token_shards_by_sql(),
         "stream_resample": f"""
             SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
                             '{TS_FMT_DUCK}') AS bucket_str,

@@ -438,3 +438,142 @@ def test_split_empty_string_canary(spark):
         .s
     )
     assert syms == ["a", "b", "c</w>"]
+
+
+# ---------------------------------------------------------------------------
+# batched trainer (round 10): exact application, batch_k=1 == sequential,
+# disjoint-top-k == sequential, consistency of the output table
+# ---------------------------------------------------------------------------
+
+
+def test_train_batched_k1_equals_sequential(corpus, merges):
+    from v3_polars_spark.datapipe.bpe import bpe_train_batched
+
+    got = bpe_train_batched(corpus, 12, batch_k=1, materialize_every=5)
+    assert got == list(merges) == ref_train(TEXTS, 12)
+
+
+def test_train_batched_disjoint_topk_equals_sequential(spark):
+    """Non-cascading corpus (each word collapses to one terminal symbol,
+    no merge creates a new pair): every round's top-k pairs are mutually
+    disjoint and the batched table equals sequential Sennrich
+    merge-for-merge across two full rounds (8 merges, k=4)."""
+    from v3_polars_spark.datapipe.bpe import bpe_train_batched
+
+    tiers = list(zip("abcdefgh", [12, 11, 10, 9, 8, 7, 6, 5]))
+    texts = [c * 2 for c, n in tiers for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    seq = ref_train(texts, 8)
+    assert bpe_train(df, 8) == seq
+    got = bpe_train_batched(df, 8, batch_k=4, materialize_every=1)
+    assert got == seq == [(c, f"{c}{EOW}") for c, _n in tiers]
+
+
+def test_train_batched_cascade_is_the_documented_approximation(spark):
+    """The known divergence shape, pinned: merging (a,a</w>) mints
+    (aa,aa</w>) at full count mid-round, which sequential Sennrich takes
+    IMMEDIATELY but a batch cannot see until the next round. Both tables
+    must still contain the same merges for this corpus — only the order
+    differs — and both must be consistent tables."""
+    from v3_polars_spark.datapipe.bpe import bpe_train_batched, validate_merges
+
+    texts = ["aaaa"] * 12 + ["bbbb"] * 11 + ["cccc"] * 10 + ["dddd"] * 9
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    seq = ref_train(texts, 8)
+    got = bpe_train_batched(df, 8, batch_k=4, materialize_every=1)
+    assert got != seq  # selection approximation, by design
+    validate_merges(got)
+    # round 1 agrees with sequential merges 1-4 (the char tier); the
+    # cascade products land in round 2 instead of interleaved
+    assert got[:4] == seq[:4] == [
+        ("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")
+    ]
+    assert len(got) == 8
+    # sequential interleaves the minted products immediately:
+    # seq[5] == (aa, aa</w>); the batch defers them one round
+    assert seq[5] == ("aa", f"aa{EOW}")
+    assert got[4:] == [
+        ("a", f"a{EOW}"), ("b", f"b{EOW}"),
+        ("c", f"c{EOW}"), ("d", f"d{EOW}"),
+    ]
+
+
+def test_train_batched_output_is_consistent_and_encodes_parity(corpus):
+    """Whatever the batched trainer returns must be a CONSISTENT merge
+    table (validate_merges passes) and encode identically via expr,
+    kernel, and the pure-Python priority loop."""
+    from v3_polars_spark.datapipe.bpe import bpe_train_batched, validate_merges
+
+    got = bpe_train_batched(corpus, 12, batch_k=4, materialize_every=2)
+    assert len(got) == 12
+    validate_merges(got)
+    expr = {r.doc_id: r.bpe_tokens for r in bpe_encode(corpus, got).collect()}
+    kern = {
+        r.doc_id: r.bpe_tokens for r in bpe_encode_kernel(corpus, got).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert expr[i] == kern[i] == py_encode_text(t, got), (t, expr[i])
+
+
+def test_train_batched_accepts_precomputed_word_counts(spark, corpus):
+    """words_df short-circuits the corpus scan — the 100 TB posture
+    where the (word, wcount) table is built once by the pipeline."""
+    from v3_polars_spark.datapipe.bpe import bpe_train_batched, word_counts
+
+    wc = word_counts(corpus)
+    got = bpe_train_batched(None, 6, batch_k=3, words_df=wc)
+    assert got == bpe_train_batched(corpus, 6, batch_k=3)
+    assert bpe_train(None, 6, words_df=wc) == bpe_train(corpus, 6)
+
+
+def test_merge_fold_multi_equals_sequential_folds(spark):
+    """Random disjoint batches: one combined pass == sequential
+    per-merge folds, including symbols containing ':' (the map key is
+    length-prefixed) and an (x, x) self-pair."""
+    from v3_polars_spark.datapipe.bpe import merge_fold, merge_fold_multi
+
+    rows = [
+        (0, ["a", "b", "c", "d", "a", "b"]),
+        (1, ["x", "x", "x", "y:", ":z", "q</w>"]),
+        (2, ["a", "a", "b", "b", "c", "d"]),
+        (3, []),
+        (4, ["d"]),
+    ]
+    batch = [("a", "b"), ("c", "d"), ("x", "x"), ("y:", ":z")]
+    df = spark.createDataFrame(rows, ["i", "syms"])
+    multi = {
+        r.i: r.out
+        for r in df.select(
+            "i", merge_fold_multi(F.col("syms"), batch).alias("out")
+        ).collect()
+    }
+    col = F.col("syms")
+    for a, b in batch:
+        col = merge_fold(col, a, b)
+    seq = {r.i: r.out for r in df.select("i", col.alias("out")).collect()}
+    assert multi == seq
+    assert multi[0] == ["ab", "cd", "ab"]
+    assert multi[1] == ["xx", "x", "y::z", "q</w>"]
+
+
+def test_admit_disjoint_rules(spark):
+    from v3_polars_spark.datapipe.bpe import _admit_disjoint
+
+    cands = [
+        ("a", "b", 100),   # admitted
+        ("b", "c", 90),    # shares operand b -> skipped
+        ("ab", "x", 80),   # operand 'ab' == admitted concat -> skipped
+        ("c", "d", 70),    # admitted
+        ("e", "cd", 60),   # operand == admitted concat -> skipped
+        ("e", "f", 50),    # admitted
+        ("g", "h", 40),    # beyond batch_k=3 -> cut
+    ]
+    assert _admit_disjoint(cands, 3) == [("a", "b"), ("c", "d"), ("e", "f")]
+    # concat minting an admitted operand is blocked: admitted ('ab','c')
+    # first, then ('a','b') would CREATE new 'ab' symbols -> skipped
+    cands2 = [("ab", "c", 100), ("a", "b", 90), ("x", "y", 80)]
+    assert _admit_disjoint(cands2, 3) == [("ab", "c"), ("x", "y")]

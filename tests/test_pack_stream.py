@@ -190,3 +190,151 @@ def test_full_compaction_of_quiesced_drain_preserves_live_carry(spark, tmp_path)
     seq0, rem = read_pack_carry(spark, root)
     total = sum(len(t) for _, t in DOCS[:5])
     assert seq0 == total // 3 and len(rem) == total % 3
+
+
+# ---------------------------------------------------------------------------
+# shard-keyed packer (round 10): per-shard rank/pack/seq/carry
+# ---------------------------------------------------------------------------
+
+SCHEMA_BY = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+    ]
+)
+
+DOCS_BY = [
+    (0, "x", ["a", "b", "c"]),
+    (1, "y", ["d", "e", "f", "g", "h"]),
+    (2, "x", []),
+    (3, "y", ["i"] * 9),
+    (4, "x", ["j", "k"]),
+    (5, "z", ["l", "m", "n", "o"]),
+    (6, "x", ["p", "q", "r"]),
+    (7, "z", ["s"]),
+]
+
+
+def sharded_map(df):
+    return {
+        (r.shard, r.seq): (tuple(r.tokens), r.n_tokens) for r in df.collect()
+    }
+
+
+def batch_reference_by(spark, docs, max_len, sep="<s>", full_only=True):
+    ref = pack_sequences(
+        spark.createDataFrame(docs, SCHEMA_BY).withColumn(
+            "shard", F.col("src")
+        ),
+        "bpe_tokens",
+        ["doc_id"],
+        max_len=max_len,
+        by=["shard"],
+        sep_token=sep,
+    )
+    return {
+        (r.shard, r.seq): (tuple(r.tokens), r.n_tokens)
+        for r in ref.collect()
+        if (not full_only) or r.n_tokens == max_len
+    }
+
+
+def test_sharded_stream_matches_batch_by_across_triggers(spark, tmp_path):
+    """Per-shard streamed packing across waves (with shards absent from
+    some waves) equals ONE batch pack_sequences(by=) over the full
+    corpus; carries per shard match the batch tails."""
+    from v3_polars_spark.streaming import read_pack_carries
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "pack")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    waves = [DOCS_BY[:2], DOCS_BY[2:5], DOCS_BY[5:]]
+    seen = []
+    for wave in waves:
+        seen += wave
+        spark.createDataFrame(wave, SCHEMA_BY).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(SCHEMA_BY).parquet(src)
+        streaming_token_shards(
+            stream, root, ckpt, max_len=4, sep_token="<s>", by="src"
+        )
+        got = sharded_map(read_packed_shards(spark, root))
+        assert got == batch_reference_by(spark, seen, 4)
+    # final carries == batch tails per shard
+    carries = read_pack_carries(spark, root)
+    ref_all = batch_reference_by(spark, seen, 4, full_only=False)
+    for shard in {d[1] for d in DOCS_BY}:
+        total = sum(len(t) + 1 for _, s, t in DOCS_BY if s == shard)
+        seq0, rem = carries[shard]
+        assert seq0 == total // 4 and len(rem) == total % 4
+        if rem:
+            assert ref_all[(shard, seq0)] == (tuple(rem), len(rem))
+
+
+def test_sharded_carry_forward_untouched_shards(spark, tmp_path):
+    """A trigger containing only shard-y docs must carry shard-x's
+    state forward unchanged (the O(1) newest-dir fast path depends on
+    the full live carry set being in every commit)."""
+    from v3_polars_spark.streaming import read_pack_carries
+    from v3_polars_spark.streaming.pack_stream import token_pack_batch_fn
+
+    root = str(tmp_path / "pack")
+    fn = token_pack_batch_fn(
+        spark, root, max_len=3, sep_token=None, by="src"
+    )
+    fn(spark.createDataFrame(DOCS_BY[:1], SCHEMA_BY), 0)  # only shard x
+    cx = read_pack_carries(spark, root)["x"]
+    fn(spark.createDataFrame(DOCS_BY[1:2], SCHEMA_BY), 1)  # only shard y
+    after = read_pack_carries(spark, root)
+    assert after["x"] == cx
+    assert after["y"] == (1, ["g", "h"])  # 5 tokens, max_len 3
+    # exactly-once: replaying batch 1 changes nothing
+    before = sharded_map(read_packed_shards(spark, root))
+    fn(spark.createDataFrame(DOCS_BY[1:2], SCHEMA_BY), 1)
+    assert sharded_map(read_packed_shards(spark, root)) == before
+    assert read_pack_carries(spark, root) == after
+
+
+def test_sharded_compaction_preserves_per_shard_carries(spark, tmp_path):
+    from v3_polars_spark.streaming import read_pack_carries
+    from v3_polars_spark.streaming.pack_stream import token_pack_batch_fn
+
+    root = str(tmp_path / "pack")
+    fn = token_pack_batch_fn(spark, root, max_len=3, sep_token="<s>", by="src")
+    for i, wave in enumerate([DOCS_BY[:3], DOCS_BY[3:6], DOCS_BY[6:]]):
+        fn(spark.createDataFrame(wave, SCHEMA_BY), i)
+    before_shards = sharded_map(read_packed_shards(spark, root))
+    before_carries = read_pack_carries(spark, root)
+    compact_packed_shards(spark, root, exclude_newest=True)
+    assert sharded_map(read_packed_shards(spark, root)) == before_shards
+    assert read_pack_carries(spark, root) == before_carries
+    # full compaction of a quiesced drain: fallback per-shard recovery
+    compact_packed_shards(spark, root, exclude_newest=False)
+    assert sharded_map(read_packed_shards(spark, root)) == before_shards
+    assert read_pack_carries(spark, root) == before_carries
+    # drain continues from the compacted store
+    extra = [(8, "y", ["z", "z", "z", "z"])]
+    fn(spark.createDataFrame(extra, SCHEMA_BY), 3)
+    got = sharded_map(read_packed_shards(spark, root))
+    ref = batch_reference_by(spark, DOCS_BY + extra, 3)
+    assert got == ref
+
+
+def test_sharded_empty_batch_and_empty_store(spark, tmp_path):
+    from v3_polars_spark.streaming import read_pack_carries
+    from v3_polars_spark.streaming.pack_stream import token_pack_batch_fn
+
+    root = str(tmp_path / "pack")
+    assert read_pack_carries(spark, root) == {}
+    assert read_packed_shards(spark, root, sharded=True).columns == [
+        "shard", "seq", "tokens", "n_tokens",
+    ]
+    fn = token_pack_batch_fn(spark, root, max_len=3, sep_token=None, by="src")
+    fn(spark.createDataFrame([], SCHEMA_BY), 0)  # empty first trigger
+    assert read_pack_carries(spark, root) == {}
+    fn(spark.createDataFrame(DOCS_BY[:1], SCHEMA_BY), 1)
+    fn(spark.createDataFrame([], SCHEMA_BY), 2)  # empty mid-drain
+    assert read_pack_carries(spark, root) == {"x": (1, [])}

@@ -68,9 +68,11 @@ __all__ = [
     "bpe_encode_sql",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_train_batched",
     "encode_word_py",
     "load_merges",
     "merge_fold",
+    "merge_fold_multi",
     "save_merges",
     "token_id_map",
     "validate_merges",
@@ -125,6 +127,42 @@ def _apply_merges(col: Column, merges: Sequence[tuple[str, str]]) -> Column:
     for a, b in merges:
         col = merge_fold(col, a, b)
     return col
+
+
+def merge_fold_multi(col: Column, batch: Sequence[tuple[str, str]]) -> Column:
+    """Apply a MUTUALLY-DISJOINT merge batch in ONE greedy left-to-right
+    pass (a single ArrayAggregate regardless of batch size — constant
+    expression depth, unlike one nested fold per merge).
+
+    Disjointness contract (what :func:`bpe_train_batched` admits): no
+    two batch pairs share an operand symbol, and no pair's operand
+    equals another pair's concatenation. Under it, one combined pass is
+    exactly equivalent to applying the batch's folds sequentially in
+    any order: a merged tail symbol ``ab`` can never be the left
+    operand of another batch pair, and no batch merge can create or
+    destroy occurrences of another.
+
+    Lookup is a literal map keyed by the LENGTH-PREFIXED pair
+    ``"len(a):a+b"`` — unambiguous even when symbols contain ``:`` or
+    each other (the prefix fixes where ``a`` ends). ``try_element_at``
+    keeps absent keys (and the NULL key from an empty accumulator)
+    NULL instead of an ANSI error."""
+    entries: list[Column] = []
+    for a, b in batch:
+        entries.append(F.lit(f"{len(a)}:{a}{b}"))
+        entries.append(F.lit(a + b))
+    m = F.create_map(*entries)
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.element_at(acc, -1)
+        key = F.concat(F.length(last).cast("string"), F.lit(":"), last, x)
+        hit = F.try_element_at(m, key)
+        return F.when(
+            (F.size(acc) > 0) & hit.isNotNull(),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(hit)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(col, F.expr("cast(array() as array<string>)"), step)
 
 
 def _words(text: Column) -> Column:
@@ -184,13 +222,32 @@ def bpe_pair_counts(
     ).agg(F.sum("wcount").alias("pair_count"))
 
 
+def _symbol_table(
+    df: DataFrame | None, text_col: str, words_df: DataFrame | None
+) -> DataFrame:
+    """The trainer's working set ``(syms, wcount)``. ``words_df`` — a
+    precomputed ``(word, wcount)`` frame — short-circuits the corpus
+    aggregation: at 100 TB the word-count table is built ONCE (or
+    incrementally by the ingest pipeline) and reused across training
+    runs, so the trainer never rescans raw text."""
+    if words_df is None:
+        if df is None:
+            raise ValueError("pass a corpus df or a words_df")
+        words_df = word_counts(df, text_col)
+    return words_df.select(
+        word_symbols(F.col("word")).alias("syms"),
+        F.col("wcount").cast("long").alias("wcount"),
+    )
+
+
 def bpe_train(
-    df: DataFrame,
+    df: DataFrame | None,
     num_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
     materialize_every: int = 8,
     work_dir: str | None = None,
+    words_df: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a corpus.
 
@@ -200,15 +257,17 @@ def bpe_train(
     rewrite of the symbol arrays. Stops early when no pair reaches
     ``min_pair_count``. The symbol table round-trips through parquet
     every ``materialize_every`` merges to keep the plan flat.
+
+    Cost is ``num_merges`` SEQUENTIAL Spark jobs — exact Sennrich
+    semantics, right for small/medium merge counts. For
+    production-sized vocabularies (32k merges) the per-merge driver
+    round-trip dominates; use :func:`bpe_train_batched` (measured cost
+    curves in BENCH_NOTES).
     """
-    spark = df.sparkSession
+    spark = (df or words_df).sparkSession
     tmp = work_dir or tempfile.mkdtemp(prefix="bpe_train_")
     own_tmp = work_dir is None
-    words = (
-        word_counts(df, text_col)
-        .select(word_symbols(F.col("word")).alias("syms"), "wcount")
-        .persist()
-    )
+    words = _symbol_table(df, text_col, words_df).persist()
     merges: list[tuple[str, str]] = []
     try:
         cur = words
@@ -232,6 +291,123 @@ def bpe_train(
             )
             if (step + 1) % materialize_every == 0:
                 path = os.path.join(tmp, f"it{step + 1}")
+                cur.write.mode("overwrite").parquet(path)
+                cur = spark.read.parquet(path)
+        return merges
+    finally:
+        words.unpersist()
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _admit_disjoint(
+    cands: list[tuple[str, str, int]], batch_k: int
+) -> list[tuple[str, str]]:
+    """Greedy batch admission in (count DESC, a, b) order, keeping only
+    pairs MUTUALLY DISJOINT from everything already admitted this round:
+
+    - no shared operand symbol (``used``): applying one merge must not
+      create/destroy occurrences of another — (x,a) occurrences die
+      when (a,b) fires on ``x a b``;
+    - operand not equal to an admitted concatenation (``made``): merge
+      products must not feed another batch member's matches;
+    - concatenation not equal to an admitted operand: firing (a,b) must
+      not mint new operand symbols for an already-admitted pair.
+
+    Under these rules every admitted pair's pre-round count is its true
+    count at its (virtual) sequential turn, and one combined pass
+    (:func:`merge_fold_multi`) applies the batch exactly."""
+    used: set[str] = set()
+    made: set[str] = set()
+    batch: list[tuple[str, str]] = []
+    for a, b, _c in cands:
+        if len(batch) >= batch_k:
+            break
+        if a in used or b in used or a in made or b in made:
+            continue
+        if (a + b) in used:
+            continue
+        batch.append((a, b))
+        used.update((a, b))
+        made.add(a + b)
+    return batch
+
+
+def bpe_train_batched(
+    df: DataFrame | None,
+    num_merges: int,
+    text_col: str = "text",
+    batch_k: int = 64,
+    min_pair_count: int = 2,
+    topn_factor: int = 8,
+    materialize_every: int = 8,
+    work_dir: str | None = None,
+    words_df: DataFrame | None = None,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges with up to ``batch_k`` merges admitted per
+    Spark round — the scale path for production vocabularies, where
+    :func:`bpe_train`'s one-job-per-merge design means 32k sequential
+    driver round-trips.
+
+    Per ROUND (not per merge): one pair-count hash aggregation over the
+    symbol table, one ``topn_factor * batch_k``-row collect (ordered
+    count DESC, a, b — same deterministic argmax stream as the
+    sequential trainer), greedy driver-side admission of a mutually
+    disjoint prefix (:func:`_admit_disjoint`), one combined-pass rewrite
+    (:func:`merge_fold_multi` — constant expression depth per round).
+    ``batch_k=1`` admits exactly the sequential argmax, reproducing
+    :func:`bpe_train` merge-for-merge.
+
+    Semantics: APPLICATION is exact (disjointness makes the combined
+    pass equal to sequential folds, so the returned table is consistent
+    — :func:`validate_merges` passes and both encode strategies agree).
+    SELECTION is the standard batched approximation: merges admitted in
+    one round cannot see pairs the round itself creates, so against
+    sequential Sennrich a product pair (e.g. ``(aa, aa)``) enters one
+    round later than its count might warrant. Where the top-k pairs are
+    naturally disjoint — the overwhelmingly common case on real text,
+    where top pairs come from different words — the batched and
+    sequential tables agree exactly (pinned in tests); measured
+    agreement and cost curves live in BENCH_NOTES.
+
+    Stops early when no pair reaches ``min_pair_count``. The symbol
+    table round-trips through parquet every ``materialize_every``
+    ROUNDS to keep plan depth bounded.
+    """
+    spark = (df if df is not None else words_df).sparkSession
+    tmp = work_dir or tempfile.mkdtemp(prefix="bpe_train_batched_")
+    own_tmp = work_dir is None
+    words = _symbol_table(df, text_col, words_df).persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        cur = words
+        rounds = 0
+        while len(merges) < num_merges:
+            want = min(batch_k, num_merges - len(merges))
+            pairs = cur.select(
+                "wcount", F.explode(_sym_pairs(F.col("syms"))).alias("p")
+            )
+            top = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("wcount").alias("c"))
+                .filter(F.col("c") >= min_pair_count)
+                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                .limit(max(topn_factor * want, want))
+                .collect()
+            )
+            batch = _admit_disjoint(
+                [(r["a"], r["b"], r["c"]) for r in top], want
+            )
+            if not batch:
+                break
+            merges.extend(batch)
+            cur = cur.select(
+                merge_fold_multi(F.col("syms"), batch).alias("syms"),
+                "wcount",
+            )
+            rounds += 1
+            if rounds % materialize_every == 0:
+                path = os.path.join(tmp, f"round{rounds}")
                 cur.write.mode("overwrite").parquet(path)
                 cur = spark.read.parquet(path)
         return merges

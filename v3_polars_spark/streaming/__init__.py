@@ -28,6 +28,7 @@ from .dedup_stream import (
 )
 from .pack_stream import (
     compact_packed_shards,
+    read_pack_carries,
     read_pack_carry,
     read_packed_shards,
     streaming_token_shards,
@@ -62,5 +63,6 @@ __all__ = [
     "streaming_token_shards",
     "read_packed_shards",
     "read_pack_carry",
+    "read_pack_carries",
     "compact_packed_shards",
 ]

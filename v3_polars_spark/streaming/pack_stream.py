@@ -35,6 +35,22 @@ compaction.
 Upstream tokenization composes freely: ``datapipe.bpe.bpe_encode``'s
 expression path is stateless, so ``bpe_encode(readStream(...), merges)``
 feeds this packer without any extra state.
+
+**Shard-keyed mode** (``by=`` — the 100 TB posture, mirroring
+``pack_sequences(by=...)``): without a shard key every trigger ranks the
+batch with a GLOBAL ``row_number()`` window, so one task materializes
+every token array in the batch before the pack redistributes — fine for
+the oracle-scale stream, a single-task bottleneck at cluster scale.
+With ``by=<col>`` the rank window, the pack layout, the sequence
+numbering, and the CARRY are all per shard: each shard is an
+independent packed stream ``(shard, seq, tokens)`` and every stage runs
+width-parallel. Carry state is one row PER LIVE SHARD, carried forward
+in every trigger commit (so the newest trigger dir always holds the
+full carry set — the O(1) fast path needs no store scan); the shard key
+must therefore be a BOUNDED partition label (hash bucket, source tag,
+tenant id — never a row id). Fallback carry recovery stays
+provenance-free per shard: (seq, n_tokens) is monotone within a shard
+for the same reason it is globally.
 """
 
 from __future__ import annotations
@@ -68,13 +84,23 @@ _SCHEMA = T.StructType(
     ]
 )
 
+# shard-keyed stores prepend the shard label (cast to string — the
+# canonical partition-label type; the key is a bounded label, not data)
+_SCHEMA_BY = T.StructType(
+    [T.StructField("shard", T.StringType())] + list(_SCHEMA.fields)
+)
 
-def read_packed_shards(spark, pack_root: str) -> DataFrame:
-    """All committed full sequences (seq, tokens, n_tokens) — carry rows
-    excluded. Readable mid-drain; every committed trigger is final."""
+
+def read_packed_shards(spark, pack_root: str, sharded: bool = False) -> DataFrame:
+    """All committed full sequences (seq, tokens, n_tokens; plus
+    ``shard`` for a ``by=``-keyed store) — carry rows excluded.
+    Readable mid-drain; every committed trigger is final. ``sharded``
+    only fixes the schema of an EMPTY store (a non-empty store's files
+    carry their own)."""
     dirs = data_dirs(pack_root, _PACKED)
     if not dirs:
-        return spark.createDataFrame([], _SCHEMA).drop("is_carry")
+        schema = _SCHEMA_BY if sharded else _SCHEMA
+        return spark.createDataFrame([], schema).drop("is_carry")
     return (
         spark.read.parquet(*dirs)
         .filter(~F.col("is_carry"))
@@ -117,6 +143,39 @@ def read_pack_carry(spark, pack_root: str) -> tuple[int, list[str]]:
     return int(r.seq), list(r.tokens)
 
 
+def read_pack_carries(spark, pack_root: str) -> dict[str, tuple[int, list[str]]]:
+    """Live carries of a SHARD-KEYED store: ``{shard: (next seq index,
+    remainder tokens)}``.
+
+    Fast path: the newest trigger dir alone — every trigger commits the
+    FULL live carry set (untouched shards carried forward), so this is
+    O(#shards) per trigger regardless of store size. Fallback (no
+    trigger dirs, e.g. after a full compaction): scan committed carry
+    rows and take the per-shard max by (seq, n_tokens) — monotone
+    within a shard for the same reason the global carry is."""
+    trig = [
+        d
+        for d in glob.glob(os.path.join(pack_root, _PACKED, "batch=*"))
+        if batch_id_of(d) >= 0
+    ]
+    dirs = [max(trig, key=batch_id_of)] if trig else data_dirs(
+        pack_root, _PACKED
+    )
+    if not dirs:
+        return {}
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("seq"), F.desc("n_tokens")
+    )
+    rows = (
+        spark.read.parquet(*dirs)
+        .filter(F.col("is_carry"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .collect()
+    )
+    return {r.shard: (int(r.seq), list(r.tokens)) for r in rows}
+
+
 def token_pack_batch_fn(
     spark,
     pack_root: str,
@@ -124,10 +183,20 @@ def token_pack_batch_fn(
     id_col: str = "doc_id",
     tokens_col: str = "bpe_tokens",
     sep_token: str | None = None,
+    by: str | None = None,
 ):
     """The ``foreachBatch`` function :func:`streaming_token_shards`
-    runs — exposed so tests can wrap it with failure injection."""
+    runs — exposed so tests can wrap it with failure injection.
+    ``by=<col>`` switches to the shard-keyed layout (see module
+    docstring): per-shard rank window, per-shard sequence numbering,
+    one carry row per live shard."""
     from ..datapipe.sampling import pack_sequences
+
+    if by is not None:
+        return _token_pack_batch_fn_by(
+            spark, pack_root, max_len, by,
+            id_col=id_col, tokens_col=tokens_col, sep_token=sep_token,
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         out_dir = batch_dir(pack_root, _PACKED, batch_id)
@@ -184,6 +253,123 @@ def token_pack_batch_fn(
     return _apply
 
 
+def _token_pack_batch_fn_by(
+    spark,
+    pack_root: str,
+    max_len: int,
+    by: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "bpe_tokens",
+    sep_token: str | None = None,
+):
+    """Shard-keyed trigger body: every stage — rank window, pack
+    layout, sequence numbering, carry — is per shard, so no single
+    task ever holds the whole trigger. Driver state per trigger is
+    O(#live shards): the per-shard token totals (a bounded collect) and
+    the <max_len-token tails."""
+    from ..datapipe.sampling import pack_sequences
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        out_dir = batch_dir(pack_root, _PACKED, batch_id)
+        if os.path.isdir(out_dir):
+            return  # replay of a committed batch: exactly-once no-op
+        for leftover in glob.glob(tmp_glob(out_dir)):
+            shutil.rmtree(leftover, ignore_errors=True)
+
+        carries = read_pack_carries(spark, pack_root)
+
+        toks = F.col(tokens_col)
+        if sep_token is not None:
+            toks = F.concat(toks, F.array(F.lit(sep_token)))
+        w = Window.partitionBy("shard").orderBy(id_col)
+        ranked = (
+            batch_df.select(
+                F.col(by).cast("string").alias("shard"),
+                F.col(id_col),
+                toks.alias("__toks"),
+            )
+            .select(
+                "shard",
+                F.row_number().over(w).cast("long").alias("__rk"),
+                "__toks",
+            )
+        )
+        rem_schema = T.StructType(
+            [
+                T.StructField("shard", T.StringType()),
+                T.StructField("__rk", T.LongType()),
+                T.StructField("__toks", T.ArrayType(T.StringType())),
+            ]
+        )
+        rem_rows = [
+            (shard, 0, rem) for shard, (_s0, rem) in carries.items() if rem
+        ]
+        allr = spark.createDataFrame(rem_rows, rem_schema).unionByName(ranked)
+
+        # per-shard token totals: bounded collect (#shards rows), fixes
+        # how many FULL sequences each shard closes this trigger
+        totals = {
+            r.shard: int(r.n)
+            for r in allr.groupBy("shard")
+            .agg(F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n"))
+            .collect()
+        }
+        offs = [
+            (
+                shard,
+                carries.get(shard, (0, []))[0],
+                totals[shard] // max_len,
+            )
+            for shard in totals
+        ]
+        offs_schema = T.StructType(
+            [
+                T.StructField("shard", T.StringType()),
+                T.StructField("__seq0", T.LongType()),
+                T.StructField("__nfull", T.LongType()),
+            ]
+        )
+        packed = (
+            pack_sequences(allr, "__toks", ["__rk"], max_len, by=["shard"])
+            .join(
+                F.broadcast(spark.createDataFrame(offs, offs_schema)),
+                "shard",
+            )
+        )
+        full = packed.filter(F.col("seq") < F.col("__nfull")).select(
+            "shard",
+            (F.col("seq") + F.col("__seq0")).alias("seq"),
+            "tokens",
+            "n_tokens",
+            F.lit(False).alias("is_carry"),
+        )
+        tails = {
+            r.shard: list(r.tokens)
+            for r in packed.filter(F.col("seq") >= F.col("__nfull")).collect()
+        }
+        # carry set = every shard this trigger touched, at its new state,
+        # plus every untouched live shard carried forward unchanged
+        new_carries = {
+            shard: (
+                carries.get(shard, (0, []))[0] + totals[shard] // max_len,
+                tails.get(shard, []),
+            )
+            for shard in totals
+        }
+        for shard, state in carries.items():
+            new_carries.setdefault(shard, state)
+        carry_rows = spark.createDataFrame(
+            [
+                (shard, s0, rem, len(rem), True)
+                for shard, (s0, rem) in sorted(new_carries.items())
+            ],
+            _SCHEMA_BY,
+        )
+        commit_write(full.unionByName(carry_rows), out_dir)
+
+    return _apply
+
+
 def streaming_token_shards(
     stream_df: DataFrame,
     pack_root: str,
@@ -193,11 +379,14 @@ def streaming_token_shards(
     tokens_col: str = "bpe_tokens",
     sep_token: str | None = None,
     timeout_sec: int = 600,
+    by: str | None = None,
 ) -> None:
     """Drain ``stream_df`` (AvailableNow) into the packed-shard store
     under ``pack_root``. Resumable: rerunning with the same
     ``checkpoint_path`` continues from the committed carry. Read the
-    store with :func:`read_packed_shards` at any point."""
+    store with :func:`read_packed_shards` at any point. ``by=<col>``
+    packs each shard as an independent stream (the scale posture — see
+    module docstring)."""
     fn = token_pack_batch_fn(
         stream_df.sparkSession,
         pack_root,
@@ -205,6 +394,7 @@ def streaming_token_shards(
         id_col=id_col,
         tokens_col=tokens_col,
         sep_token=sep_token,
+        by=by,
     )
     q = (
         stream_df.writeStream.foreachBatch(fn)
@@ -254,11 +444,24 @@ def compact_packed_shards(
     if len(dirs) <= 1:
         return stats
     allrows = spark.read.parquet(*dirs)
-    live_carry = (
-        allrows.filter(F.col("is_carry"))
-        .orderBy(F.desc("seq"), F.desc("n_tokens"))
-        .limit(1)
-    )
+    if "shard" in allrows.columns:
+        # shard-keyed store: one live carry PER SHARD (max by the same
+        # monotone (seq, n_tokens) key, per shard)
+        w = Window.partitionBy("shard").orderBy(
+            F.desc("seq"), F.desc("n_tokens")
+        )
+        live_carry = (
+            allrows.filter(F.col("is_carry"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    else:
+        live_carry = (
+            allrows.filter(F.col("is_carry"))
+            .orderBy(F.desc("seq"), F.desc("n_tokens"))
+            .limit(1)
+        )
     df = allrows.filter(~F.col("is_carry")).unionByName(live_carry)
     n = df.count()
     if n == 0:
