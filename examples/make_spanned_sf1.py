@@ -25,6 +25,24 @@ with Zipf frequencies. This layout builds that regime at sf1 scale
   repeats corpus-wide — overlapping covered regions that stress the
   k-fold cover explode + (id, idx) distinct.
 
+Round 10 adds a HOSTILE-UNICODE pack for the tokenizer/pack family
+(dp_bpe_pairs/encode, dp_token_shards, stream_token_shards[_by]): every
+doc with ``new_id % 5 == 2`` (~20% of the corpus, ~100 k docs) gets six
+adversarial tokens spliced in near the head —
+
+- ``par<NBSP>er`` / ``s<FS>can``: NON-ASCII whitespace INSIDE a word
+  (U+00A0, U+001C — Java/RE2 ``\\s`` must NOT split these; the exact
+  regression class the round-10 kernel-normalization fix closed),
+- ``e<COMBINING ACUTE>r``: decomposed combining mark (both engines
+  split by code point — verified, pinned in tests),
+- ``<MUSICAL SYMBOL G CLEF>ar``: astral-plane (surrogate-pair) symbol,
+- ``scan`` / ``中文er``: merge-collision words — ``scan`` chains 3 of
+  the frozen _BPE_MERGES ranks; CJK prefix on a merge suffix.
+
+The pack is 6 tokens (< the k=8 substring-dedup window), so it never
+forms a full duplicate window by itself and the span-family semantics
+above are unchanged.
+
 All draws are modular-arithmetic functions of the new doc_id — no RNG —
 so regeneration is byte-identical. Other tables are copied from sf0.1
 (oracle_check needs the views; the span families don't read them).
@@ -33,7 +51,9 @@ Usage::
 
     python examples/make_spanned_sf1.py [dst=/tmp/sf1span] [src=/root/testdata/sf0.1]
     SPARK_GRAFT_SELF_OUT=CORRECTNESS_SF1SPAN.json \\
-        python tests/oracle_check.py /tmp/sf1span dp_substring_dedup
+        python tests/oracle_check.py /tmp/sf1span dp_substring_dedup \\
+            dp_bpe_pairs dp_bpe_encode dp_token_shards \\
+            stream_token_shards stream_token_shards_by
 """
 
 from __future__ import annotations
@@ -97,7 +117,7 @@ def main() -> None:
                    {zipf_rank(2)} AS r3
             FROM mut
         ),
-        asm AS (
+        asm0 AS (
             SELECT new_id, lang, source,
                    CASE nbp
                      WHEN 0 THEN t1
@@ -108,6 +128,24 @@ def main() -> None:
                           || t1[p+1:q] || {bp("r3")} || t1[q+1:len(t1)]
                    END AS t2
             FROM spans
+        ),
+        -- hostile-Unicode pack (6 tokens < k=8: never a duplicate
+        -- window by itself): NBSP/FS inside words, decomposed combining
+        -- mark, astral-plane char, merge-collision words
+        asm AS (
+            SELECT new_id, lang, source,
+                   CASE WHEN new_id % 5 = 2
+                        THEN t2[1:1]
+                             || ['par' || chr(160) || 'er',
+                                 's' || chr(28) || 'can',
+                                 'e' || chr(769) || 'r',
+                                 chr(119070) || 'ar',
+                                 'scan',
+                                 chr(20013) || chr(25991) || 'er']
+                             || t2[2:len(t2)]
+                        ELSE t2
+                   END AS t2
+            FROM asm0
         )
         SELECT new_id AS doc_id,
                array_to_string(t2, ' ') AS text,

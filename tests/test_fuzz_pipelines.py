@@ -53,6 +53,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+
+pytestmark = pytest.mark.fuzz  # excluded from the fast gate (-m 'not fuzz')
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))

@@ -30,6 +30,8 @@ import random
 import shutil
 
 import pytest
+
+pytestmark = pytest.mark.fuzz  # excluded from the fast gate (-m 'not fuzz')
 from pyspark.sql import functions as F
 
 from v3_polars_spark.streaming import dedup_stream as ds
