@@ -865,6 +865,7 @@ def test_connected_components_matches_union_find(spark, edges):
     dup_counts=st.lists(st.integers(1, 5), min_size=2, max_size=6),
     drop_words=st.integers(0, 2),
 )
+@pytest.mark.fuzz
 def test_minhash_collapse_equivalence_random_duplication(
     spark, dup_counts, drop_words
 ):

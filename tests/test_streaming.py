@@ -1156,6 +1156,7 @@ def test_corpus_dedup_exact_only_and_degenerate_batches(spark, tmp_path):
     assert {r.doc_id for r in read_corpus(spark, root2).collect()} == {0, 1, 4, 5}
 
 
+@pytest.mark.fuzz
 def test_corpus_dedup_randomized_matches_replay(spark, tmp_path):
     """Property-style: random segment mixes (fresh texts, mangled exact
     dups, near variants, degenerates) streamed through
