@@ -84,6 +84,11 @@ def main() -> None:
                 cond = cond & (F.col("doc_id") <= hi)
             batch = enc.filter(cond)
             ndocs = batch.count()  # outside the timed window
+            if ndocs == 0:
+                # skewed/tiny corpora can leave a percentile bucket empty;
+                # an empty trigger has no per-doc cost to report
+                print(f"{label:7s} trigger {b}: empty bucket, skipped", flush=True)
+                continue
             t0 = time.time()
             fn(batch, b)
             walls.append(time.time() - t0)
@@ -95,10 +100,11 @@ def main() -> None:
             )
         out[f"{label}_walls_sec"] = [round(w, 2) for w in walls]
         out[f"{label}_docs"] = sizes
-        out[f"{label}_wall_ratio_last_first"] = round(walls[-1] / walls[0], 2)
-        out[f"{label}_usdoc_ratio_last_first"] = round(
-            (walls[-1] / sizes[-1]) / (walls[0] / sizes[0]), 2
-        )
+        if walls:
+            out[f"{label}_wall_ratio_last_first"] = round(walls[-1] / walls[0], 2)
+            out[f"{label}_usdoc_ratio_last_first"] = round(
+                (walls[-1] / sizes[-1]) / (walls[0] / sizes[0]), 2
+            )
     print(json.dumps(out))
     spark.stop()
 

@@ -10,6 +10,13 @@ entries (observed: CORRECTNESS_r02.json has exactly the first 50 keys of a
 file is committed each round.
 
 Usage: python tests/oracle_check.py [sf_dir] [query ...]
+
+Set ``SPARK_GRAFT_ISOLATE=1`` to run each named query in its OWN
+subprocess (fresh Spark JVM + fresh DuckDB) and merge the per-query
+records into one output file. Needed for scale-point audits where a
+single process accumulates a Spark JVM heap + DuckDB buffers + pandas
+results across queries and OOMs (observed: the 6-query /tmp/sf1span run
+dies in DuckDB allocation while every query passes green in isolation).
 """
 
 from __future__ import annotations
@@ -162,9 +169,68 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return errs
 
 
+def main_isolated(sf_dir: str, names: list[str]) -> int:
+    """Run each query in a fresh subprocess and merge the records.
+
+    Each child is this same script with SPARK_GRAFT_ISOLATE unset and
+    SPARK_GRAFT_SELF_OUT pointed at a temp file — so the per-query
+    semantics (compare, record shape) are byte-identical to the
+    in-process path; only process lifetime differs.
+    """
+    import subprocess
+    import tempfile
+
+    merged: dict[str, dict] = {}
+    failed = []
+    for name in names:
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            tmp = tf.name
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_ISOLATE", None)
+        env["SPARK_GRAFT_SELF_OUT"] = tmp
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), sf_dir, name], env=env
+        )
+        try:
+            with open(tmp) as f:
+                rec = json.load(f)["results"]
+        except Exception as e:
+            rec = {name: {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"subprocess produced no record (rc={rc}): {e}",
+            }}
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        merged.update(rec)
+        if rc != 0 or any(v.get("err") for v in rec.values()):
+            failed.append(name)
+    out = os.environ.get("SPARK_GRAFT_SELF_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(merged),
+                    "isolated": True,
+                    "results": merged,
+                },
+                f,
+                indent=1,
+            )
+        print(f"\nwrote {out}")
+    print(f"{len(names) - len(failed)}/{len(names)} ok (isolated)")
+    return 1 if failed else 0
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if os.environ.get("SPARK_GRAFT_ISOLATE") and only:
+        return main_isolated(sf_dir, sys.argv[2:])
 
     import __spark_entry__ as entrymod
     from v3_polars_spark.session import get_spark

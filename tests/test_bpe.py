@@ -403,6 +403,12 @@ def test_validate_merges_rejects_inconsistent_table(spark):
     assert load_merges(spark, p, validate=False) == bad
     # consistent tables pass: EOW bases and products of earlier merges
     validate_merges([("'", "t</w>"), ("n", "'t</w>"), ("o", "n't</w>")])
+    # ADVICE r10: validate=False with the DEFAULT strategy must NOT
+    # silently route a small inconsistent table through the rank-order
+    # expr path — 'auto' resolves to the kernel under validate=False,
+    # so the opt-out really does give priority-loop semantics
+    auto_out = bpe_encode(df, bad, validate=False).collect()
+    assert auto_out[0].bpe_tokens == ["abc</w>"]
 
 
 def test_expr_strategy_merge_depth_guard(spark):
@@ -444,6 +450,48 @@ def test_split_empty_string_canary(spark):
 # batched trainer (round 10): exact application, batch_k=1 == sequential,
 # disjoint-top-k == sequential, consistency of the output table
 # ---------------------------------------------------------------------------
+
+
+def test_auto_batch_k_policy_steps():
+    """Pin the batch_k='auto' policy function (VERDICT r10 #5): halve
+    (floor 8) below 50% fill, double (cap 256) after two consecutive
+    full rounds, hold otherwise."""
+    from v3_polars_spark.datapipe.bpe import _next_batch_k
+
+    # low fill halves and resets the streak
+    assert _next_batch_k(64, 31, 64, 1) == (32, 0)
+    assert _next_batch_k(64, 0, 64, 0) == (32, 0)
+    # floor
+    assert _next_batch_k(8, 1, 8, 0) == (8, 0)
+    # exactly-half fill is NOT low (threshold is strict <)
+    assert _next_batch_k(64, 32, 64, 0) == (64, 0)
+    # partial-but-decent fill holds and resets the streak
+    assert _next_batch_k(64, 50, 64, 1) == (64, 0)
+    # first full round arms the streak, second doubles
+    assert _next_batch_k(64, 64, 64, 0) == (64, 1)
+    assert _next_batch_k(64, 64, 64, 1) == (128, 0)
+    # cap
+    assert _next_batch_k(256, 256, 256, 1) == (256, 0)
+    # a short final ask (want < k) still counts as full when filled
+    assert _next_batch_k(64, 10, 10, 1) == (128, 0)
+
+
+def test_train_batched_auto_default_works_and_validates(spark):
+    """batch_k defaults to 'auto': training runs the adaptive policy
+    end-to-end, returns a consistent table, and on a disjoint-top corpus
+    (every round fully admitted) equals the explicit-k table."""
+    from v3_polars_spark.datapipe.bpe import bpe_train_batched, validate_merges
+
+    tiers = list(zip("abcdefgh", [12, 11, 10, 9, 8, 7, 6, 5]))
+    texts = [c * 2 for c, n in tiers for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = bpe_train_batched(df, 8, materialize_every=1)  # default auto
+    validate_merges(got)
+    assert got == bpe_train_batched(df, 8, batch_k=64, materialize_every=1)
+    with pytest.raises(ValueError, match="batch_k"):
+        bpe_train_batched(df, 8, batch_k=0)
 
 
 def test_train_batched_k1_equals_sequential(corpus, merges):

@@ -1,0 +1,60 @@
+"""Round-end record-integrity gate (VERDICT r10 #7).
+
+Round 10's changelog asserted two evidence artifacts
+(a 6-entry CORRECTNESS_SF1SPAN.json, a BENCH_SF1_r10.json) that were
+never committed — the runs happened in scratch space but the record
+didn't land, and the snapshot text claimed it anyway. This test makes
+that class of error impossible to commit silently: every evidence-class
+artifact filename mentioned in CHANGELOG.md or README.md must exist in
+the tree.
+
+Mentions inside a ``*[CORRECTED ... ]*`` block are exempt — that is the
+documented retraction syntax, where naming a file that was never
+committed is the point.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The artifact classes the verification protocol rests on. Anything
+# matching this, asserted in prose, must be in the tree.
+ARTIFACT_RE = re.compile(
+    r"\b((?:CORRECTNESS|BENCH|PARCURVE|COPYCHECK|LEAKCHECK|BASELINE)"
+    r"[A-Za-z0-9_]*\.json)\b"
+)
+CORRECTED_RE = re.compile(r"\*\[CORRECTED.*?\]\*", re.DOTALL)
+
+
+def claimed_artifacts(text: str) -> set[str]:
+    return set(ARTIFACT_RE.findall(CORRECTED_RE.sub("", text)))
+
+
+def test_changelog_and_readme_artifact_claims_exist():
+    missing = []
+    for doc in ("CHANGELOG.md", "README.md", "BENCH_NOTES.md"):
+        path = os.path.join(REPO, doc)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            text = f.read()
+        for name in sorted(claimed_artifacts(text)):
+            if not os.path.exists(os.path.join(REPO, name)):
+                missing.append(f"{doc} claims {name}")
+    assert not missing, (
+        "documents assert evidence artifacts that are not committed "
+        "(land the artifact or retract with a *[CORRECTED ...]* block): "
+        + "; ".join(missing)
+    )
+
+
+def test_corrected_block_exemption_works():
+    text = (
+        "green (CORRECTNESS_REAL.json) done\n"
+        "*[CORRECTED in round 11: BENCH_GHOST_r99.json was never "
+        "committed]*\n"
+    )
+    assert claimed_artifacts(text) == {"CORRECTNESS_REAL.json"}

@@ -264,7 +264,7 @@ def bpe_train(
     round-trip dominates; use :func:`bpe_train_batched` (measured cost
     curves in BENCH_NOTES).
     """
-    spark = (df or words_df).sparkSession
+    spark = (df if df is not None else words_df).sparkSession
     tmp = work_dir or tempfile.mkdtemp(prefix="bpe_train_")
     own_tmp = work_dir is None
     words = _symbol_table(df, text_col, words_df).persist()
@@ -333,11 +333,54 @@ def _admit_disjoint(
     return batch
 
 
+# --- batch_k="auto" policy constants (measured: BENCH_NOTES round-10/11
+# cost+quality curves). 64 is the largest k measured ≈ sequential quality
+# (tokens/word within 1%); 256 is the bulk setting (5.8% worse tokens/word
+# on the cascade-maximizing corpus, within noise on natural text); fill
+# below 50% means admission kept rejecting candidates as non-disjoint —
+# the cascade-heavy region where batched selection lags sequential.
+_AUTO_K_START = 64
+_AUTO_K_MIN = 8
+_AUTO_K_MAX = 256
+_AUTO_FILL_HALVE = 0.5
+
+
+def _next_batch_k(
+    k: int, admitted: int, want: int, full_streak: int
+) -> tuple[int, int]:
+    """One step of the default ``batch_k="auto"`` policy.
+
+    Returns ``(next_k, next_full_streak)``:
+
+    - admitted fill < ``_AUTO_FILL_HALVE`` of the ask → HALVE ``k``
+      (floor ``_AUTO_K_MIN``): low fill means the top of the count
+      distribution is cascade-coupled (pairs share operands / feed each
+      other), exactly where batched selection diverges from sequential
+      — smaller rounds track the sequential argmax more closely AND
+      stop wasting the over-fetched candidate collect;
+    - two CONSECUTIVE fully-admitted rounds → DOUBLE ``k`` (cap
+      ``_AUTO_K_MAX``): full admission means the top pairs are mutually
+      disjoint (the natural-text regime, where batched == sequential
+      exactly), so larger rounds only amortize driver round-trips;
+    - otherwise hold.
+
+    Pure function so the policy itself is unit-pinned; the trainer
+    threads the streak through rounds."""
+    if admitted < want * _AUTO_FILL_HALVE:
+        return max(k // 2, _AUTO_K_MIN), 0
+    if admitted == want:
+        full_streak += 1
+        if full_streak >= 2:
+            return min(k * 2, _AUTO_K_MAX), 0
+        return k, full_streak
+    return k, 0
+
+
 def bpe_train_batched(
     df: DataFrame | None,
     num_merges: int,
     text_col: str = "text",
-    batch_k: int = 64,
+    batch_k: int | str = "auto",
     min_pair_count: int = 2,
     topn_factor: int = 8,
     materialize_every: int = 8,
@@ -358,6 +401,16 @@ def bpe_train_batched(
     ``batch_k=1`` admits exactly the sequential argmax, reproducing
     :func:`bpe_train` merge-for-merge.
 
+    ``batch_k="auto"`` (the default) adapts the round size instead of
+    making the caller pick between the ≈-sequential-quality setting
+    (k≤64) and the bulk setting (k=256, measured 5.8% worse tokens/word
+    on a cascade-maximizing corpus) blindly: start at 64, HALVE (floor
+    8) when the admitted fill drops below 50% of the ask — the
+    cascade-coupled regime where batching lags sequential selection —
+    and DOUBLE (cap 256) after two consecutive fully-admitted rounds —
+    the disjoint-top regime where batched selection equals sequential
+    exactly. Policy step is :func:`_next_batch_k` (unit-pinned).
+
     Semantics: APPLICATION is exact (disjointness makes the combined
     pass equal to sequential folds, so the returned table is consistent
     — :func:`validate_merges` passes and both encode strategies agree).
@@ -374,6 +427,11 @@ def bpe_train_batched(
     table round-trips through parquet every ``materialize_every``
     ROUNDS to keep plan depth bounded.
     """
+    if batch_k != "auto" and (not isinstance(batch_k, int) or batch_k < 1):
+        raise ValueError(f"batch_k must be 'auto' or a positive int, got {batch_k!r}")
+    auto = batch_k == "auto"
+    cur_k = _AUTO_K_START if auto else batch_k
+    full_streak = 0
     spark = (df if df is not None else words_df).sparkSession
     tmp = work_dir or tempfile.mkdtemp(prefix="bpe_train_batched_")
     own_tmp = work_dir is None
@@ -383,7 +441,7 @@ def bpe_train_batched(
         cur = words
         rounds = 0
         while len(merges) < num_merges:
-            want = min(batch_k, num_merges - len(merges))
+            want = min(cur_k, num_merges - len(merges))
             pairs = cur.select(
                 "wcount", F.explode(_sym_pairs(F.col("syms"))).alias("p")
             )
@@ -401,6 +459,10 @@ def bpe_train_batched(
             if not batch:
                 break
             merges.extend(batch)
+            if auto:
+                cur_k, full_streak = _next_batch_k(
+                    cur_k, len(batch), want, full_streak
+                )
             cur = cur.select(
                 merge_fold_multi(F.col("syms"), batch).alias("syms"),
                 "wcount",
@@ -449,8 +511,11 @@ def validate_merges(merges: Sequence[tuple[str, str]]) -> None:
                     f"operand {side}={s!r} is neither a base symbol nor the "
                     f"product of an earlier merge; rank-order (expr) and "
                     f"priority-loop (kernel) application would diverge. "
-                    f"Reorder the table or pass validate=False to accept "
-                    f"kernel (priority-loop) semantics only."
+                    f"Reorder the table, or pass validate=False to accept "
+                    f"priority-loop (kernel) semantics only — bpe_encode's "
+                    f"'auto' strategy resolves to the kernel path under "
+                    f"validate=False (strategy='expr' without validation is "
+                    f"caller-asserted consistency)."
                 )
         produced.add(a + b)
 
@@ -483,8 +548,11 @@ def bpe_encode(
 
     ``"auto"`` picks the expression path while the merge list fits
     ``expr_max_merges`` (small alphabets/demos, streaming, oracle
-    verification) and the kernel beyond. For production-sized merge
-    tables (10k+) the kernel is always the right call."""
+    verification) and the kernel beyond; under ``validate=False`` it
+    always picks the kernel (skipping validation opts into
+    priority-loop semantics, and the two paths are only proven equal on
+    VALIDATED-consistent tables). For production-sized merge tables
+    (10k+) the kernel is always the right call."""
     merges = list(merges)
     if strategy not in ("auto", "expr", "kernel"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -505,8 +573,13 @@ def bpe_encode(
             f"explicitly raise expr_max_merges if you control the "
             f"driver/executor thread stack size."
         )
+    # validate=False means the caller opted into priority-loop (kernel)
+    # semantics for a possibly-inconsistent table: 'auto' must not route
+    # to the rank-order expression path unvalidated — that is exactly the
+    # divergence validation exists to block (ADVICE r10). An explicit
+    # strategy='expr' with validate=False is caller-asserted consistency.
     use_expr = strategy == "expr" or (
-        strategy == "auto" and len(merges) <= expr_max_merges
+        strategy == "auto" and validate and len(merges) <= expr_max_merges
     )
     if use_expr:
         toks = F.flatten(

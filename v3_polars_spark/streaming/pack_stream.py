@@ -108,6 +108,24 @@ def read_packed_shards(spark, pack_root: str, sharded: bool = False) -> DataFram
     )
 
 
+def _newest_carry_dirs(pack_root: str) -> list[str]:
+    """Fast-path dir set for the carry readers: the newest trigger dir
+    that actually CONTAINS data files. An empty trigger can commit a
+    _SUCCESS-only dir (same class data_dirs guards against); globbing
+    the raw newest dir would either fail the parquet read or silently
+    return an empty carry set and reset every shard's seq/remainder.
+    Falls back to the full committed-store scan when no trigger dir
+    carries data (e.g. after a full compaction)."""
+    trig = [
+        d
+        for d in glob.glob(os.path.join(pack_root, _PACKED, "batch=*"))
+        if batch_id_of(d) >= 0 and glob.glob(os.path.join(d, "part-*"))
+    ]
+    return [max(trig, key=batch_id_of)] if trig else data_dirs(
+        pack_root, _PACKED
+    )
+
+
 def read_pack_carry(spark, pack_root: str) -> tuple[int, list[str]]:
     """The live carry: (next sequence index, remainder tokens).
 
@@ -120,14 +138,7 @@ def read_pack_carry(spark, pack_root: str) -> tuple[int, list[str]]:
     nondecreasing (a trigger either closes sequences, seq strictly
     grows, or extends the remainder in place), so the LIVE carry is the
     max by that key."""
-    trig = [
-        d
-        for d in glob.glob(os.path.join(pack_root, _PACKED, "batch=*"))
-        if batch_id_of(d) >= 0
-    ]
-    dirs = [max(trig, key=batch_id_of)] if trig else data_dirs(
-        pack_root, _PACKED
-    )
+    dirs = _newest_carry_dirs(pack_root)
     if not dirs:
         return 0, []
     rows = (
@@ -153,14 +164,7 @@ def read_pack_carries(spark, pack_root: str) -> dict[str, tuple[int, list[str]]]
     trigger dirs, e.g. after a full compaction): scan committed carry
     rows and take the per-shard max by (seq, n_tokens) — monotone
     within a shard for the same reason the global carry is."""
-    trig = [
-        d
-        for d in glob.glob(os.path.join(pack_root, _PACKED, "batch=*"))
-        if batch_id_of(d) >= 0
-    ]
-    dirs = [max(trig, key=batch_id_of)] if trig else data_dirs(
-        pack_root, _PACKED
-    )
+    dirs = _newest_carry_dirs(pack_root)
     if not dirs:
         return {}
     w = Window.partitionBy("shard").orderBy(
@@ -266,7 +270,17 @@ def _token_pack_batch_fn_by(
     layout, sequence numbering, carry — is per shard, so no single
     task ever holds the whole trigger. Driver state per trigger is
     O(#live shards): the per-shard token totals (a bounded collect) and
-    the <max_len-token tails."""
+    the <max_len-token tails.
+
+    The trigger runs THREE actions (totals collect, data write, tails
+    collect); the ranked projection is persisted so all three see ONE
+    materialization of the row_number ranks — without it, duplicate
+    ``id_col`` values within a shard could tie-break differently across
+    recomputations and commit a carry inconsistent with the written
+    sequences (token loss/duplication). ``id_col`` should still be
+    unique per shard, as for the global path: ranks of genuinely tied
+    ids are pinned by the persist here, but cross-TRIGGER arrival order
+    of tied ids is inherently undefined."""
     from ..datapipe.sampling import pack_sequences
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -304,68 +318,75 @@ def _token_pack_batch_fn_by(
         rem_rows = [
             (shard, 0, rem) for shard, (_s0, rem) in carries.items() if rem
         ]
-        allr = spark.createDataFrame(rem_rows, rem_schema).unionByName(ranked)
+        allr = (
+            spark.createDataFrame(rem_rows, rem_schema)
+            .unionByName(ranked)
+            .persist()
+        )
 
-        # per-shard token totals: bounded collect (#shards rows), fixes
-        # how many FULL sequences each shard closes this trigger
-        totals = {
-            r.shard: int(r.n)
-            for r in allr.groupBy("shard")
-            .agg(F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n"))
-            .collect()
-        }
-        offs = [
-            (
-                shard,
-                carries.get(shard, (0, []))[0],
-                totals[shard] // max_len,
-            )
-            for shard in totals
-        ]
-        offs_schema = T.StructType(
-            [
-                T.StructField("shard", T.StringType()),
-                T.StructField("__seq0", T.LongType()),
-                T.StructField("__nfull", T.LongType()),
+        try:
+            # per-shard token totals: bounded collect (#shards rows), fixes
+            # how many FULL sequences each shard closes this trigger
+            totals = {
+                r.shard: int(r.n)
+                for r in allr.groupBy("shard")
+                .agg(F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("n"))
+                .collect()
+            }
+            offs = [
+                (
+                    shard,
+                    carries.get(shard, (0, []))[0],
+                    totals[shard] // max_len,
+                )
+                for shard in totals
             ]
-        )
-        packed = (
-            pack_sequences(allr, "__toks", ["__rk"], max_len, by=["shard"])
-            .join(
-                F.broadcast(spark.createDataFrame(offs, offs_schema)),
+            offs_schema = T.StructType(
+                [
+                    T.StructField("shard", T.StringType()),
+                    T.StructField("__seq0", T.LongType()),
+                    T.StructField("__nfull", T.LongType()),
+                ]
+            )
+            packed = (
+                pack_sequences(allr, "__toks", ["__rk"], max_len, by=["shard"])
+                .join(
+                    F.broadcast(spark.createDataFrame(offs, offs_schema)),
+                    "shard",
+                )
+            )
+            full = packed.filter(F.col("seq") < F.col("__nfull")).select(
                 "shard",
+                (F.col("seq") + F.col("__seq0")).alias("seq"),
+                "tokens",
+                "n_tokens",
+                F.lit(False).alias("is_carry"),
             )
-        )
-        full = packed.filter(F.col("seq") < F.col("__nfull")).select(
-            "shard",
-            (F.col("seq") + F.col("__seq0")).alias("seq"),
-            "tokens",
-            "n_tokens",
-            F.lit(False).alias("is_carry"),
-        )
-        tails = {
-            r.shard: list(r.tokens)
-            for r in packed.filter(F.col("seq") >= F.col("__nfull")).collect()
-        }
-        # carry set = every shard this trigger touched, at its new state,
-        # plus every untouched live shard carried forward unchanged
-        new_carries = {
-            shard: (
-                carries.get(shard, (0, []))[0] + totals[shard] // max_len,
-                tails.get(shard, []),
+            tails = {
+                r.shard: list(r.tokens)
+                for r in packed.filter(F.col("seq") >= F.col("__nfull")).collect()
+            }
+            # carry set = every shard this trigger touched, at its new state,
+            # plus every untouched live shard carried forward unchanged
+            new_carries = {
+                shard: (
+                    carries.get(shard, (0, []))[0] + totals[shard] // max_len,
+                    tails.get(shard, []),
+                )
+                for shard in totals
+            }
+            for shard, state in carries.items():
+                new_carries.setdefault(shard, state)
+            carry_rows = spark.createDataFrame(
+                [
+                    (shard, s0, rem, len(rem), True)
+                    for shard, (s0, rem) in sorted(new_carries.items())
+                ],
+                _SCHEMA_BY,
             )
-            for shard in totals
-        }
-        for shard, state in carries.items():
-            new_carries.setdefault(shard, state)
-        carry_rows = spark.createDataFrame(
-            [
-                (shard, s0, rem, len(rem), True)
-                for shard, (s0, rem) in sorted(new_carries.items())
-            ],
-            _SCHEMA_BY,
-        )
-        commit_write(full.unionByName(carry_rows), out_dir)
+            commit_write(full.unionByName(carry_rows), out_dir)
+        finally:
+            allr.unpersist()
 
     return _apply
 
