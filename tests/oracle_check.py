@@ -64,8 +64,14 @@ def _values_equal(a, b) -> bool:
 # Above this, the per-cell loop (O(rows x cols) Python) and the
 # astype(str) lexsort stop being viable — switch to the vectorized
 # order-insensitive row-hash multiset compare. 60 M-row results (sf1
-# derived_math) compare in seconds instead of never.
-BIG_ROWS = 1_000_000
+# derived_math) compare in seconds instead of never. 200k (not 1M):
+# driver-scale (sf0.01) results stay on the per-cell path with its
+# detailed mismatch messages, while scale-point audits (500k-row
+# array-typed results, e.g. dp_bpe_encode at /tmp/sf1span) take the
+# vectorized path — measured ~20 min of single-core compare down to
+# seconds, same exactness (a 64-bit hash collision can only MASK a
+# diff, never invent one; odds documented on compare_hashed).
+BIG_ROWS = int(os.environ.get("SPARK_ORACLE_BIG_ROWS", "200000"))
 
 
 def _canon_pair(a: pd.Series, b: pd.Series):
@@ -114,6 +120,21 @@ def _canon_pair(a: pd.Series, b: pd.Series):
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             return canon_floats(a, b)
         return a.astype("int64"), b.astype("int64")
+
+    # sequence cells stringify engine-dependently (Spark toPandas gives
+    # numpy arrays — "['a' 'b']" — where DuckDB gives lists — "['a',
+    # 'b']"): canonicalize to tuples first so equal arrays hash equally
+    def canon_cell(v):
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return tuple(canon_cell(x) for x in v)
+        return v
+
+    def maybe_seq(s):
+        head = s.dropna().head(20)
+        return any(isinstance(v, (list, tuple, np.ndarray)) for v in head)
+
+    if maybe_seq(a) or maybe_seq(b):
+        return a.map(canon_cell).astype(str), b.map(canon_cell).astype(str)
     return a.astype(str), b.astype(str)
 
 
