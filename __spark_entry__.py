@@ -564,8 +564,19 @@ def q_groupby_having(spark, sf):
     sf1: 0.60 s vs 0.75 s median; the cache wins only for queries that
     reuse its orderkey bucketing or re-read many columns). The same rule
     at 100 TB: scan-heavy narrow aggregates go to the columnar layout at
-    rest, not through a row-assembled working set."""
-    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    rest, not through a row-assembled working set. Default 128 MB
+    splits, NOT _t_scan's volume-sized ones: measured at sf1 (two
+    min-of-5 bench runs), 16 MB splits cost 0.70 s vs 0.51 s at the
+    default — on a 1 GB single file the 9-task scan streams row groups
+    hot while 65 small tasks pay per-task reader setup; _t_scan's sizing
+    only wins where the default degenerates to ~1 task (series_pipeline's
+    112 MB events file). The explicit split_bytes pin also defends
+    against another query's session-conf leak."""
+    li = _t_scan(
+        spark, sf, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        split_bytes=128 << 20,
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -755,6 +766,45 @@ def q_scalar_funcs(spark, sf):
     )
 
 
+def _t_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    cols: list[str],
+    split_bytes: int | None = None,
+) -> DataFrame:
+    """Pruned FILE scan with volume-sized splits — the at-rest columnar
+    read for NARROW NO-JOIN aggregates (same rule as q_groupby_having's
+    documented cache-vs-file choice, plus split sizing): a single
+    ~100 MB parquet file is ONE task at the default 128 MB
+    maxPartitionBytes, serializing the scan on a 32-core executor, so
+    size splits to ~2 tasks/core (clamped to [4 MB, 128 MB] — at
+    cluster scale multi-GB files hit the 128 MB ceiling, i.e. the
+    default behavior). Measured sf1 series_pipeline: 0.47 s (in-memory
+    columnar cache) -> 0.34 s (pruned vectorized file scan, 4 MB
+    splits); the cache pays full-batch decompression per row while the
+    parquet reader streams exactly the projected columns.
+
+    maxPartitionBytes is a session conf read at execution planning:
+    callers (the bench, the driver gate, oracle_check) run queries
+    serially and force right after build, so set-before-build binds the
+    value to THIS query — but it leaks to the next file-scan in the
+    session, so every file-scan query must pin its own split size
+    (``split_bytes`` for an explicit choice, e.g. the measured-default
+    128 MB for groupby_having's 1 GB lineitem scan)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    size = os.path.getsize(path)
+    split = split_bytes or max(4 << 20, min(128 << 20, size // 64))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    if name == "events":
+        # see _t: testdata events carry TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path).select(*cols)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def q_series_pipeline(spark, sf):
     """Composite A7→A2→A3 (the bn_as_of pipeline shape,
     pool_helpers.py:136-151): distinct → dedup-last per ts → bucket max,
@@ -769,12 +819,16 @@ def q_series_pipeline(spark, sf):
     entry point. Measured sf1: 0.66 -> 0.30 s. The oracle SQL stays the
     UNFUSED three-stage pipeline, so the equivalence is re-proven against
     DuckDB at every round; the staged operators keep their own dedicated
-    queries (distinct, dedup_last, resample_6h)."""
+    queries (distinct, dedup_last, resample_6h).
+
+    Served from the pruned FILE scan (2 of events' 6 columns, no join
+    key — the q_groupby_having rule), with _t_scan's volume-sized
+    splits: measured sf1 0.47 s (cache) -> 0.34 s."""
     from v3_polars_spark.ops import resample
 
-    e = _t(spark, sf, "events")
+    e = _t_scan(spark, sf, "events", ["ts", "event_id"])
     out = resample(
-        e.select("ts", "event_id"),
+        e,
         "ts",
         "6h",
         [F.max("event_id").alias("max_event_id")],
