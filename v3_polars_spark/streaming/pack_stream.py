@@ -51,6 +51,17 @@ must therefore be a BOUNDED partition label (hash bucket, source tag,
 tenant id — never a row id). Fallback carry recovery stays
 provenance-free per shard: (seq, n_tokens) is monotone within a shard
 for the same reason it is globally.
+
+Measured crossover (BENCH_NOTES "shard-keyed packer trigger-size
+scaling", sf1, doubling triggers 31k→281k docs): ``by=`` is ~2x
+cheaper per trigger at every size with only 5 shards, and its per-doc
+cost falls monotonically as triggers grow (206 → 123 us/doc) while the
+global mode keeps a single-task rank/pack premium (417 → 157 us/doc).
+Guidance: the global mode is fine at oracle/test scale (its rank task
+is small and the code path is simpler); from ~10^4 docs per trigger,
+or whenever a bounded shard label exists anyway, use ``by=`` — never
+slower in the measured range, advantage widens with trigger size and
+shard count.
 """
 
 from __future__ import annotations
