@@ -6,6 +6,13 @@ import glob
 import os
 
 import pytest
+
+# Deterministic but minutes-long: every test spins real structured-
+# streaming drains / state-store rebuilds (measured ~10 min for this
+# module on an idle local[32] — durations in BENCH_NOTES r11 gate note).
+# Third tier: excluded from the per-change gate, always in the
+# per-round gate (pytest -m 'not fuzz').
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

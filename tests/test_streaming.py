@@ -5,6 +5,13 @@ a watermark."""
 import os
 
 import pytest
+
+# Deterministic but minutes-long: every test spins real structured-
+# streaming drains / state-store rebuilds (measured ~10 min for this
+# module on an idle local[32] — durations in BENCH_NOTES r11 gate note).
+# Third tier: excluded from the per-change gate, always in the
+# per-round gate (pytest -m 'not fuzz').
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from v3_polars_spark import tables as T
