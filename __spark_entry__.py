@@ -805,6 +805,22 @@ def _t_scan(
     return df
 
 
+def _read_pinned(spark: SparkSession, path: str) -> DataFrame:
+    """Direct parquet read with the STOCK 128 MB split pinned first.
+
+    maxPartitionBytes is read at execution planning and _t_scan leaves
+    its per-query sizing in the session conf by design (its docstring:
+    every file-scan query pins its own value). The streaming queries'
+    batch-side reads (seed corpus / seed index / schema+drain sources)
+    must therefore pin too, or a prior series_pipeline run's 4 MB
+    splits skew their scan parallelism in shared-session runs
+    (ADVICE r11). The streaming drains fire AFTER this call with no
+    intervening conf writes, so the pin covers their file scans as
+    well."""
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    return spark.read.parquet(path)
+
+
 def q_series_pipeline(spark, sf):
     """Composite A7→A2→A3 (the bn_as_of pipeline shape,
     pool_helpers.py:136-151): distinct → dedup-last per ts → bucket max,
@@ -2229,7 +2245,7 @@ def q_stream_corpus_dedup(spark, sf):
     )
 
     _prep(spark)
-    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    docs = _read_pinned(spark, os.path.join(sf, "documents.parquet"))
     # the returned DataFrame reads this root lazily (the driver collects
     # AFTER we return), so clean up at process exit, not here — repeated
     # bench/correctness runs must not accrete corpus state under /tmp
@@ -2270,7 +2286,7 @@ def q_stream_corpus_dedup_self(spark, sf):
     )
 
     _prep(spark)
-    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    docs = _read_pinned(spark, os.path.join(sf, "documents.parquet"))
     root = tempfile.mkdtemp(prefix="stream_corpus_self_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     seed_corpus(docs.filter(F.col("doc_id") % 2 == 0), root)
@@ -2317,7 +2333,7 @@ def q_stream_ivf_assign(spark, sf):
     )
 
     _prep(spark)
-    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    e = _read_pinned(spark, os.path.join(sf, "embeddings.parquet"))
     root = tempfile.mkdtemp(prefix="stream_ivf_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     seed_ivf_index(
@@ -2368,7 +2384,7 @@ def q_stream_token_shards(spark, sf):
     )
 
     _prep(spark)
-    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    d = _read_pinned(spark, os.path.join(sf, "documents.parquet"))
     root = tempfile.mkdtemp(prefix="stream_pack_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     stream = bpe_encode(
@@ -2427,7 +2443,7 @@ def q_stream_token_shards_by(spark, sf):
     )
 
     _prep(spark)
-    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    d = _read_pinned(spark, os.path.join(sf, "documents.parquet"))
     root = tempfile.mkdtemp(prefix="stream_pack_by_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     stream = bpe_encode(

@@ -127,6 +127,13 @@ def _canon_pair(a: pd.Series, b: pd.Series):
     def canon_cell(v):
         if isinstance(v, (list, tuple, np.ndarray)):
             return tuple(canon_cell(x) for x in v)
+        # tuple repr uses element repr: a numpy scalar inside a Spark
+        # array column stringifies as 'np.float64(1.0)' under numpy>=2
+        # while DuckDB's plain-Python list element gives '1.0' — a
+        # false hash mismatch. Unwrap to the Python scalar first
+        # (ADVICE r11; latent under the env's numpy 1.26).
+        if isinstance(v, np.generic):
+            return v.item()
         return v
 
     def maybe_seq(s):
@@ -250,8 +257,21 @@ def main_isolated(sf_dir: str, names: list[str]) -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    if os.environ.get("SPARK_GRAFT_ISOLATE") and only:
-        return main_isolated(sf_dir, sys.argv[2:])
+    if os.environ.get("SPARK_GRAFT_ISOLATE"):
+        names = sys.argv[2:]
+        if not names:
+            # No names must NOT silently fall through to the
+            # single-process full run — that is the exact OOM scenario
+            # the flag exists to avoid (ADVICE r11). Expand to every
+            # query instead.
+            import __spark_entry__ as entrymod
+
+            names = sorted(entrymod.queries().keys())
+            print(
+                f"SPARK_GRAFT_ISOLATE set with no query names: running "
+                f"ALL {len(names)} queries subprocess-isolated"
+            )
+        return main_isolated(sf_dir, names)
 
     import __spark_entry__ as entrymod
     from v3_polars_spark.session import get_spark

@@ -17,8 +17,30 @@ from __future__ import annotations
 
 import os
 import re
+import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tracked_files() -> set[str] | None:
+    """Names git actually tracks (staged or committed). An artifact
+    sitting untracked in the working tree is EXACTLY the r10 failure
+    mode this gate exists for (ADVICE r11: os.path.exists passed
+    locally while the claim was missing from the commit). Returns None
+    outside a git checkout — callers fall back to existence."""
+    try:
+        out = subprocess.run(
+            ["git", "ls-files"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except OSError:
+        return None
+    if out.returncode != 0:
+        return None
+    return {line.strip() for line in out.stdout.splitlines() if line.strip()}
 
 # The artifact classes the verification protocol rests on. Anything
 # matching this, asserted in prose, must be in the tree.
@@ -34,6 +56,7 @@ def claimed_artifacts(text: str) -> set[str]:
 
 
 def test_changelog_and_readme_artifact_claims_exist():
+    tracked = _tracked_files()
     missing = []
     for doc in ("CHANGELOG.md", "README.md", "BENCH_NOTES.md"):
         path = os.path.join(REPO, doc)
@@ -42,12 +65,17 @@ def test_changelog_and_readme_artifact_claims_exist():
         with open(path) as f:
             text = f.read()
         for name in sorted(claimed_artifacts(text)):
-            if not os.path.exists(os.path.join(REPO, name)):
+            if tracked is not None:
+                ok = name in tracked
+            else:
+                ok = os.path.exists(os.path.join(REPO, name))
+            if not ok:
                 missing.append(f"{doc} claims {name}")
     assert not missing, (
-        "documents assert evidence artifacts that are not committed "
-        "(land the artifact or retract with a *[CORRECTED ...]* block): "
-        + "; ".join(missing)
+        "documents assert evidence artifacts that are not git-tracked "
+        "(git add the artifact or retract with a *[CORRECTED ...]* "
+        "block; untracked-but-present files fail on purpose — that was "
+        "the r10 failure mode): " + "; ".join(missing)
     )
 
 
