@@ -1467,7 +1467,19 @@ def dp_token_shards(spark, sf):
     shards = pack_sequences(
         enc, "bpe_tokens", ["doc_id"], max_len=64, sep_token="</doc>"
     )
-    vocab = token_id_map(shards, "tokens")
+    # vocabulary from the ENCODE side, not the packed side (r12 plan
+    # diet): packing only rearranges tokens, so the distinct token set —
+    # and therefore the dense rank — is identical, and the vocab branch
+    # no longer recomputes the pack windows/explode/collect subtree
+    # (PLANS.md: 8 -> fewer exchanges, one pack pipeline instead of two)
+    vocab = token_id_map(
+        enc.select(
+            F.concat(
+                F.col("bpe_tokens"), F.array(F.lit("</doc>"))
+            ).alias("__toks")
+        ),
+        "__toks",
+    )
     ids = shards.select(
         "seq", F.posexplode("tokens").alias("p", "token")
     ).join(F.broadcast(vocab), "token")
@@ -1478,6 +1490,66 @@ def dp_token_shards(spark, sf):
     # exactness proof: datapipe/fingerprint.py module docstring.
     from v3_polars_spark.datapipe import salted_fp_term
 
+    h = salted_fp_term(F.col("p"), F.col("token_id"))
+    return ids.groupBy("seq").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(h).alias("id_fp"),
+    )
+
+
+def dp_e2e_pipeline(spark, sf):
+    """The COMPOSED pretraining-data pipeline as ONE lazy plan — the
+    composition a real corpus build runs (examples/e2e_pretrain_pipeline.py
+    is the runnable twin, tests/test_e2e_pipeline.py pins composed ==
+    staged): quality filter (dp_quality_filter's keep rule) → exact dedup
+    (min-id per normalized text) → keep-BEST near dedup (MinHash-LSH +
+    exact-Jaccard verify + connected components, dp_dedup_best's params)
+    → BPE encode (frozen merges, expression fold) → '</doc>'-terminated
+    concatenate-and-split packing into 64-token sequences with dense
+    token ids and the per-sequence position-salted fingerprint
+    (dp_token_shards's tail). The oracle chains the same proven SQL
+    templates over the filtered survivor CTE. Catalyst sees all six
+    stages together: one scan of documents feeds quality + both dedup
+    passes before anything widens to token level."""
+    from v3_polars_spark.datapipe import (
+        bpe_encode,
+        dedup_exact,
+        dedup_near_best,
+        language_id,
+        pack_sequences,
+        quality_score,
+        salted_fp_term,
+        token_id_map,
+    )
+
+    d = _t(spark, sf, "documents")
+    scored = quality_score(language_id(d))
+    kept = scored.filter(
+        F.col("lang_pred").isin("en", "de", "fr", "es")
+        & (F.col("n_words") >= 10)
+        & (F.col("quality") >= 0.5)
+    ).select(*d.columns)
+    survivors = dedup_near_best(
+        dedup_exact(kept), "n_chars",
+        n=3, num_hashes=16, bands=4, verify_threshold=0.05,
+    )
+    enc = bpe_encode(survivors.select("doc_id", "text"), _BPE_MERGES)
+    shards = pack_sequences(
+        enc, "bpe_tokens", ["doc_id"], max_len=64, sep_token="</doc>"
+    )
+    # vocab from the encode side — same distinct token set, skips
+    # recomputing the pack subtree (see dp_token_shards)
+    vocab = token_id_map(
+        enc.select(
+            F.concat(
+                F.col("bpe_tokens"), F.array(F.lit("</doc>"))
+            ).alias("__toks")
+        ),
+        "__toks",
+    )
+    ids = shards.select(
+        "seq", F.posexplode("tokens").alias("p", "token")
+    ).join(F.broadcast(vocab), "token")
     h = salted_fp_term(F.col("p"), F.col("token_id"))
     return ids.groupBy("seq").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -3156,6 +3228,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_bpe_pairs": dp_bpe_pairs,
         "dp_bpe_encode": dp_bpe_encode,
         "dp_token_shards": dp_token_shards,
+        "dp_e2e_pipeline": dp_e2e_pipeline,
         "sessionize": q_sessionize,
         "range_join": q_range_join,
         "rollup_multi": q_rollup_multi,
@@ -3255,7 +3328,7 @@ def _marker_sql(words: list[str]) -> str:
     return f"({terms})"
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(src: str = "documents") -> str:
     from v3_polars_spark.datapipe.text import LANG_MARKERS
 
     scores = {lang: _marker_sql(ws) for lang, ws in LANG_MARKERS.items()}
@@ -3268,11 +3341,11 @@ def _lang_id_sql() -> str:
                     WHEN {scores['de']} = {best} THEN 'de'
                     WHEN {scores['fr']} = {best} THEN 'fr'
                     ELSE 'es' END AS lang_pred
-        FROM documents
+        FROM {src}
     """
 
 
-def _text_stats_sql() -> str:
+def _text_stats_sql(src: str = "documents") -> str:
     from v3_polars_spark.datapipe.text import STOPWORDS_EN
 
     from v3_polars_spark.datapipe.text import BPE_SPLIT_PATTERN
@@ -3295,7 +3368,7 @@ def _text_stats_sql() -> str:
                   - length(regexp_replace(text, '{punct_class}', '', 'g')))
                  / CAST(length(text) AS DOUBLE) AS punct_ratio,
                CAST({sw} AS DOUBLE) / {float(n_sw)} AS stopword_ratio
-        FROM documents
+        FROM {src}
     """
 
 
@@ -3654,10 +3727,12 @@ def _quote_fees_sql() -> str:
     """
 
 
-def _hashed_shingles_cte(n: int = 3) -> str:
+def _hashed_shingles_cte(n: int = 3, src: str = "documents") -> str:
     """CTEs ending in sh(doc_id, shingle BIGINT) + sz(doc_id, sz) — the SQL
     mirror of datapipe.dedup.shingle_hash_sets: one md5 per token, modular
-    polynomial combine of n consecutive 56-bit token hashes mod POLY_MOD."""
+    polynomial combine of n consecutive 56-bit token hashes mod POLY_MOD.
+    ``src`` lets composed oracles (dp_e2e_pipeline) run the identical
+    machinery over a filtered CTE instead of the raw table."""
     from v3_polars_spark.datapipe.dedup import POLY_B, POLY_MOD
 
     M, B = POLY_MOD, POLY_B
@@ -3665,7 +3740,7 @@ def _hashed_shingles_cte(n: int = 3) -> str:
     for j in range(1, n):
         acc = f"(({acc} * {B} + h[i+{j}]) % {M})"
     return f"""
-    norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    norm AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM {src}),
     th AS (
         SELECT doc_id,
                list_transform(w, t -> ('0x' || substr(md5(t), 1, 14))::BIGINT) AS h
@@ -3680,7 +3755,12 @@ def _hashed_shingles_cte(n: int = 3) -> str:
 """
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) -> str:
+def _minhash_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.05,
+    src: str = "documents",
+) -> str:
     from v3_polars_spark.datapipe.dedup import PERM_P, POLY_MOD, minhash_perm_constants
 
     r = num_hashes // bands
@@ -3697,7 +3777,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.05) 
         band_selects.append(f"SELECT doc_id, {b} AS band, {acc} AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_selects)
     return f"""
-        WITH {_hashed_shingles_cte()},
+        WITH {_hashed_shingles_cte(src=src)},
         sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
         buckets AS ({buckets}),
         cand AS (
@@ -3921,7 +4001,7 @@ def _bpe_encode_oracle_sql() -> str:
     """
 
 
-def _token_shards_sql(max_len: int = 64) -> str:
+def _token_shards_sql(max_len: int = 64, src: str = "documents") -> str:
     """Replay of dp_token_shards: BPE encode (same frozen merges),
     '</doc>' termination, prefix-sum layout over doc_id order, dense
     token-id vocabulary, per-sequence ordered id fingerprint."""
@@ -3935,7 +4015,7 @@ def _token_shards_sql(max_len: int = 64) -> str:
                        list_filter(string_split({_NORM}, ' '), w0 -> w0 <> ''),
                        w -> {word_expr}
                    )) || ['</doc>'] AS toks
-            FROM documents
+            FROM {src}
         ),
         lens AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM enc),
         off AS (
@@ -3962,6 +4042,88 @@ def _token_shards_sql(max_len: int = 64) -> str:
                    "CAST(token_id AS VARCHAR)",
                )} AS id_fp
         FROM ids GROUP BY 1
+    """
+
+
+def _quality_keep_ids_sql(src: str = "documents") -> str:
+    """SELECT doc_id ... WHERE keep — the dp_quality_filter keep rule
+    (same stats/lang templates, same raw-double threshold compare) as a
+    reusable id filter for composed oracles."""
+    return f"""
+        SELECT doc_id FROM (
+            WITH s AS ({_text_stats_sql(src)}),
+            l AS ({_lang_id_sql(src)})
+            SELECT s.doc_id,
+                   (l.lang_pred IN ('en','de','fr','es'))
+                     AND s.n_words >= 10
+                     AND (CASE WHEN s.n_words BETWEEN 5 AND 100000
+                               THEN 0.4 ELSE 0.0 END
+                          + CASE WHEN s.mean_word_len >= 2
+                                      AND s.mean_word_len <= 12
+                                 THEN 0.3 ELSE 0.0 END
+                          + CASE WHEN s.punct_ratio <= 0.2
+                                 THEN 0.1 ELSE 0.0 END
+                          + s.stopword_ratio * 0.2) >= 0.5 AS keep
+            FROM s JOIN l ON l.doc_id = s.doc_id
+        ) WHERE keep
+    """
+
+
+def _e2e_pipeline_sql(max_len: int = 64) -> str:
+    """Oracle for dp_e2e_pipeline: the same four proven templates
+    (dp_quality_filter keep rule, dp_dedup_exact window, dp_dedup_best's
+    minhash + recursive-CTE components + keep-best, dp_token_shards's
+    encode/pack/vocab/fingerprint) chained over filtered CTEs — each
+    stage's source is the previous stage's survivor set, exactly as the
+    Spark composition computes it."""
+    return f"""
+        WITH RECURSIVE
+        qk AS ({_quality_keep_ids_sql("documents")}),
+        dq AS (SELECT d.* FROM documents d JOIN qk USING (doc_id)),
+        dx AS (
+            SELECT doc_id, text, n_chars FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY md5({_NORM}))
+                       AS keeper
+                FROM dq
+            ) WHERE doc_id = keeper
+        ),
+        p AS (
+            SELECT id_a, id_b FROM (
+                {_minhash_sql(16, 4, 0.05, src="dx")}
+            )
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        ),
+        labels AS (
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS rep
+            FROM dx d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id
+        ),
+        kept AS (
+            SELECT doc_id FROM (
+                SELECT l.doc_id,
+                       row_number() OVER (
+                           PARTITION BY l.rep
+                           ORDER BY d.n_chars DESC, l.doc_id ASC
+                       ) AS rk
+                FROM labels l JOIN dx d USING (doc_id)
+            ) WHERE rk = 1
+        ),
+        surv AS (
+            SELECT d.doc_id, d.text FROM dx d JOIN kept USING (doc_id)
+        )
+        SELECT seq, n_tokens, id_fp FROM (
+            {_token_shards_sql(max_len, src="surv")}
+        )
     """
 
 
@@ -5052,6 +5214,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_bpe_pairs": _bpe_pairs_sql(),
         "dp_bpe_encode": _bpe_encode_oracle_sql(),
         "dp_token_shards": _token_shards_sql(),
+        "dp_e2e_pipeline": _e2e_pipeline_sql(),
         "stream_token_shards": _stream_token_shards_sql(),
         "stream_token_shards_by": _stream_token_shards_by_sql(),
         "stream_resample": f"""

@@ -507,60 +507,85 @@ def quote_ladder_multi(
     pool_sp = price.withColumn("__sqrt_p", sp).withColumn(
         "__tick_floor_raw", F.floor(tick_real).cast("long")
     )
-    irv = (
-        frame.join(pool_sp, by)
+
+    # ONE pass over the frame (r11 plan diet): broadcast the per-pool
+    # price row in, mark the unique in-range tick, and window-propagate
+    # every irv scalar to all rows of the pool. The previous
+    # frame -> irv -> join-back diamond recomputed the whole frame
+    # subtree (mb scan + liquidity windows + lead window) once per
+    # branch; now the depth branch and the per-pool scalar row both read
+    # the same single derivation. max(when(in_range, e)) over the
+    # pool partition copies the exact in-range-row value (ticks
+    # partition the line, so at most one row qualifies) — bit parity
+    # with the join formulation.
+    in_range = (F.col("tick_a") <= F.col("__tick_floor")) & (
+        F.col("__tick_floor") < F.col("tick_b")
+    )
+    w_pool = Window.partitionBy(*by)
+
+    def _prop(e, name):
+        return F.max(F.when(in_range, e)).over(w_pool).alias(name)
+
+    # get_amount{0,1}_delta with explicit ascending operand order
+    ir0 = F.col("liquidity") * (
+        (F.greatest(F.col("p_a"), F.col("__sqrt_p")) - F.least(F.col("p_a"), F.col("__sqrt_p")))
+        / (F.greatest(F.col("p_a"), F.col("__sqrt_p")) * F.least(F.col("p_a"), F.col("__sqrt_p")))
+    )
+    irts0 = F.col("liquidity") * (
+        F.greatest(F.col("p_a"), F.col("__sqrt_p")) - F.least(F.col("p_a"), F.col("__sqrt_p"))
+    )
+    ir1 = F.col("liquidity") * (
+        F.greatest(F.col("p_b"), F.col("__sqrt_p")) - F.least(F.col("p_b"), F.col("__sqrt_p"))
+    )
+    irts1 = F.col("liquidity") * (
+        (F.greatest(F.col("p_b"), F.col("__sqrt_p")) - F.least(F.col("p_b"), F.col("__sqrt_p")))
+        / (F.greatest(F.col("p_b"), F.col("__sqrt_p")) * F.least(F.col("p_b"), F.col("__sqrt_p")))
+    )
+    fr = (
+        frame.join(F.broadcast(pool_sp), by)
         .withColumn(
             "__tick_floor",
             (F.floor(F.col("__tick_floor_raw") / F.col("__ts")) * F.col("__ts")).cast(
                 "long"
             ),
         )
-        .filter(
-            (F.col("tick_a") <= F.col("__tick_floor"))
-            & (F.col("__tick_floor") < F.col("tick_b"))
-        )
         .select(
-            *by,
-            F.col("tick_a").alias("__irv_tick"),
-            F.col("liquidity").alias("__irv_liq"),
-            F.col("__sqrt_p"),
-            F.col("__ts"),
-            F.col("__fee"),
-            # get_amount{0,1}_delta with explicit ascending operand order
-            (
-                F.col("liquidity")
-                * (
-                    (F.greatest(F.col("p_a"), F.col("__sqrt_p")) - F.least(F.col("p_a"), F.col("__sqrt_p")))
-                    / (F.greatest(F.col("p_a"), F.col("__sqrt_p")) * F.least(F.col("p_a"), F.col("__sqrt_p")))
-                )
-            ).alias("__in_range0"),
-            (
-                F.col("liquidity")
-                * (F.greatest(F.col("p_a"), F.col("__sqrt_p")) - F.least(F.col("p_a"), F.col("__sqrt_p")))
-            ).alias("__in_range_to_swap0"),
-            (
-                F.col("liquidity")
-                * (F.greatest(F.col("p_b"), F.col("__sqrt_p")) - F.least(F.col("p_b"), F.col("__sqrt_p")))
-            ).alias("__in_range1"),
-            (
-                F.col("liquidity")
-                * (
-                    (F.greatest(F.col("p_b"), F.col("__sqrt_p")) - F.least(F.col("p_b"), F.col("__sqrt_p")))
-                    / (F.greatest(F.col("p_b"), F.col("__sqrt_p")) * F.least(F.col("p_b"), F.col("__sqrt_p")))
-                )
-            ).alias("__in_range_to_swap1"),
+            "*",
+            _prop(F.col("tick_a"), "__irv_tick"),
+            _prop(F.col("liquidity"), "__irv_liq"),
+            _prop(ir0, "__in_range0"),
+            _prop(irts0, "__in_range_to_swap0"),
+            _prop(ir1, "__in_range1"),
+            _prop(irts1, "__in_range_to_swap1"),
         )
+        # pools whose price row lands outside every held tick had no irv
+        # row before (inner join) — same drop here
+        .filter(F.col("__irv_tick").isNotNull())
     )
-
-    # per-pool direction-ordered depth with cumulative/preceding sums
+    irv_cols = [
+        "__irv_tick", "__irv_liq", "__sqrt_p", "__ts", "__fee",
+        "__in_range0", "__in_range_to_swap0",
+        "__in_range1", "__in_range_to_swap1",
+    ]
+    # per-pool direction-ordered depth with cumulative/preceding sums,
+    # PLUS the per-pool in-range "anchor" row, in the SAME pass (r12 plan
+    # diet step 2): the irv scalars are already columns on every fr row,
+    # so the amounts side no longer needs its own irv join — it joins the
+    # depth rows once, on the pool keys alone, and the anchor row keeps
+    # every priced pool joinable even when no out-of-range depth exists
+    # in the direction (branch-A-only quotes). The window sums skip the
+    # anchor via NULL-ignoring when(): its __cum_in is NULL, so the
+    # covering min_by and the fee collect never select it — exactly the
+    # all-NULL depth row the old left join produced.
     in_key, out_key = ("xInTick", "yInTick") if zero_for_one else ("yInTick", "xInTick")
-    fdir = frame.join(irv.select(*by, "__irv_tick"), by)
     if zero_for_one:
-        oor = fdir.filter(F.col("tick_a") < F.col("__irv_tick"))
+        directional = F.col("tick_a") < F.col("__irv_tick")
         order = F.col("tick_a").desc()
     else:
-        oor = fdir.filter(F.col("tick_a") > F.col("__irv_tick"))
+        directional = F.col("tick_a") > F.col("__irv_tick")
         order = F.col("tick_a").asc()
+    in_dir = F.when(directional, F.col(in_key))
+    out_dir = F.when(directional, F.col(out_key))
     w_cum = Window.partitionBy(*by).orderBy(order).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -572,42 +597,37 @@ def quote_ladder_multi(
     )
     # per-pool max cum rides along in the same partitioned window pass
     # (positive tick amounts: max(cum) == full-frame ordered sum) — no
-    # separate aggregate, no persist, no extra join
-    depth = oor.select(
+    # separate aggregate, no persist, no extra join. The anchor sorts
+    # first in either direction (its tick is the directional extreme),
+    # so directional prev-sums are unchanged by its presence.
+    depth = fr.filter(directional | in_range).select(
         *by,
-        F.col("tick_a").alias("__tick"),
-        F.col("liquidity").alias("__liq"),
-        F.col("p_a").alias("__p_a"),
-        F.col("p_b").alias("__p_b"),
-        F.col(in_key).alias("__in_amt"),
-        F.sum(in_key).over(w_cum).alias("__cum_in"),
-        F.coalesce(F.sum(in_key).over(w_prev), F.lit(0.0)).alias("__prev_in"),
-        F.coalesce(F.sum(out_key).over(w_prev), F.lit(0.0)).alias("__prev_out"),
-        F.sum(in_key).over(w_all).alias("__max_cum"),
+        *irv_cols,
+        F.when(directional, F.col("tick_a")).alias("__tick"),
+        F.when(directional, F.col("liquidity")).alias("__liq"),
+        F.when(directional, F.col("p_a")).alias("__p_a"),
+        F.when(directional, F.col("p_b")).alias("__p_b"),
+        in_dir.alias("__in_amt"),
+        F.sum(in_dir).over(w_cum).alias("__cum_in"),
+        F.coalesce(F.sum(in_dir).over(w_prev), F.lit(0.0)).alias("__prev_in"),
+        F.coalesce(F.sum(out_dir).over(w_prev), F.lit(0.0)).alias("__prev_out"),
+        F.sum(in_dir).over(w_all).alias("__max_cum"),
     )
 
-    # amount side: join per-pool irv scalars, then the covering join
+    # amount side: ONE join — pool keys only; per-quote scalars are
+    # derived from the joined irv columns (identical on every row of the
+    # pool, so F.first in the aggregate is deterministic)
     in_range_test = F.col("__in_range0") if zero_for_one else F.col("__in_range1")
     in_range_to_swap = (
         F.col("__in_range_to_swap0") if zero_for_one else F.col("__in_range_to_swap1")
     )
     one_minus_fee = F.lit(1.0) - F.col("__fee") / F.lit(1e6)
     a_in = F.col(amount_col)
-    amt = (
-        amounts.withColumn("__rid", F.monotonically_increasing_id())
-        .join(irv, by)
-        .withColumn("__omf", one_minus_fee)
-        .withColumn("__swap_in_minus_fee", a_in * F.col("__omf"))
-        .withColumn("__left", a_in - in_range_test)
-        .withColumn("__axis", (a_in - in_range_test) * F.col("__omf"))
-        .withColumn("__irt", in_range_test)
-        .withColumn("__irts", in_range_to_swap)
-    )
+    amt = amounts.withColumn("__rid", F.monotonically_increasing_id())
     depth_cols = ["__tick", "__liq", "__p_a", "__p_b", "__prev_in", "__prev_out"]
-    # covering condition lives IN the left join: quotes no depth row covers
-    # (insufficient) must survive with NULL depth columns, not be dropped
     depth_r = depth.select(
         *[F.col(k).alias(f"__d_{k}") for k in by],
+        *irv_cols,
         *depth_cols,
         "__in_amt",
         "__cum_in",
@@ -616,10 +636,25 @@ def quote_ladder_multi(
     cond = F.lit(True)
     for k in by:
         cond = cond & (amt[k] == depth_r[f"__d_{k}"])
+    # LEFT join: quotes for pools with no depth/anchor rows (no factory
+    # row, no price before as_of, no unambiguous in-range tick — states
+    # where the scalar path raises) keep flowing with NULL scalars and
+    # resolve to sufficient=false + NULL outputs below, so EVERY input
+    # amount row comes back without a second pass over the frame subtree
+    cand = (
+        amt.join(depth_r, cond, "left")
+        .withColumn("__omf", one_minus_fee)
+        .withColumn("__swap_in_minus_fee", a_in * F.col("__omf"))
+        .withColumn("__left", a_in - in_range_test)
+        .withColumn("__axis", (a_in - in_range_test) * F.col("__omf"))
+        .withColumn("__irt", in_range_test)
+        .withColumn("__irts", in_range_to_swap)
+    )
+    # the covering row is picked inside the aggregate in BOTH modes now:
+    # qual is NULL on non-covering rows (and on the anchor, whose
+    # __cum_in is NULL), and min_by/max_by skip NULL ordering keys
+    qual = F.when(F.col("__axis") <= F.col("__cum_in"), F.col("__cum_in"))
     if fees:
-        # equi-join on the pool keys only: every crossed tick row feeds the
-        # fee array; the covering row is picked inside the aggregate
-        qual = F.when(F.col("__axis") <= F.col("__cum_in"), F.col("__cum_in"))
         fee_frac_c = F.col("__fee") / F.lit(1e6)
         fee_aggs = [
             F.array_sort(
@@ -636,12 +671,14 @@ def quote_ladder_multi(
             ).alias("__prev_fees")
         ]
     else:
-        cond = cond & (F.col("__axis") <= F.col("__cum_in"))
-        qual = F.col("__cum_in")
         fee_aggs = []
-    cand = amt.join(depth_r, cond, "left")
+    scalar_cols = [
+        c for c in amounts.columns
+    ] + list(irv_cols) + [
+        "__omf", "__swap_in_minus_fee", "__left", "__axis", "__irt", "__irts",
+    ]
     joined = cand.groupBy("__rid").agg(
-        *[F.first(c).alias(c) for c in amt.columns if c != "__rid"],
+        *[F.first(c).alias(c) for c in scalar_cols],
         *[F.min_by(c, qual).alias(c) for c in depth_cols],
         F.max("__max_cum").alias("__max_cum"),
         *fee_aggs,
@@ -690,7 +727,14 @@ def quote_ladder_multi(
             .when(is_a, spl_a)
             .otherwise(spl_b),
         )
-        .withColumn("branch", F.when(is_a, F.lit("A")).otherwise(F.lit("B")))
+        # unpriceable quotes (NULL irv scalars from the left join) keep a
+        # NULL branch — priced-but-insufficient quotes still report theirs
+        .withColumn(
+            "branch",
+            F.when(F.col("__irv_tick").isNull(), F.lit(None).cast("string"))
+            .when(is_a, F.lit("A"))
+            .otherwise(F.lit("B")),
+        )
     )
     out_cols = [*amounts.columns, "amt_out", "sqrt_price_last", "branch", "sufficient"]
     fee_type = "array<struct<tick:bigint,fee:double,liquidity:double>>"
@@ -731,18 +775,7 @@ def quote_ladder_multi(
             .otherwise(fee_b),
         )
         out_cols.append("fees")
-    priced = res.select(*out_cols)
-    # contract: EVERY input amount row comes back. Pools with no factory
-    # row, no price before as_of, or no unambiguous in-range tick (states
-    # where the scalar path raises) return sufficient=false + NULLs
-    # instead of silently disappearing through the irv inner join.
-    unpriceable = amounts.join(irv.select(*by).distinct(), by, "left_anti")
-    extras = (
-        unpriceable.withColumn("amt_out", F.lit(None).cast("double"))
-        .withColumn("sqrt_price_last", F.lit(None).cast("double"))
-        .withColumn("branch", F.lit(None).cast("string"))
-        .withColumn("sufficient", F.lit(False))
-    )
-    if fees:
-        extras = extras.withColumn("fees", F.lit(None).cast(fee_type))
-    return priced.unionByName(extras)
+    # every-input-row contract holds WITHOUT a union: the LEFT candidate
+    # join carries unpriceable quotes through with NULL scalars, which
+    # resolve above to sufficient=false, NULL outputs, NULL branch
+    return res.select(*out_cols)
