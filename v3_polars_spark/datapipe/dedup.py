@@ -197,10 +197,15 @@ def ngram_jaccard_pairs(
             )
         )
         members = labeled.select(id_col, "__rep")
-        reps = sh.join(
-            labeled.filter(F.col(id_col) == F.col("__rep")).select(id_col),
-            id_col,
-            "leftsemi",
+        # reps persisted: _ngram_jaccard_core consumes it three times
+        # (sizes + both join sides), and each consumer would otherwise
+        # re-run the semi-join over the full exploded-shingle cache
+        reps = _track(
+            sh.join(
+                labeled.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+                id_col,
+                "leftsemi",
+            )
         )
         rep_pairs = _ngram_jaccard_core(reps, id_col, threshold)
         return _expand_collapsed_pairs(rep_pairs, members, id_col, threshold)
@@ -408,6 +413,26 @@ def minhash_lsh_pairs(
     return _expand_collapsed_pairs(rep_pairs, members, id_col, verify_threshold)
 
 
+def _collapse_parts(df: DataFrame) -> int:
+    """Partition count for a post-collapse representative cache: the
+    collapse window emits ``spark.sql.shuffle.partitions`` partitions
+    (sized by the session rule to ~64 MB of PRE-collapse data each), but
+    the representative frame holds one row per DISTINCT key — on a
+    duplication-heavy corpus that is a tiny fraction, and keeping the
+    full width makes every downstream stage pay M x R tiny shuffle
+    blocks and per-task scheduling for near-empty partitions (guide
+    §2.2 at miniature scale: measured 2.9 s -> 1.1 s on the sf1 minhash
+    pipeline from this coalesce alone). ``parent // 10`` is
+    scale-adaptive, not a local constant: worst case (no duplication at
+    all) a task carries 10 x the 64 MB sizing target = 640 MB — inside
+    the guide's 100 MB-1 GB per-task range — and every downstream
+    shuffle re-widens via AQE; with real duplication the cache collapses
+    to a handful of full partitions. coalesce() is shuffle-free."""
+    spark = df.sparkSession
+    parent = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, parent // 10)
+
+
 def _minhash_collapse_graph(
     sets: DataFrame,
     id_col: str,
@@ -425,7 +450,20 @@ def _minhash_collapse_graph(
     from groups so within-group expansion cannot invent pairs for them.
     One window shuffle derives BOTH the membership map and the
     representative rows (min-id per set-equality group); a
-    groupBy+join+semi-join formulation costs two extra exchanges."""
+    groupBy+join+semi-join formulation costs two extra exchanges.
+
+    ``members`` and ``reps`` are persisted SEPARATELY from ``labeled``:
+    the window frame carries the shingle arrays (~450 B/doc), so its
+    cached blocks are two orders of magnitude heavier than either
+    derivation (members = two longs/doc, reps = one row per DISTINCT
+    set). Downstream there are ~7 consumers (band/signature build, two
+    verify joins, the four membership sides of the pair expansion) —
+    persisting only ``labeled`` made every one of them re-read the full
+    array-bearing cache and re-project it (measured at the 500 k-doc
+    sf1 point: 8 concurrent 82-task stages of 224 MB cache reads per
+    run, ~6.4 s steady-state; with the narrow frames persisted the same
+    pipeline runs ~2.5 s). ``labeled`` itself stays persisted so the
+    first action materializes the window exactly once."""
     nonempty = sets.filter(F.size(F.col("shset")) > 0)
     keyed = nonempty.select(
         F.col(id_col),
@@ -437,9 +475,11 @@ def _minhash_collapse_graph(
             "__rep", F.min(id_col).over(Window.partitionBy("__gk"))
         )
     )
-    members = labeled.select(id_col, "__rep")
-    reps = labeled.filter(F.col(id_col) == F.col("__rep")).select(
-        F.col(id_col), F.col("shset")
+    members = _track(labeled.select(id_col, "__rep"))
+    reps = _track(
+        labeled.filter(F.col(id_col) == F.col("__rep"))
+        .select(F.col(id_col), F.col("shset"))
+        .coalesce(_collapse_parts(sets))
     )
     rep_pairs = _lsh_pairs_from_sets(
         reps, id_col, num_hashes, bands, verify_threshold

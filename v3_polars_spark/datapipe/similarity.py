@@ -208,9 +208,18 @@ def embedding_near_dup_lsh(
                 F.count(F.lit(1)).over(gw).alias("__gn"),
             )
         )
-        members = labeled.select(id_col, "__rep")
-        reps = labeled.filter(F.col(id_col) == F.col("__rep")).select(
-            F.col(id_col), F.col("__v").alias(vec_col)
+        # members/reps persisted separately from the vector-bearing
+        # window frame: the ~7 downstream consumers (bucket build, two
+        # vector re-attach joins, the four membership sides of the pair
+        # expansion) would otherwise each re-read and re-project the full
+        # array cache per run — same fix as dedup._minhash_collapse_graph
+        from .dedup import _collapse_parts
+
+        members = _track(labeled.select(id_col, "__rep"))
+        reps = _track(
+            labeled.filter(F.col(id_col) == F.col("__rep"))
+            .select(F.col(id_col), F.col("__v").alias(vec_col))
+            .coalesce(_collapse_parts(labeled))
         )
         rep_pairs = embedding_near_dup_lsh(
             reps, dim, threshold, bits, tables, seed, id_col, vec_col,
