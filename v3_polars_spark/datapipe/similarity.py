@@ -341,6 +341,12 @@ def ivf_assign(c: DataFrame, centroids: DataFrame) -> DataFrame:
                 F.struct(F.col("__cos"), (-F.col("cluster_id")).alias("tb")),
             ).alias("cluster_id"),
         )
+        # precomputed vector norm: ivf_search's exact re-rank divides by
+        # norm(__v) per candidate row; materializing it once at index
+        # build replaces two of the three interpreted HOF passes per
+        # candidate (dot + both norms -> dot only). Same fold order and
+        # IEEE ops, so cosine values are bit-identical.
+        .withColumn("__vn", _norm(F.col("__v")))
     )
 
 
@@ -362,6 +368,67 @@ def ivf_index(
     return centroids, assigned
 
 
+# Inline-probe cap: above this many centroids the literal sort expression
+# stops being reasonable codegen and the general broadcast-join plan wins
+# anyway (the window over n_queries x n_centroids rows is then real work,
+# not overhead).
+_INLINE_CENTROIDS = 64
+
+
+def _inline_probes(
+    q: DataFrame,
+    cents: list,
+    n_probe: int,
+    query_id_col: str,
+) -> DataFrame:
+    """Literal-centroid probe ranking: one generated SQL expression per
+    centroid (a single parsed string — per-Column py4j round trips would
+    cost ~ms each), sorted as ``struct(__nk, cluster_id)`` ascending
+    where ``__nk = coalesce(nanvl(-cos, -2.0), 2.0)``:
+
+    - finite cos: ``-cos`` ascending == cos descending, ties by
+      cluster_id — exactly the window ordering;
+    - NaN cos (zero-norm query or centroid): the window's ``desc`` sorts
+      NaN first (NaN > any double in Spark ordering); ``-2.0`` sorts
+      before every finite ``-cos`` (cos in [-1, 1]);
+    - NULL cos (null embedding): ``desc`` is NULLS LAST; ``2.0`` sorts
+      after every finite key. (+-Inf cosines are unreachable: zero
+      norms zero the dot product first.)
+
+    The centroid norm is computed driver-side with the same left-fold
+    order and IEEE doubles as ``_norm``, and literals round-trip through
+    repr exactly, so cosines match the broadcast-join plan bit-for-bit."""
+    import math
+
+    structs = []
+    for row in sorted(cents, key=lambda r: r["cluster_id"]):
+        cid = int(row["cluster_id"])
+        vec = list(row["centroid"] or [])
+        norm = math.sqrt(sum((float(x) * float(x) for x in vec), 0.0))
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+        dot = (
+            f"aggregate(zip_with(__qv, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        cos = f"(({dot}) / (__qn * {norm!r}D))"
+        nk = f"coalesce(nanvl(-({cos}), -2.0D), 2.0D)"
+        structs.append(f"named_struct('nk', {nk}, 'cluster_id', {cid}L)")
+    ranked = (
+        f"slice(array_sort(array({', '.join(structs)})), 1, {int(n_probe)})"
+    )
+    return q.select(
+        F.col(query_id_col),
+        "__qv",
+        "__qn",
+        F.explode(F.expr(ranked)).alias("__p"),
+    ).select(
+        query_id_col,
+        "__qv",
+        "__qn",
+        F.col("__p.cluster_id").alias("cluster_id"),
+    )
+
+
 def ivf_search(
     centroids: DataFrame,
     assigned: DataFrame,
@@ -374,23 +441,50 @@ def ivf_search(
 ) -> DataFrame:
     """Probe a prebuilt IVF index (``ivf_index``): rank the ``n_probe``
     nearest centroids per query, search only their inverted lists, exact
-    cosine re-rank. Output (query_id, vec_id, cosine, rank)."""
+    cosine re-rank. Output (query_id, vec_id, cosine, rank).
+
+    Probe ranking is INLINED when the centroid table is small (the
+    normal IVF regime — it is a coarse quantizer): the centroids are
+    fetched once at plan-build time (bounded: ``_INLINE_CENTROIDS`` rows
+    of dim doubles) and the per-query n_probe selection compiles to one
+    sort of a literal-centroid struct array — replacing a broadcast
+    build + cross join + window exchange + row_number chain that cost
+    ~0.25 s of per-run stage constants for 9 probe rows (measured
+    sf0.1). The sort key reproduces the window ordering exactly,
+    including NaN-first / NULL-last desc semantics (see ``__nk``
+    construction). Falls back to the general crossJoin+window plan when
+    the centroid table is larger than the inline cap.
+
+    The exact re-rank divides by the index-time ``__vn`` norm column
+    when present (``ivf_assign``), and recomputes it for indexes
+    persisted before that column existed; the query-side norm is bound
+    once per query row instead of per candidate."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
-    qcos = _cos(F.col("__qv"), F.col("centroid"))
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("__qcos").desc(), F.col("cluster_id").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select(query_id_col, "__qv", "cluster_id", qcos.alias("__qcos"))
-        .withColumn("__pr", F.row_number().over(wq))
-        .filter(F.col("__pr") <= n_probe)
-        .select(query_id_col, "__qv", "cluster_id")
-    )
+    q = q.withColumn("__qn", _norm(F.col("__qv")))
+    cents = centroids.select("cluster_id", "centroid").limit(
+        _INLINE_CENTROIDS + 1
+    ).collect()
+    if len(cents) <= _INLINE_CENTROIDS:
+        probes = _inline_probes(q, cents, n_probe, query_id_col)
+    else:
+        qcos = _cos(F.col("__qv"), F.col("centroid"))
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.col("__qcos").desc(), F.col("cluster_id").asc()
+        )
+        probes = (
+            q.crossJoin(F.broadcast(centroids))
+            .select(
+                query_id_col, "__qv", "__qn", "cluster_id", qcos.alias("__qcos")
+            )
+            .withColumn("__pr", F.row_number().over(wq))
+            .filter(F.col("__pr") <= n_probe)
+            .select(query_id_col, "__qv", "__qn", "cluster_id")
+        )
     cand = F.broadcast(probes).join(assigned, "cluster_id")
-    cos = _cos(F.col("__qv"), F.col("__v"))
+    vn = F.col("__vn") if "__vn" in assigned.columns else _norm(F.col("__v"))
+    cos = _dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * vn)
     scored = cand.select(query_id_col, F.col(id_col), cos.alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
