@@ -583,18 +583,24 @@ def q_groupby_having(spark, sf):
     sf1: 0.60 s vs 0.75 s median; the cache wins only for queries that
     reuse its orderkey bucketing or re-read many columns). The same rule
     at 100 TB: scan-heavy narrow aggregates go to the columnar layout at
-    rest, not through a row-assembled working set. Default 128 MB
-    splits, NOT _t_scan's volume-sized ones: measured at sf1 (two
-    min-of-5 bench runs), 16 MB splits cost 0.70 s vs 0.51 s at the
-    default — on a 1 GB single file the 9-task scan streams row groups
-    hot while 65 small tasks pay per-task reader setup; _t_scan's sizing
-    only wins where the default degenerates to ~1 task (series_pipeline's
-    112 MB events file). The explicit split_bytes pin also defends
-    against another query's session-conf leak."""
+    rest, not through a row-assembled working set. When the file spans
+    several default splits, pin the default 128 MB — NOT _t_scan's
+    volume-sized ones: measured at sf1 (two min-of-5 bench runs), 16 MB
+    splits cost 0.70 s vs 0.51 s at the default; on a 1 GB single file
+    the 9-task scan streams row groups hot while 65 small tasks pay
+    per-task reader setup (re-confirmed r12: 1.15 vs 1.39 s paired).
+    BELOW that regime the pin degenerates to a near-serial scan (the
+    10.8 MB sf0.1 file is ONE task at 128 MB) and volume-sizing wins the
+    parallelism back (r12 paired A/B: 0.22 vs 0.25-0.37 s) — so the pin
+    is conditional on the file actually spanning >= 4 default splits.
+    The explicit split_bytes also defends against another query's
+    session-conf leak."""
+    li_path = os.path.join(sf, "lineitem.parquet")
+    big = os.path.getsize(li_path) >= 4 * (128 << 20)
     li = _t_scan(
         spark, sf, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
-        split_bytes=128 << 20,
+        split_bytes=(128 << 20) if big else None,
     )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -625,10 +631,19 @@ def q_dedup_last(spark, sf):
 
 def q_resample_6h(spark, sf):
     """A3: tumbling-window aggregation (group_by_dynamic analog,
-    pool_helpers.py:148-149)."""
+    pool_helpers.py:148-149).
+
+    Served from the pruned FILE scan (3 of events' 6 columns, no join
+    key) with _t_scan's volume-sized splits — the same narrow-no-join-
+    aggregate rule as q_groupby_having/q_series_pipeline. Measured
+    (paired in-session A/B, two interleaved min-of-6 rounds): sf1
+    0.84-1.02 s (full-width cache decompress) -> 0.34-0.44 s; sf0.1
+    0.18-0.26 -> 0.16-0.23. What r8 pinned as this query's "scan+agg
+    engine constant" was mostly the in-memory-columnar full-batch
+    decompression, not the aggregation."""
     from v3_polars_spark.ops import resample
 
-    e = _t(spark, sf, "events")
+    e = _t_scan(spark, sf, "events", ["ts", "value", "event_id"])
     out = resample(
         e,
         "ts",
