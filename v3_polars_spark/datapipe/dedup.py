@@ -427,10 +427,21 @@ def _collapse_parts(df: DataFrame) -> int:
     all) a task carries 10 x the 64 MB sizing target = 640 MB — inside
     the guide's 100 MB-1 GB per-task range — and every downstream
     shuffle re-widens via AQE; with real duplication the cache collapses
-    to a handful of full partitions. coalesce() is shuffle-free."""
+    to a handful of full partitions. coalesce() is shuffle-free.
+
+    The ``defaultParallelism // 4`` floor keeps a duplication-FREE
+    corpus from losing its compute width: at interactive sizes
+    ``parent // 10`` alone rounds to ~1 partition, and a reps frame that
+    did NOT shrink (sf0.1 has no exact duplicates) then runs its
+    candidate verify nearly single-threaded — measured
+    dp_embed_neardup_lsh 3.0 s -> 9.0 s before the floor. With the
+    floor the no-duplication case keeps (at least a quarter of) the
+    cores busy while the high-duplication case still collapses to few
+    full partitions."""
     spark = df.sparkSession
     parent = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(1, parent // 10)
+    floor = min(parent, max(1, spark.sparkContext.defaultParallelism // 4))
+    return max(floor, parent // 10)
 
 
 def _minhash_collapse_graph(
