@@ -1495,9 +1495,14 @@ def dp_token_shards(spark, sf):
     fingerprint. by=None keeps one global stream for the oracle; at
     scale the op takes a shard key."""
     from v3_polars_spark.datapipe import bpe_encode, pack_sequences, token_id_map
+    from v3_polars_spark.datapipe.dedup import _track
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    enc = bpe_encode(d, _BPE_MERGES)
+    # persisted: the encode expression fold (~3 s/5k docs at sf0.1) has
+    # TWO consumers — the pack pipeline and the vocab branch — and no
+    # exchange boundary between them, so without the persist the whole
+    # fold ran twice per execution (r12: 8.1 s -> ~4 s steady)
+    enc = _track(bpe_encode(d, _BPE_MERGES))
     shards = pack_sequences(
         enc, "bpe_tokens", ["doc_id"], max_len=64, sep_token="</doc>"
     )
@@ -1567,7 +1572,12 @@ def dp_e2e_pipeline(spark, sf):
         dedup_exact(kept), "n_chars",
         n=3, num_hashes=16, bands=4, verify_threshold=0.05,
     )
-    enc = bpe_encode(survivors.select("doc_id", "text"), _BPE_MERGES)
+    from v3_polars_spark.datapipe.dedup import _track
+
+    # persisted for the same two-consumer reason as dp_token_shards —
+    # and here the fold's INPUT is the whole upstream quality+dedup
+    # chain, so the un-persisted second evaluation re-ran that too
+    enc = _track(bpe_encode(survivors.select("doc_id", "text"), _BPE_MERGES))
     shards = pack_sequences(
         enc, "bpe_tokens", ["doc_id"], max_len=64, sep_token="</doc>"
     )
