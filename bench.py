@@ -15,6 +15,21 @@ compilation of the Spark scan/agg/join/exchange operators themselves and
 whole-stage-codegen class compilation (measured ~3 s across the headline
 set on a cold JVM, i.e. ~35% of the cold total was compiler time, not
 query time). The comparison is steady-state vs steady-state.
+
+Honest timed region (round-13 measurement fix): before EVERY timed Spark
+trial, the per-query persisted intermediates (shingle sets, collapse
+members/reps, vocab, encode frames — everything `_track`ed) are dropped
+and re-registered unmaterialized (``reset_intermediates``), so each trial
+executes the query's own collapse/aggregate/encode work inside the timed
+window — within-trial multi-consumer reuse (the reason the persists
+exist) still applies, but nothing computed by the warm-up or a previous
+trial is served back as a cache read. Previously the warm-up pass
+materialized those intermediates once and every timed trial reused them,
+which under-reported the per-execution cost of the dedup/unigram-family
+queries; DuckDB always re-executed its full query per trial, so the
+comparison was asymmetric. The session-level working-set caches (the
+base tables — the reference's in-RAM v3Pool model) stay warm for both
+engines: DuckDB's analog is the OS page cache over the same files.
 """
 
 from __future__ import annotations
@@ -57,6 +72,16 @@ HEADLINE = [
     "dp_unigram",
 ]
 
+# Optional ADDITIVE extra entries for committed evidence runs (honest
+# per-execution numbers of queries outside the driver's headline set,
+# e.g. SPARK_GRAFT_BENCH_EXTRA=dp_token_shards,dp_e2e_pipeline). The
+# default headline set is never filtered or reordered.
+HEADLINE += [
+    q
+    for q in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",")
+    if q and q not in HEADLINE
+]
+
 
 def _force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
@@ -85,18 +110,20 @@ def main() -> None:
     )
     tune_shuffle_partitions(spark, input_bytes)
 
-    from v3_polars_spark.datapipe import release_intermediates
+    from v3_polars_spark.datapipe import (
+        release_intermediates,
+        reset_intermediates,
+    )
 
     qs = entrymod.queries()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     # untimed warm-up pass: run every headline query once so JIT/codegen
-    # compilation, the session-level working-set caches, and each query's
-    # persisted intermediates (shingle sets etc.) are populated before any
-    # timing starts (see module docstring). Intermediates stay persisted
-    # through the timed phase — the queries() plans are memoized per
-    # session and reference them; total persisted footprint at bench SF is
-    # a few hundred MB, released in one sweep at the end.
+    # compilation and the session-level working-set caches are populated
+    # before any timing starts (see module docstring). Per-query persisted
+    # intermediates built here are dropped again before every timed trial
+    # (reset_intermediates below) — the warm-up only buys compilation and
+    # base-cache state, never query results.
     for name in HEADLINE:
         _force(qs[name](spark, SF_DIR))
 
@@ -118,6 +145,10 @@ def main() -> None:
         sql = oracles.get(name)
         s_best = d_best = float("inf")
         for _ in range(TRIALS):
+            # drop per-query intermediates OUTSIDE the timed window so the
+            # trial below pays the query's own intermediate-build cost
+            # (honest timed region — see module docstring)
+            reset_intermediates()
             t0 = time.perf_counter()
             _force(fn(spark, SF_DIR))
             s_best = min(s_best, time.perf_counter() - t0)

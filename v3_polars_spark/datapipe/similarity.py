@@ -254,14 +254,12 @@ def embedding_near_dup_lsh(
     banded = df.select(
         F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "table", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "table", "bucket")
-    ids = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    from .dedup import _bucket_pairs
+
+    # one pass over the bucket stream (sorted-id-array pair expansion)
+    # instead of a bucket self-join that evaluates the signature subtree
+    # once per side — see dedup._bucket_pairs
+    ids = _bucket_pairs(banded, id_col, ["table", "bucket"])
     vecs = df.select(F.col(id_col), v.alias("__v"))
     cand = ids.join(
         vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va")), "id_a"
