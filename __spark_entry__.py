@@ -538,24 +538,28 @@ def q_theta_join(spark, sf):
 def q_asof_join(spark, sf):
     """J2: backward as-of join — for each click, the last purchase value at
     or before it, per user (getPriceSeries join shape,
-    pool_helpers.py:202)."""
-    from v3_polars_spark.ops import asof_join
+    pool_helpers.py:202).
+
+    Both sides are row-subsets of the SAME events table, so this runs the
+    same-source formulation (ops.asof_join_same_source): two window passes
+    over the keyed events cache — both satisfied by its (user_id) x
+    (user_id, ts, event_id) bucketing+sort — instead of the general
+    union+window plan whose post-union exchange+sort re-shuffled the
+    event table every run (r12's named deferral; result-identical, pinned
+    by tests/test_ops.py::test_asof_same_source_* and the unchanged
+    oracle). At 100 TB this removes a full fact-table shuffle+sort per
+    run; the general op remains for genuinely two-table inputs."""
+    from v3_polars_spark.ops import asof_join_same_source
 
     e = _t(spark, sf, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("value").alias("last_purchase_value"),
-        "event_id",
-    )
-    # tiebreak=event_id fuses the right-side dedup-to-latest into the one
-    # window shuffle (same result as a dedup_last pre-pass, one less
-    # exchange of the event table)
-    out = asof_join(
-        clicks, purchases, on="ts", by=["user_id"], tiebreak=["event_id"]
+    out = asof_join_same_source(
+        e,
+        left_filter=F.col("event_type") == "click",
+        right_filter=F.col("event_type") == "purchase",
+        on="ts",
+        by=["user_id"],
+        values={"value": "last_purchase_value"},
+        tiebreak=["event_id"],
     )
     return out.select(
         "user_id", "event_id", _ts_str("ts", "ts_str"), "last_purchase_value"

@@ -312,6 +312,89 @@ def test_asof_join_tiebreak_fuses_dedup(spark):
     assert "seq" not in out[0].asDict()
 
 
+def test_asof_same_source_matches_generic(spark):
+    """asof_join_same_source ≡ asof_join(filter(left), filter(right)) on a
+    randomized single frame: shared timestamps across sides (the w2-
+    override path), ties within a side (tiebreak), rows of NEITHER side,
+    null right values (matched-row-as-unit), and null `on` rows."""
+    import random
+
+    from v3_polars_spark.ops import asof_join, asof_join_same_source
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                rng.randrange(5),                      # k
+                rng.choice([None] + list(range(20))),  # t (nulls included)
+                rng.choice(["L", "R", "X"]),           # side
+                i,                                     # uid (tiebreak)
+                rng.choice([None, float(i)]),          # v
+            )
+        )
+    df = spark.createDataFrame(rows, ["k", "t", "side", "uid", "v"])
+    fast = asof_join_same_source(
+        df,
+        left_filter=F.col("side") == "L",
+        right_filter=F.col("side") == "R",
+        on="t",
+        by=["k"],
+        values={"v": "rv"},
+        tiebreak=["uid"],
+    ).select("k", "t", "uid", "rv")
+    left = df.filter(F.col("side") == "L").select("k", "t", "uid")
+    right = df.filter(F.col("side") == "R").select(
+        "k", "t", F.col("uid").alias("ruid"), F.col("v").alias("rv")
+    )
+    ref = asof_join(
+        left, right, on="t", by=["k"], tiebreak=["ruid"]
+    ).select("k", "t", "uid", "rv")
+
+    def key(r):
+        return (r["k"], r["t"], r["uid"], r["rv"])
+
+    a = sorted(fast.collect(), key=lambda r: str(key(r)))
+    b = sorted(ref.collect(), key=lambda r: str(key(r)))
+    assert len(a) == len(b) > 0
+    assert [key(r) for r in a] == [key(r) for r in b]
+
+
+def test_asof_same_source_zero_exchanges_off_keyed_cache(spark):
+    """Off a by-clustered, (by, on, tiebreak)-sorted source, the
+    same-source plan needs no exchange and no sort (the point of the
+    formulation)."""
+    from v3_polars_spark.ops import asof_join_same_source
+
+    df = (
+        spark.createDataFrame(
+            [(i % 3, i // 3, i, "R" if i % 2 else "L", float(i)) for i in range(60)],
+            ["k", "t", "uid", "side", "v"],
+        )
+        .repartition(4, F.col("k"))
+        .sortWithinPartitions("k", "t", "uid")
+        .cache()
+    )
+    df.count()
+    out = asof_join_same_source(
+        df,
+        left_filter=F.col("side") == "L",
+        right_filter=F.col("side") == "R",
+        on="t",
+        by=["k"],
+        values={"v": "rv"},
+        tiebreak=["uid"],
+    )
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    body = plan.split("InMemoryRelation")[0]  # query-time plan, not cache build
+    assert "Exchange" not in body
+    assert "Sort" not in body
+    df.unpersist()
+
+
 def test_range_join_timestamps(spark):
     """Timestamp validity-window join: bucket on µs epochs, width in
     seconds; exact bounds still closed-open."""

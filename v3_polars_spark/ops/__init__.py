@@ -1,7 +1,12 @@
 """L1 operator library — one documented op per SURVEY.md §2 row where Spark
 lacks a literal primitive; stock DataFrame API everywhere else."""
 
-from .asof import asof_join, asof_lookup, asof_lookup_scalar
+from .asof import (
+    asof_join,
+    asof_join_same_source,
+    asof_lookup,
+    asof_lookup_scalar,
+)
 from .cogroup import cogrouped_asof
 from .cohort import retention_matrix
 from .dedup import dedup_first, dedup_last
@@ -84,6 +89,7 @@ __all__ = [
     "approx_quantile_by",
     "approx_quantile_check",
     "asof_join",
+    "asof_join_same_source",
     "hll_rollup",
     "hll_sketches",
     "asof_lookup",

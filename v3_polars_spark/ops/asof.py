@@ -194,6 +194,88 @@ def _asof_nearest(left, right, on, by, tiebreak, emit_matched_on, tolerance=None
     return f.select(*left.columns, *picked, *extra)
 
 
+def asof_join_same_source(
+    df: DataFrame,
+    left_filter: Column,
+    right_filter: Column,
+    on: str,
+    by: list[str],
+    values: dict[str, str],
+    tiebreak: list[str],
+) -> DataFrame:
+    """Backward as-of join where BOTH sides are row-subsets of ONE frame —
+    the common "events of type A against events of type B" shape.
+
+    Result-identical to the union formulation
+
+        asof_join(df.filter(left_filter),
+                  df.filter(right_filter)
+                    .select(*by, on, *tiebreak,
+                            *[F.col(s).alias(o) for s, o in values.items()]),
+                  on, by, "backward", tiebreak)
+
+    (equivalence pinned by tests/test_ops.py::test_asof_same_source_*),
+    but computed as TWO window passes over the single frame instead of a
+    union: the union's concatenated partitioning is unknown to Spark, so
+    its one window costs a full exchange + sort of both sides every run,
+    while both windows here are satisfied directly by a ``by``-clustered,
+    ``(by, on, tiebreak)``-sorted source — the engine's keyed cache
+    layout (and, at rest, a bucketed+sorted table): ZERO query-time
+    exchanges and ZERO sorts.
+
+    Why two windows: a single running ``last`` over ``(on, tiebreak)``
+    order sees only right rows ordered BEFORE the left row, but as-of
+    ``<=`` semantics make every right row at the left row's exact ``on``
+    eligible (ties to the greatest ``tiebreak``). So:
+
+    - ``w1`` (running, ``(by) x (on, tiebreak)`` order): last right row
+      strictly before the left row's position — the correct match
+      whenever NO right row shares the left row's ``on``;
+    - ``w2`` (grouped, ``(by, on)``): greatest-``tiebreak`` right row at
+      exactly the left row's ``on`` — the correct match (tie rule
+      included) whenever one exists, overriding ``w1``.
+
+    ``tiebreak`` must order right rows totally within ``(by, on)`` (the
+    engine's unique-key convention) — it is required here precisely
+    because it makes the grouped max deterministic. Right rows with NULL
+    ``on`` never match (Polars join_asof parity). Output: every
+    ``df.filter(left_filter)`` row with all ``df`` columns plus one
+    column per ``values`` entry (source column → new output name; output
+    names must not clash with ``df`` columns)."""
+    clash = [o for o in values.values() if o in df.columns]
+    if clash:
+        raise ValueError(f"output value columns clash with source: {clash}")
+    srcs = list(values)
+    fields = [f"__v{i}" for i in range(len(srcs))]  # tiebreak-clash-proof
+    right_ok = right_filter & F.col(on).isNotNull()
+    val_struct = F.when(
+        right_ok,
+        F.struct(*[F.col(s).alias(f) for s, f in zip(srcs, fields)]),
+    ).otherwise(F.lit(None))
+    w1 = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), *[F.col(t).asc() for t in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_before = F.last(val_struct, ignorenulls=True).over(w1)
+    tb_struct = F.when(
+        right_ok,
+        F.struct(
+            *[F.col(t) for t in tiebreak],
+            *[F.col(s).alias(f) for s, f in zip(srcs, fields)],
+        ),
+    ).otherwise(F.lit(None))
+    w2 = Window.partitionBy(*by, on)
+    best_at_on = F.max(tb_struct).over(w2)
+    picked = [
+        F.when(best_at_on.isNotNull(), best_at_on.getField(f))
+        .otherwise(last_before.getField(f))
+        .alias(values[s])
+        for s, f in zip(srcs, fields)
+    ]
+    return df.select(*df.columns, *picked).filter(left_filter)
+
+
 def asof_lookup(
     df: DataFrame,
     order_col: str,
