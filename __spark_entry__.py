@@ -214,7 +214,18 @@ def _ref_mb(spark: SparkSession) -> DataFrame:
         .withColumn(
             "as_of", F.col("block_number") + F.col("transaction_index") / F.lit(1e4)
         )
-        .cache()
+        # localCheckpoint, not cache: same in-RAM working-set posture
+        # (materialized once per session from the parquet example), but
+        # the stored plan is a lineage-free LogicalRDD — every fixture
+        # query replans this subtree per ACTION, and the embedded
+        # scan+filter+cast lineage (stacked further by liq/swap-frame/
+        # depth layers) made driver-side planning the dominant cost of
+        # the O(ticks) fixture family (paired A/B: quote_ladder forced
+        # 0.29 -> 0.21 s min with the depth lineage truncated). Fixture
+        # frames are O(10^2-10^4) rows, so losing recompute-on-evict is
+        # irrelevant; the keyed testdata caches keep .cache() — their
+        # InMemoryRelation partitioning/ordering is load-bearing.
+        .localCheckpoint()
     )
     _TABLE_CACHE[key] = mb
     return mb
@@ -251,7 +262,7 @@ def _ref_table(spark: SparkSession, table: str) -> DataFrame:
         df = T.with_as_of(df)
     elif table == "factory_pool_created":
         df = df.withColumnRenamed("pool", "address")
-    df = df.cache()
+    df = df.localCheckpoint()  # see _ref_mb: lineage-free fixture frame
     _TABLE_CACHE[key] = df
     return df
 
@@ -266,7 +277,7 @@ def _ref_liq(spark: SparkSession) -> DataFrame:
     key = (id(spark), "__ref_liq__")
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
-    liq = liquidity_distribution(_ref_mb(spark), as_of=_REF_AS_OF).cache()
+    liq = liquidity_distribution(_ref_mb(spark), as_of=_REF_AS_OF).localCheckpoint()
     _TABLE_CACHE[key] = liq
     return liq
 
@@ -284,7 +295,7 @@ def _ref_swap_frame(spark: SparkSession) -> DataFrame:
         return _TABLE_CACHE[key]
     sf_df = swap_frame(
         _ref_liq(spark), tick_spacing=60, min_liquidity=1e9
-    ).cache()
+    ).localCheckpoint()
     _TABLE_CACHE[key] = sf_df
     return sf_df
 
@@ -323,7 +334,7 @@ def _ref_swap_depth(spark: SparkSession) -> DataFrame:
         return _TABLE_CACHE[key]
     d = swap_depth(
         _ref_swap_frame(spark), InRangeValues(**_QL_IRV), token_in_is_token1=False
-    ).cache()
+    ).localCheckpoint()
     _TABLE_CACHE[key] = d
     return d
 
