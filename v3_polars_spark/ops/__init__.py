@@ -48,6 +48,7 @@ from .skew import salted_join
 from .twa import time_weighted_avg
 from .upsample import upsample
 from .validate import (
+    Check,
     check_accepted_values,
     check_not_null,
     check_range,
@@ -67,6 +68,7 @@ from .windows import (
 __all__ = [
     "heavy_hitters",
     "fuzzy_match_best",
+    "Check",
     "check_accepted_values",
     "check_not_null",
     "check_range",
