@@ -139,6 +139,22 @@ def _table_rows(sf_dir: str, name: str) -> int:
     return _ROWS_MEMO[key]
 
 
+def _path_bytes(path: str) -> int:
+    """On-disk bytes of a parquet table that may be a single file OR a
+    directory of part files (Spark-written tables): getsize on a
+    directory returns the inode size, which made every multi-file table
+    take the small-file split branch regardless of real volume — mirror
+    _table_rows' directory handling and sum the fragments."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return os.path.getsize(path)
+
+
 def _cache_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
     sizer = _BUCKET_FAMILY.get(name, name)
     n_rows = _table_rows(sf_dir, sizer)
@@ -611,7 +627,7 @@ def q_groupby_having(spark, sf):
     The explicit split_bytes also defends against another query's
     session-conf leak."""
     li_path = os.path.join(sf, "lineitem.parquet")
-    big = os.path.getsize(li_path) >= 4 * (128 << 20)
+    big = _path_bytes(li_path) >= 4 * (128 << 20)
     li = _t_scan(
         spark, sf, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
@@ -842,7 +858,7 @@ def _t_scan(
     (``split_bytes`` for an explicit choice, e.g. the measured-default
     128 MB for groupby_having's 1 GB lineitem scan)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    size = os.path.getsize(path)
+    size = _path_bytes(path)
     split = split_bytes or max(4 << 20, min(128 << 20, size // 64))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     if name == "events":

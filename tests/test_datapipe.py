@@ -301,6 +301,50 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert hits / 30 >= 0.4  # loose recall floor: random data clusters poorly
 
 
+def test_ivf_search_nonfinite_centroid_falls_back(spark):
+    """A NaN centroid component (reachable: ivf_build means propagate a
+    NaN embedding) must NOT be rendered into the inline literal plan —
+    'nanD' is unparseable SQL. The search falls back to the general
+    crossJoin+window plan and still returns ranked finite matches."""
+    from v3_polars_spark.datapipe import ivf_search
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float("nan"), 1.0])],
+        "cluster_id long, centroid array<double>",
+    )
+    assigned = spark.createDataFrame(
+        [(0, 10, [1.0, 0.1]), (0, 11, [0.9, 0.2]), (1, 20, [0.0, 1.0])],
+        "cluster_id long, vec_id long, __v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    rows = ivf_search(centroids, assigned, q, k=2, n_probe=2).collect()
+    assert [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [10, 11]
+
+
+def test_ivf_search_null_vn_recomputes_norm(spark):
+    """Mixed-schema persisted index: rows whose __vn is NULL (segments
+    written before the column existed) must recompute the norm instead
+    of nulling the cosine."""
+    from v3_polars_spark.datapipe import ivf_search
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cluster_id long, centroid array<double>"
+    )
+    assigned = spark.createDataFrame(
+        [(0, 10, [3.0, 4.0], None), (0, 11, [1.0, 0.0], 1.0)],
+        "cluster_id long, vec_id long, __v array<double>, __vn double",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r["cosine"] for r in
+            ivf_search(centroids, assigned, q, k=2, n_probe=1).collect()}
+    assert rows[11] == 1.0
+    assert abs(rows[10] - 0.6) < 1e-12  # 3/5 from the recomputed norm
+
+
 def test_ann_recall_check_arithmetic(spark):
     """Pin the recall arithmetic on hand data: q1 approx hits 2/3 exact,
     q2 hits 3/3; mean 5/6, min 2/3; contract booleans at both thresholds.

@@ -457,6 +457,8 @@ def ivf_search(
     when present (``ivf_assign``), and recomputes it for indexes
     persisted before that column existed; the query-side norm is bound
     once per query row instead of per candidate."""
+    import math
+
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
     )
@@ -464,15 +466,38 @@ def ivf_search(
     cents = centroids.select("cluster_id", "centroid").limit(
         _INLINE_CENTROIDS + 1
     ).collect()
-    if len(cents) <= _INLINE_CENTROIDS:
+    # Inline only when every centroid component AND its norm are finite:
+    # a NaN/Inf component (reachable when any corpus embedding carries
+    # NaN — ivf_build's means propagate it) would render as 'nanD' /
+    # 'infD', which Spark SQL cannot parse, and an overflowed norm would
+    # change the cosine; the general plan merely produces NaN cosines
+    # ranked deterministically, so it is the safe fallback.
+    def _row_finite(row) -> bool:
+        vec = [float(y) for y in (row["centroid"] or [])]
+        return all(map(math.isfinite, vec)) and math.isfinite(
+            math.sqrt(sum((v * v for v in vec), 0.0))
+        )
+
+    finite = len(cents) <= _INLINE_CENTROIDS and all(
+        _row_finite(r) for r in cents
+    )
+    if finite:
         probes = _inline_probes(q, cents, n_probe, query_id_col)
     else:
+        # the general crossJoin+window plan would re-evaluate the
+        # centroid plan (a full k-means pass when uncached) once per
+        # ACTION on top of the bounded collect above; persist the
+        # projection so the first action materializes it once
+        # (tracked — release_intermediates frees it)
+        from .dedup import _track
+
+        cents_df = _track(centroids.select("cluster_id", "centroid"))
         qcos = _cos(F.col("__qv"), F.col("centroid"))
         wq = Window.partitionBy(query_id_col).orderBy(
             F.col("__qcos").desc(), F.col("cluster_id").asc()
         )
         probes = (
-            q.crossJoin(F.broadcast(centroids))
+            q.crossJoin(F.broadcast(cents_df))
             .select(
                 query_id_col, "__qv", "__qn", "cluster_id", qcos.alias("__qcos")
             )
@@ -481,7 +506,15 @@ def ivf_search(
             .select(query_id_col, "__qv", "__qn", "cluster_id")
         )
     cand = F.broadcast(probes).join(assigned, "cluster_id")
-    vn = F.col("__vn") if "__vn" in assigned.columns else _norm(F.col("__v"))
+    # coalesce onto the recompute: a mixed-schema persisted index (seed
+    # segments written before __vn existed, streamed segments after) can
+    # surface __vn as NULL for old-segment rows — dividing by NULL would
+    # silently null those candidates' cosines
+    vn = (
+        F.coalesce(F.col("__vn"), _norm(F.col("__v")))
+        if "__vn" in assigned.columns
+        else _norm(F.col("__v"))
+    )
     cos = _dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * vn)
     scored = cand.select(query_id_col, F.col(id_col), cos.alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
