@@ -63,6 +63,23 @@ def test_rotated_out_queries_have_committed_green_records():
     )
 
 
+def test_self_check_matrix_covers_full_surface():
+    """The committed CORRECTNESS_SELF.json is the per-round self-check
+    MATRIX: every declared query — including ones the driver's 50-slot
+    sample happens to rotate out in a given round (e.g. dp_url_dedup in
+    r12) and ones inherited mid-build (dp_e2e_pipeline) — must have a
+    green full-surface row, so driver sample rotation can never mask a
+    break. Regenerate with tests/oracle_check.py and commit each round."""
+    qs = em.queries()
+    rec = json.load(open(os.path.join(REPO, "CORRECTNESS_SELF.json")))
+    rows = rec.get("results", rec)
+    missing = [n for n in qs if not (rows.get(n) or {}).get("hash_match")]
+    assert not missing, (
+        f"declared queries without a green CORRECTNESS_SELF row: {missing}"
+        " — run tests/oracle_check.py and commit the regenerated file"
+    )
+
+
 def test_window_drains_unproven_queue_first():
     """The computed window puts every not-yet-driver-proven query before
     any proven one: no window slot is wasted re-proving an already-proven
