@@ -1529,11 +1529,18 @@ def dp_token_shards(spark, sf):
     from v3_polars_spark.datapipe.dedup import _track
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    # persisted: the encode expression fold (~3 s/5k docs at sf0.1) has
-    # TWO consumers — the pack pipeline and the vocab branch — and no
-    # exchange boundary between them, so without the persist the whole
-    # fold ran twice per execution (r12: 8.1 s -> ~4 s steady)
-    enc = _track(bpe_encode(d, _BPE_MERGES))
+    # persisted: the encode output (~3 s/5k docs at sf0.1 on the expr
+    # fold) has TWO consumers — the pack pipeline and the vocab branch —
+    # and no exchange boundary between them, so without the persist the
+    # whole encode ran twice per execution (r12: 8.1 s -> ~4 s steady).
+    # strategy="kernel": this composed query's contract is the RESULT —
+    # the Arrow mapInPandas kernel is parity-pinned to the expression
+    # fold on validated merge tables (tests/test_bpe.py) and its
+    # per-distinct-word memoization is ~50x cheaper on repetitive text
+    # (guide §4.2: batch native work beats interpreted JVM expression
+    # folds); dp_bpe_encode stays on the expression path — it IS the
+    # cross-engine verification query for the fold.
+    enc = _track(bpe_encode(d, _BPE_MERGES, strategy="kernel"))
     shards = pack_sequences(
         enc, "bpe_tokens", ["doc_id"], max_len=64, sep_token="</doc>"
     )
@@ -1592,23 +1599,40 @@ def dp_e2e_pipeline(spark, sf):
         token_id_map,
     )
 
+    from v3_polars_spark.datapipe.dedup import _track
+
     d = _t(spark, sf, "documents")
     scored = quality_score(language_id(d))
-    kept = scored.filter(
+    # BOTH upstream stages persisted (tracked — rebuilt inside every
+    # honest bench trial): the regex-heavy quality/lang chain is
+    # consumed twice by dedup_exact (fingerprint side + join-back side),
+    # and the exact-dedup output is consumed ~4x by the near-dup
+    # pipeline (shingle build, component nodes, score join, keep join) —
+    # unpersisted, the whole upstream re-ran once per consumer
+    # (event-log: six 5.6-7.8 s-run stages per execution at sf0.1;
+    # 11.4 -> 4.4 s per honest per-execution trial with the two
+    # persists, intermediates rebuilt inside every trial).
+    kept = _track(scored.filter(
         F.col("lang_pred").isin("en", "de", "fr", "es")
         & (F.col("n_words") >= 10)
         & (F.col("quality") >= 0.5)
-    ).select(*d.columns)
+    ).select(*d.columns))
+    survivors = _track(dedup_exact(kept))
     survivors = dedup_near_best(
-        dedup_exact(kept), "n_chars",
+        survivors, "n_chars",
         n=3, num_hashes=16, bands=4, verify_threshold=0.05,
     )
-    from v3_polars_spark.datapipe.dedup import _track
 
     # persisted for the same two-consumer reason as dp_token_shards —
-    # and here the fold's INPUT is the whole upstream quality+dedup
-    # chain, so the un-persisted second evaluation re-ran that too
-    enc = _track(bpe_encode(survivors.select("doc_id", "text"), _BPE_MERGES))
+    # and here the encode's INPUT is the whole upstream quality+dedup
+    # chain, so the un-persisted second evaluation re-ran that too.
+    # kernel strategy for the same result-identical reason (see
+    # dp_token_shards).
+    enc = _track(
+        bpe_encode(
+            survivors.select("doc_id", "text"), _BPE_MERGES, strategy="kernel"
+        )
+    )
     shards = pack_sequences(
         enc, "bpe_tokens", ["doc_id"], max_len=64, sep_token="</doc>"
     )

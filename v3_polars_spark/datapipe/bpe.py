@@ -638,6 +638,13 @@ def bpe_encode_kernel(
         fields + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
 
+    eow = EOW  # captured constant: `run` below must be SELF-CONTAINED
+    # (no references to module-level functions), so cloudpickle
+    # serializes it by value and a Python worker that cannot import
+    # v3_polars_spark (driver launched outside the repo, no --py-files)
+    # still runs it; referencing encode_word_py would pickle it by
+    # MODULE REFERENCE and die with ModuleNotFoundError at task start.
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
@@ -651,6 +658,33 @@ def bpe_encode_kernel(
         ws = re.compile(r"\s+", flags=re.ASCII)
         memo: dict[str, list[str]] = {}
 
+        def enc_word(word: str) -> list[str]:
+            # inlined encode_word_py (lowest-rank-first priority loop);
+            # kept in lockstep by tests/test_bpe.py's kernel-vs-oracle
+            # parity pins
+            syms = list(word[:-1]) + [word[-1] + eow] if word else []
+            while len(syms) > 1:
+                best_rank = None
+                best = None
+                for pair in zip(syms, syms[1:]):
+                    r = ranks.get(pair)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best = r, pair
+                if best is None:
+                    break
+                a, b = best
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
         def enc_text(text: str | None) -> list[str]:
             if text is None:
                 return []
@@ -661,7 +695,7 @@ def bpe_encode_kernel(
                     continue
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = encode_word_py(w, ranks)
+                    got = memo[w] = enc_word(w)
                 toks.extend(got)
             return toks
 

@@ -34,6 +34,18 @@ def get_spark(
     tuning confs apply.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers inherit PYTHONPATH from the driver process: export
+    # the package root so mapInPandas/mapInArrow closures that reference
+    # package modules (multimodal codecs, etc.) resolve even when the
+    # driver was launched from OUTSIDE the repo (no --py-files in local
+    # mode). Must happen before the JVM starts; harmless if it already
+    # did (the current session is simply returned by getOrCreate).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
