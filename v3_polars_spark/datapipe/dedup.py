@@ -538,11 +538,15 @@ def _minhash_collapse_graph(
         )
     )
     nonempty = labeled.filter(F.col("__sz") > 0)
-    members = _track(nonempty.select(id_col, "__rep"))
+    parts = _collapse_parts(sets)
+    # members coalesced like reps: two longs/doc spread over the full
+    # shuffle-partition width (~101 slices at sf1) is pure tiny-partition
+    # scheduling for its four expansion consumers (guide §2.2)
+    members = _track(nonempty.select(id_col, "__rep").coalesce(parts))
     reps = _track(
         nonempty.filter(F.col(id_col) == F.col("__rep"))
         .select(F.col(id_col), F.col("shset"))
-        .coalesce(_collapse_parts(sets))
+        .coalesce(parts)
     )
     rep_pairs = _lsh_pairs_from_sets(
         reps, id_col, num_hashes, bands, verify_threshold
