@@ -496,58 +496,60 @@ def _minhash_collapse_graph(
     array-order, the grouping relation. Docs with empty sets produce no
     signature in the uncollapsed pipeline, hence no pairs — exclude them
     from groups so within-group expansion cannot invent pairs for them.
-    One window shuffle derives BOTH the membership map and the
-    representative rows (min-id per set-equality group); a
-    groupBy+join+semi-join formulation costs two extra exchanges.
 
-    ``members`` and ``reps`` are persisted SEPARATELY from ``labeled``:
-    the window frame carries the shingle arrays (~450 B/doc), so its
-    cached blocks are two orders of magnitude heavier than either
-    derivation (members = two longs/doc, reps = one row per DISTINCT
-    set). Downstream there are ~7 consumers (band/signature build, two
-    verify joins, the four membership sides of the pair expansion) —
-    persisting only ``labeled`` made every one of them re-read the full
-    array-bearing cache and re-project it (measured at the 500 k-doc
-    sf1 point: 8 concurrent 82-task stages of 224 MB cache reads per
-    run, ~6.4 s steady-state; with the narrow frames persisted the same
-    pipeline runs ~2.5 s). ``labeled`` itself stays persisted so the
-    first action materializes the window exactly once.
+    ONE groupBy aggregation derives the whole collapse state — one row
+    per distinct set: ``(rep_id, __ids member list, shset)`` — and is the
+    ONLY persisted frame. ``min(id)`` is the representative, the
+    collect_list is the membership map, and ``first(shset)`` is a valid
+    representative array because every row in a group carries the SAME
+    set (the group key is the sorted rendering): signatures (explode +
+    min), verify (array_intersect / size) and jaccard are set-functions,
+    so WHICH member's array survives is unobservable in the results.
+    Versus the previous window formulation (window over __gk + three
+    persisted frames: the array-bearing window output plus narrow
+    members/reps derivations) this removes two persisted frames and the
+    window sort while keeping the same single exchange — and the
+    exchange now carries map-side PARTIAL aggregates: on a
+    duplication-heavy corpus co-partitioned duplicates collapse before
+    the shuffle, so the array bytes cross once per (group x input
+    partition) instead of once per doc (guide §2.3). Under AQE every
+    persisted-frame reference spawns its own TableCacheQueryStage job
+    (~30-50 ms scheduling floor each, measured); dropping from three
+    tracked frames to one removes that per-consumer parade.
 
-    The empty-set exclusion happens AFTER the persisted window frame
-    (``__sz`` filter on ``labeled``'s output), never as a filter on the
-    computed ``shset`` upstream of it: a pre-window
+    The empty-set exclusion happens AFTER the persisted aggregate
+    (``size(shset)`` filter on the cached frame), never as a filter on
+    the computed ``shset`` upstream of it: a pre-aggregation
     ``filter(size(shset) > 0)`` is pushed through the shingle
     projections and substitutes the FULL shingle expression into the
     predicate — and since HOF lambdas get no common-subexpression
     elimination, the per-token md5 transform then re-runs once per
     shingle index (measured ~90x the stage CPU at sf0.1 when the
     persist that used to act as the pushdown barrier was removed).
-    Filtering the cached frame costs one comparison per row instead.
-    Empty-set docs form their own group in the window (gk = md5 of the
-    empty-array rendering) and are dropped from both ``members`` and
-    ``reps``, so — exactly as before — they contribute no pairs."""
+    Filtering the cached frame costs one comparison per distinct row.
+    Empty-set docs form their own group (gk = md5 of the empty-array
+    rendering) and are dropped from both ``members`` and ``reps``, so —
+    exactly as before — they contribute no pairs."""
     keyed = sets.select(
         F.col(id_col),
         F.col("shset"),
         F.md5(F.sort_array(F.col("shset")).cast("string")).alias("__gk"),
-        F.size(F.col("shset")).alias("__sz"),
     )
-    labeled = _track(
-        keyed.withColumn(
-            "__rep", F.min(id_col).over(Window.partitionBy("__gk"))
-        )
-    )
-    nonempty = labeled.filter(F.col("__sz") > 0)
     parts = _collapse_parts(sets)
-    # members coalesced like reps: two longs/doc spread over the full
-    # shuffle-partition width (~101 slices at sf1) is pure tiny-partition
-    # scheduling for its four expansion consumers (guide §2.2)
-    members = _track(nonempty.select(id_col, "__rep").coalesce(parts))
-    reps = _track(
-        nonempty.filter(F.col(id_col) == F.col("__rep"))
-        .select(F.col(id_col), F.col("shset"))
+    groups = _track(
+        keyed.groupBy("__gk")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.collect_list(F.col(id_col)).alias("__ids"),
+            F.first("shset").alias("shset"),
+        )
         .coalesce(parts)
     )
+    nonempty = groups.filter(F.size("shset") > 0)
+    members = nonempty.select(
+        F.explode("__ids").alias(id_col), F.col("__rep")
+    )
+    reps = nonempty.select(F.col("__rep").alias(id_col), F.col("shset"))
     rep_pairs = _lsh_pairs_from_sets(
         reps, id_col, num_hashes, bands, verify_threshold
     )
