@@ -443,11 +443,13 @@ def minhash_lsh_pairs(
         return _lsh_pairs_from_sets(
             sets, id_col, num_hashes, bands, verify_threshold
         )
-    members, rep_pairs = _minhash_collapse_graph(
+    groups, members, rep_pairs = _minhash_collapse_graph(
         shingle_hash_sets(df, text_col, id_col, n),
         id_col, num_hashes, bands, verify_threshold,
     )
-    return _expand_collapsed_pairs(rep_pairs, members, id_col, verify_threshold)
+    return _expand_collapsed_pairs(
+        rep_pairs, members, id_col, verify_threshold, within_groups=groups
+    )
 
 
 def _collapse_parts(df: DataFrame) -> int:
@@ -487,8 +489,8 @@ def _minhash_collapse_graph(
     num_hashes: int,
     bands: int,
     verify_threshold: float,
-) -> tuple[DataFrame, DataFrame]:
-    """(members, rep_pairs) over a ``(id_col, shset)`` frame.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(groups, members, rep_pairs) over a ``(id_col, shset)`` frame.
 
     exact-collapse: one row per distinct shingle set. Group key = md5 of
     the SORTED set rendered to string (16-byte shuffle keys instead of
@@ -553,7 +555,7 @@ def _minhash_collapse_graph(
     rep_pairs = _lsh_pairs_from_sets(
         reps, id_col, num_hashes, bands, verify_threshold
     )
-    return members, rep_pairs
+    return nonempty, members, rep_pairs
 
 
 def near_dup_components(
@@ -589,16 +591,22 @@ def near_dup_components(
     # not persisted: single consumer on the collapsed path (see
     # minhash_lsh_pairs)
     sets = shingle_hash_sets(df, text_col, id_col, n)
-    members, rep_pairs = _minhash_collapse_graph(
+    groups, _, rep_pairs = _minhash_collapse_graph(
         sets, id_col, num_hashes, bands, verify_threshold
     )
-    rep_nodes = members.select(F.col("__rep").alias(id_col)).distinct()
+    # groups holds one row per distinct set with __rep and the full
+    # member-id array, so the rep node list needs no explode+distinct
+    # (one exchange fewer) and the label broadcast joins comp_rep onto
+    # GROUP rows (one per distinct set) before exploding to members,
+    # instead of joining the per-doc membership map (guide §2.3 — join
+    # the narrow side, explode after).
+    rep_nodes = groups.select(F.col("__rep").alias(id_col))
     comp_rep = connected_components(
         rep_pairs.select("id_a", "id_b"), rep_nodes, id_col, max_iter
     )
-    labels = members.join(
+    labels = groups.join(
         comp_rep.withColumnRenamed(id_col, "__rep"), "__rep"
-    ).select(id_col, "rep")
+    ).select(F.explode("__ids").alias(id_col), F.col("rep"))
     return (
         df.select(id_col)
         .join(labels, id_col, "left")
@@ -615,6 +623,7 @@ def _expand_collapsed_pairs(
     within_value: Column | None = None,
     within_keep: bool | None = None,
     within_values: DataFrame | None = None,
+    within_groups: DataFrame | None = None,
 ) -> DataFrame:
     """Reconstruct the full (id_a, id_b, <value>) list from representative
     pairs plus the ``(id_col, __rep)`` membership map: cross-group pairs
@@ -625,7 +634,18 @@ def _expand_collapsed_pairs(
     (``within_keep``, default: jaccard semantics ``threshold <= 1.0``).
     When the self-similarity is a COMPUTED per-group quantity (FP cosine),
     pass ``within_values`` — a ``(__rep, value_col)`` frame joined onto
-    the within pairs; groups absent from it emit nothing."""
+    the within pairs; groups absent from it emit nothing.
+
+    ``within_groups``: a ``(__rep, __ids)`` frame carrying each group's
+    full member-id array (the collapse aggregate already holds it). When
+    given, within-group pairs are expanded IN-TASK from the sorted array
+    (:func:`_pair_arr`) instead of self-joining the membership map on
+    ``__rep`` — one cache read and zero exchanges replace two reads plus
+    a join, and a d-member group emits its d(d-1)/2 pairs from one
+    d-element array row instead of d x d join rows through a hash join
+    (guide §2.4/§2.2 — the skew story strictly improves). Pair set
+    identical: both forms emit every (id_a < id_b) combination of the
+    group's members."""
     ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__da"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__db"))
     cross = (
@@ -637,9 +657,19 @@ def _expand_collapsed_pairs(
             value_col,
         )
     )
-    wa = members.select("__rep", F.col(id_col).alias("id_a"))
-    wb = members.select("__rep", F.col(id_col).alias("id_b"))
-    within = wa.join(wb, "__rep").filter(F.col("id_a") < F.col("id_b"))
+    if within_groups is not None:
+        within = (
+            within_groups.filter(F.size("__ids") >= 2)
+            .select(
+                "__rep",
+                F.explode(_pair_arr(F.sort_array(F.col("__ids")))).alias("__p"),
+            )
+            .select("__rep", F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        )
+    else:
+        wa = members.select("__rep", F.col(id_col).alias("id_a"))
+        wb = members.select("__rep", F.col(id_col).alias("id_b"))
+        within = wa.join(wb, "__rep").filter(F.col("id_a") < F.col("id_b"))
     if within_values is not None:
         within = within.join(within_values, "__rep").select(
             "id_a", "id_b", value_col
@@ -696,6 +726,21 @@ def _band_buckets(
     )
 
 
+def _pair_arr(arr: Column) -> Column:
+    """All (id_a < id_b) pairs of a SORTED id array as an array of structs
+    — the in-task pair expansion shared by :func:`_bucket_pairs` and the
+    within-group leg of :func:`_expand_collapsed_pairs`."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def _bucket_pairs(buckets: DataFrame, id_col: str, keys: list[str]) -> DataFrame:
     """Distinct ordered candidate pairs from a ``(*keys, id_col)`` bucket
     stream: group the ids per bucket and emit every in-bucket (id_a <
@@ -717,18 +762,8 @@ def _bucket_pairs(buckets: DataFrame, id_col: str, keys: list[str]) -> DataFrame
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
-    arr = F.col("__ids")
-    pair_arr = F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.size(arr)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(pair_arr).alias("__p"))
+        grouped.select(F.explode(_pair_arr(F.col("__ids"))).alias("__p"))
         .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
