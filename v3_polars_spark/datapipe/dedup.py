@@ -21,7 +21,7 @@ Scale design notes (the point of each implementation):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint_md5, normalize_text
@@ -218,26 +218,36 @@ def ngram_jaccard_pairs(
         per_doc = sh.groupBy(id_col).agg(
             F.md5(F.to_json(F.sort_array(F.collect_set("shingle")))).alias("__gk")
         )
-        # one window shuffle for the membership map (vs groupBy+join);
-        # the exploded shingle stream still needs the semi-join filter
-        labeled = _track(
-            per_doc.withColumn(
-                "__rep", F.min(id_col).over(Window.partitionBy("__gk"))
+        # one groupBy aggregation derives the whole collapse state (rep +
+        # member array) — same formulation as _minhash_collapse_graph:
+        # map-side partials on 16-byte keys, no window sort, and the one
+        # persisted frame holds one row per DISTINCT set (coalesced like
+        # every post-collapse cache). The exploded shingle stream still
+        # needs the semi-join filter to build the representative shingle
+        # rows.
+        groups = _track(
+            per_doc.groupBy("__gk")
+            .agg(
+                F.min(id_col).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
             )
+            .coalesce(_collapse_parts(per_doc))
         )
-        members = labeled.select(id_col, "__rep")
+        members = groups.select(F.explode("__ids").alias(id_col), F.col("__rep"))
         # reps persisted: _ngram_jaccard_core consumes it three times
         # (sizes + both join sides), and each consumer would otherwise
         # re-run the semi-join over the full exploded-shingle cache
         reps = _track(
             sh.join(
-                labeled.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+                groups.select(F.col("__rep").alias(id_col)),
                 id_col,
                 "leftsemi",
             )
         )
         rep_pairs = _ngram_jaccard_core(reps, id_col, threshold)
-        return _expand_collapsed_pairs(rep_pairs, members, id_col, threshold)
+        return _expand_collapsed_pairs(
+            rep_pairs, members, id_col, threshold, within_groups=groups
+        )
     return _ngram_jaccard_core(sh, id_col, threshold)
 
 
@@ -904,16 +914,22 @@ def hamming_near_pairs(
     if 64 % prefix_bands:
         raise ValueError("prefix_bands must divide 64")
     if collapse_exact:
-        gw = Window.partitionBy(hash_col)
-        labeled = _track(
+        # one groupBy aggregation (the signature long IS the group key)
+        # — same formulation as _minhash_collapse_graph: map-side
+        # partials collapse co-partitioned duplicates before the
+        # shuffle, no window sort, one coalesced per-distinct-signature
+        # frame instead of a per-doc one.
+        groups = _track(
             sig.filter(F.col(hash_col).isNotNull())
-            .select(F.col(id_col), F.col(hash_col))
-            .withColumn("__rep", F.min(id_col).over(gw))
+            .groupBy(hash_col)
+            .agg(
+                F.min(id_col).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
+            )
+            .coalesce(_collapse_parts(sig))
         )
-        members = labeled.select(id_col, "__rep")
-        reps = labeled.filter(F.col(id_col) == F.col("__rep")).select(
-            id_col, hash_col
-        )
+        members = groups.select(F.explode("__ids").alias(id_col), F.col("__rep"))
+        reps = groups.select(F.col("__rep").alias(id_col), F.col(hash_col))
         rep_pairs = hamming_near_pairs(
             reps, id_col, hash_col, max_hamming, prefix_bands,
             collapse_exact=False,
@@ -921,6 +937,7 @@ def hamming_near_pairs(
         return _expand_collapsed_pairs(
             rep_pairs, members, id_col, threshold=0.0, value_col="hamming",
             within_value=F.lit(0), within_keep=max_hamming >= 0,
+            within_groups=groups,
         )
     chunk_bits = 64 // prefix_bands
     # posexplode (see minhash_lsh_pairs): one pass over sig, not a

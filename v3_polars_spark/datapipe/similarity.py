@@ -189,38 +189,35 @@ def embedding_near_dup_lsh(
     and its SQL oracle."""
     v = F.col(vec_col).cast("array<double>")
     if collapse_exact:
-        # one window shuffle derives the membership map, the group size,
-        # and the representative rows together (vs groupBy+join+semi-join
-        # = two extra exchanges)
         keyed = df.select(
             F.col(id_col),
             v.alias("__v"),
             F.md5(v.cast("string")).alias("__gk"),
         )
-        gw = Window.partitionBy("__gk")
-        from .dedup import _track
+        from .dedup import _collapse_parts, _track
 
-        labeled = _track(
-            keyed.select(
-                F.col(id_col),
-                F.col("__v"),
-                F.min(id_col).over(gw).alias("__rep"),
-                F.count(F.lit(1)).over(gw).alias("__gn"),
+        # one groupBy aggregation derives the whole collapse state —
+        # same formulation as dedup._minhash_collapse_graph: one
+        # persisted frame holding (rep, member-id array, vector) per
+        # DISTINCT vector (vs the window form's per-doc array-bearing
+        # frame plus separate members/reps persists), map-side partials
+        # on the 16-byte key instead of a window sort. first(__v) is a
+        # valid representative: the group key is the md5 of the rendered
+        # double array and distinct doubles render distinctly, so every
+        # row in a group carries the same values — which member's array
+        # survives is unobservable downstream (buckets, re-attach,
+        # self-cosine are value functions).
+        groups = _track(
+            keyed.groupBy("__gk")
+            .agg(
+                F.min(id_col).alias("__rep"),
+                F.collect_list(F.col(id_col)).alias("__ids"),
+                F.first("__v").alias("__v"),
             )
+            .coalesce(_collapse_parts(keyed))
         )
-        # members/reps persisted separately from the vector-bearing
-        # window frame: the ~7 downstream consumers (bucket build, two
-        # vector re-attach joins, the four membership sides of the pair
-        # expansion) would otherwise each re-read and re-project the full
-        # array cache per run — same fix as dedup._minhash_collapse_graph
-        from .dedup import _collapse_parts
-
-        members = _track(labeled.select(id_col, "__rep"))
-        reps = _track(
-            labeled.filter(F.col(id_col) == F.col("__rep"))
-            .select(F.col(id_col), F.col("__v").alias(vec_col))
-            .coalesce(_collapse_parts(labeled))
-        )
+        members = groups.select(F.explode("__ids").alias(id_col), F.col("__rep"))
+        reps = groups.select(F.col("__rep").alias(id_col), F.col("__v").alias(vec_col))
         rep_pairs = embedding_near_dup_lsh(
             reps, dim, threshold, bits, tables, seed, id_col, vec_col,
             collapse_exact=False,
@@ -230,9 +227,7 @@ def embedding_near_dup_lsh(
         # pairs would add failure modes it doesn't have (ANSI
         # divide-by-zero on a lone all-zero vector)
         rep_self = (
-            labeled.filter(
-                (F.col(id_col) == F.col("__rep")) & (F.col("__gn") > 1)
-            )
+            groups.filter(F.size("__ids") > 1)
             .select(
                 F.col("__rep"),
                 _cos(F.col("__v"), F.col("__v")).alias("cosine"),
@@ -244,6 +239,7 @@ def embedding_near_dup_lsh(
         return _expand_collapsed_pairs(
             rep_pairs, members, id_col, threshold=threshold,
             value_col="cosine", within_values=rep_self, within_keep=True,
+            within_groups=groups,
         )
     buckets = F.array(
         *[lsh_bucket(v, dim, bits, seed + 1000003 * t) for t in range(tables)]
